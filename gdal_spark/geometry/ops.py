@@ -1,0 +1,134 @@
+"""Geometry construction / editing kernels (numpy, no GEOS).
+
+Engine equivalents of the reference's GEOS-backed scalar ops where
+the semantics are classical algorithms:
+
+* convex_hull — Andrew monotone chain (OGRGeometry::ConvexHull,
+  ogr/ogrgeometry.cpp:4449)
+* simplify — Douglas-Peucker (OGRGeometry::Simplify,
+  ogrgeometry.cpp:6778)
+* clip_ring_rect — Sutherland-Hodgman rectangle clip: the rectangle
+  fast path the reference takes in Clip/warp cutline
+  (apps/ogr2ogr_lib.cpp:604-609 rectangle fast path;
+  ogrlayer.cpp:3922 rectangle filter detection)
+* segment/point distance — kNN refine metric (OGRGeometry::Distance,
+  ogrgeometry.cpp:3818)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Monotone-chain hull; returns closed CCW ring (n,2)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return np.vstack([pts, pts[:1]]) if len(pts) else pts
+    # lexicographic sort (x, then y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([hull, hull[:1]])
+
+
+def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative DP simplification preserving endpoints."""
+    c = np.asarray(coords, dtype=np.float64)
+    n = len(c)
+    if n < 3:
+        return c
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = c[i0 + 1:i1]
+        a, b = c[i0], c[i1]
+        ab = b - a
+        L2 = ab @ ab
+        if L2 == 0.0:
+            d = np.sqrt(((seg - a) ** 2).sum(axis=1))
+        else:
+            # perpendicular distance to the infinite line (DP classic)
+            d = np.abs(np.cross(ab, seg - a)) / np.sqrt(L2)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            j = i0 + 1 + k
+            keep[j] = True
+            stack.append((i0, j))
+            stack.append((j, i1))
+    return c[keep]
+
+
+def clip_ring_rect(ring: np.ndarray, minx: float, miny: float,
+                   maxx: float, maxy: float) -> np.ndarray:
+    """Sutherland-Hodgman polygon clip against an axis rectangle.
+
+    Returns a closed ring (possibly empty (0,2))."""
+    poly = np.asarray(ring, dtype=np.float64)
+    if len(poly) and np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+
+    def clip_edge(pts: np.ndarray, axis: int, bound: float, keep_ge: bool):
+        if len(pts) == 0:
+            return pts
+        cur = pts
+        prev = np.roll(pts, 1, axis=0)
+        cur_in = (cur[:, axis] >= bound) if keep_ge else (cur[:, axis] <= bound)
+        prev_in = (
+            (prev[:, axis] >= bound) if keep_ge else (prev[:, axis] <= bound)
+        )
+        out = []
+        for i in range(len(cur)):
+            if cur_in[i]:
+                if not prev_in[i]:
+                    out.append(_isect(prev[i], cur[i], axis, bound))
+                out.append(cur[i])
+            elif prev_in[i]:
+                out.append(_isect(prev[i], cur[i], axis, bound))
+        return np.array(out) if out else np.zeros((0, 2))
+
+    poly = clip_edge(poly, 0, minx, True)
+    poly = clip_edge(poly, 0, maxx, False)
+    poly = clip_edge(poly, 1, miny, True)
+    poly = clip_edge(poly, 1, maxy, False)
+    if len(poly) >= 3:
+        return np.vstack([poly, poly[:1]])
+    return np.zeros((0, 2))
+
+
+def _isect(p: np.ndarray, q: np.ndarray, axis: int, bound: float) -> np.ndarray:
+    t = (bound - p[axis]) / (q[axis] - p[axis])
+    return p + t * (q - p)
+
+
+def point_segment_dist(px: np.ndarray, py: np.ndarray,
+                       seg: np.ndarray) -> np.ndarray:
+    """Min distance from points to a polyline (vectorized over both)."""
+    p = np.stack([px, py], axis=1)[:, None, :]   # (P,1,2)
+    a = seg[:-1][None, :, :]                      # (1,S,2)
+    b = seg[1:][None, :, :]
+    ab = b - a
+    L2 = (ab * ab).sum(axis=2)
+    t = ((p - a) * ab).sum(axis=2) / np.where(L2 == 0.0, 1.0, L2)
+    t = np.clip(t, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    d2 = ((p - proj) ** 2).sum(axis=2)
+    return np.sqrt(d2.min(axis=1))

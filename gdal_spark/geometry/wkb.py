@@ -1,0 +1,178 @@
+"""WKB codec over packed coordinate arrays — pure numpy, no GEOS.
+
+WKB is the engine's geometry interchange format, as it is the
+reference's Arrow interchange format (geometry as WKB binary column,
+ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp) and its driver-level codec
+(OGRGeometry::importFromWkb ogr/ogrgeometry.cpp:1501, exportToWkb).
+
+Supported: 2-D Point, LineString, Polygon, MultiPoint,
+MultiLineString, MultiPolygon, GeometryCollection(v1: of the above),
+both byte orders on read, little-endian on write.  Curved types are
+out of scope v1 (linearize upstream), mirroring most OGR drivers.
+
+The in-memory representation is *packed coordinate arrays* (the
+north-star layout): a geometry is
+
+    rings: list[np.ndarray (n_i, 2) float64]
+
+for polygons (outer ring first per part, holes follow), or a single
+(n, 2) array for points/linestrings.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+POINT = 1
+LINESTRING = 2
+POLYGON = 3
+MULTIPOINT = 4
+MULTILINESTRING = 5
+MULTIPOLYGON = 6
+GEOMETRYCOLLECTION = 7
+
+_NAME = {
+    POINT: "POINT", LINESTRING: "LINESTRING", POLYGON: "POLYGON",
+    MULTIPOINT: "MULTIPOINT", MULTILINESTRING: "MULTILINESTRING",
+    MULTIPOLYGON: "MULTIPOLYGON",
+}
+
+
+class Geom:
+    """Parsed geometry: ``kind`` (base WKB code) + parts.
+
+    * POINT: parts = [(1,2) array]
+    * LINESTRING: parts = [(n,2) array]
+    * POLYGON: parts = [rings...] and ``part_offsets`` = [0, n_rings]
+    * MULTI*: flattened parts with ``part_offsets`` delimiting members
+    """
+
+    __slots__ = ("kind", "parts", "part_offsets")
+
+    def __init__(self, kind: int, parts: list[np.ndarray],
+                 part_offsets: list[int] | None = None):
+        self.kind = kind
+        self.parts = parts
+        self.part_offsets = part_offsets or [0, len(parts)]
+
+    def rings(self) -> list[np.ndarray]:
+        """All rings (polygon kinds) or coordinate arrays."""
+        return self.parts
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        allc = np.vstack(self.parts) if self.parts else np.zeros((0, 2))
+        if len(allc) == 0:
+            return (np.inf, np.inf, -np.inf, -np.inf)
+        return (
+            float(allc[:, 0].min()), float(allc[:, 1].min()),
+            float(allc[:, 0].max()), float(allc[:, 1].max()),
+        )
+
+
+def parse_wkb(buf: bytes) -> Geom:
+    geom, _ = _parse(memoryview(buf), 0)
+    return geom
+
+
+def _parse(mv: memoryview, off: int) -> tuple[Geom, int]:
+    bo = "<" if mv[off] == 1 else ">"
+    (raw_type,) = struct.unpack_from(bo + "I", mv, off + 1)
+    off += 5
+    # Strip Z/M flags in both ISO (1000/2000/3000 offsets) and
+    # EWKB (high-bit) conventions; we read only XY.
+    has_z = bool(raw_type & 0x80000000) or (raw_type % 10000) // 1000 in (1, 3)
+    has_m = bool(raw_type & 0x40000000) or (raw_type % 10000) // 1000 in (2, 3)
+    base = (raw_type & 0x0FFFFFFF) % 1000
+    dim = 2 + int(has_z) + int(has_m)
+
+    def read_coords(n: int, o: int) -> tuple[np.ndarray, int]:
+        arr = np.frombuffer(mv, dtype=bo + "f8", count=n * dim, offset=o)
+        o += n * dim * 8
+        c = arr.reshape(n, dim)[:, :2]
+        return np.ascontiguousarray(c.astype(np.float64)), o
+
+    if base == POINT:
+        c, off = read_coords(1, off)
+        return Geom(POINT, [c]), off
+    if base == LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        c, off = read_coords(n, off + 4)
+        return Geom(LINESTRING, [c]), off
+    if base == POLYGON:
+        (nr,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", mv, off)
+            c, off = read_coords(n, off + 4)
+            rings.append(c)
+        return Geom(POLYGON, rings), off
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        (ng,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        parts: list[np.ndarray] = []
+        offsets = [0]
+        for _ in range(ng):
+            sub, off = _parse(mv, off)
+            parts.extend(sub.parts)
+            offsets.append(len(parts))
+        return Geom(base, parts, offsets), off
+    raise ValueError(f"unsupported WKB type {raw_type}")
+
+
+def point_wkb(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, POINT, x, y)
+
+
+def linestring_wkb(coords) -> bytes:
+    c = np.asarray(coords, dtype=np.float64)
+    return struct.pack("<BII", 1, LINESTRING, len(c)) + c.tobytes()
+
+
+def polygon_wkb(rings) -> bytes:
+    out = [struct.pack("<BII", 1, POLYGON, len(rings))]
+    for r in rings:
+        c = np.asarray(r, dtype=np.float64)
+        if len(c) and not np.array_equal(c[0], c[-1]):
+            c = np.vstack([c, c[:1]])
+        out.append(struct.pack("<I", len(c)))
+        out.append(c.tobytes())
+    return b"".join(out)
+
+
+def multipolygon_wkb(polys) -> bytes:
+    out = [struct.pack("<BII", 1, MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(polygon_wkb(rings))
+    return b"".join(out)
+
+
+def to_wkt(geom: Geom, ndigits: int = 8) -> str:
+    """WKT export (OGRGeometry::exportToWkt ogrgeometry.cpp:1968)."""
+
+    def fmt(c):
+        return ",".join(
+            f"{round(x, ndigits):.{ndigits}f}".rstrip("0").rstrip(".")
+            + " "
+            + f"{round(y, ndigits):.{ndigits}f}".rstrip("0").rstrip(".")
+            for x, y in c
+        )
+
+    k = geom.kind
+    if k == POINT:
+        return f"POINT ({fmt(geom.parts[0])})"
+    if k == LINESTRING:
+        return f"LINESTRING ({fmt(geom.parts[0])})"
+    if k == POLYGON:
+        inner = ",".join(f"({fmt(r)})" for r in geom.parts)
+        return f"POLYGON ({inner})"
+    if k == MULTIPOLYGON:
+        po = geom.part_offsets
+        outs = []
+        for i in range(len(po) - 1):
+            rings = geom.parts[po[i]:po[i + 1]]
+            outs.append("(" + ",".join(f"({fmt(r)})" for r in rings) + ")")
+        return f"MULTIPOLYGON ({','.join(outs)})"
+    raise ValueError(f"to_wkt: unsupported kind {k}")

@@ -1,0 +1,147 @@
+"""Geometry kernels: WKB codec, ray-cast PIP (ogrlinearring.cpp
+semantics), measures, Hilbert parity."""
+
+import numpy as np
+
+from gdal_spark.functions.hilbert import hilbert_code_u16
+from gdal_spark.geometry.ops import (
+    clip_ring_rect, convex_hull, douglas_peucker,
+)
+from gdal_spark.geometry.packed import geom_area, geom_centroid
+from gdal_spark.geometry.pip import points_in_rings
+from gdal_spark.geometry.wkb import (
+    multipolygon_wkb, parse_wkb, point_wkb, polygon_wkb, to_wkt,
+)
+
+SQUARE = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=float)
+HOLE = np.array([(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)], dtype=float)
+
+
+def test_wkb_roundtrip_polygon():
+    wkb = polygon_wkb([SQUARE, HOLE])
+    g = parse_wkb(wkb)
+    assert g.kind == 3
+    assert len(g.parts) == 2
+    np.testing.assert_allclose(g.parts[0], SQUARE)
+    assert to_wkt(g).startswith("POLYGON ((0 0,4 0,4 4,0 4,0 0),(1 1,")
+
+
+def test_wkb_point_and_multipolygon():
+    g = parse_wkb(point_wkb(2.5, -3.5))
+    np.testing.assert_allclose(g.parts[0], [[2.5, -3.5]])
+    mp = parse_wkb(multipolygon_wkb([[SQUARE], [HOLE]]))
+    assert mp.kind == 6
+    assert mp.part_offsets == [0, 1, 2]
+
+
+def test_wkb_big_endian():
+    import struct
+
+    # hand-build a big-endian point
+    buf = struct.pack(">BIdd", 0, 1, 7.0, 8.0)
+    g = parse_wkb(buf)
+    np.testing.assert_allclose(g.parts[0], [[7.0, 8.0]])
+
+
+def test_pip_square_interior_exterior():
+    px = np.array([2.0, 5.0, -1.0, 2.0])
+    py = np.array([2.0, 2.0, 2.0, 4.5])
+    inside = points_in_rings(px, py, [SQUARE])
+    assert inside.tolist() == [True, False, False, False]
+
+
+def test_pip_hole_excluded():
+    px = np.array([2.0, 0.5, 3.5])
+    py = np.array([2.0, 0.5, 3.5])
+    inside = points_in_rings(px, py, [SQUARE, HOLE])
+    # center is in the hole -> excluded; corners region included
+    assert inside.tolist() == [False, True, True]
+
+
+def test_pip_concave():
+    # arrow shape: notch at the left
+    ring = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (0, 0)],
+                    dtype=float)
+    px = np.array([1.0, 3.0])
+    py = np.array([2.0, 2.0])
+    inside = points_in_rings(px, py, [ring])
+    assert inside.tolist() == [False, True]
+
+
+def test_pip_matches_matplotlib_free_reference():
+    """Randomized cross-check against an independent even-odd
+    implementation (different formulation of the same rule)."""
+    rng = np.random.RandomState(42)
+    ring = np.array([(0, 0), (10, 0), (10, 10), (5, 5), (0, 10), (0, 0)],
+                    dtype=float)
+    px = rng.uniform(-1, 11, 500)
+    py = rng.uniform(-1, 11, 500)
+    got = points_in_rings(px, py, [ring])
+
+    def ref_pip(x, y):
+        inside = False
+        j = len(ring) - 2
+        for i in range(len(ring) - 1):
+            xi, yi = ring[i]
+            xj, yj = ring[j]
+            if ((yi > y) != (yj > y)) and (
+                x < (xj - xi) * (y - yi) / (yj - yi) + xi
+            ):
+                inside = not inside
+            j = i
+        return inside
+
+    want = np.array([ref_pip(x, y) for x, y in zip(px, py)])
+    assert (got == want).all()
+
+
+def test_area_centroid():
+    g = parse_wkb(polygon_wkb([SQUARE, HOLE]))
+    assert geom_area(g) == 16.0 - 4.0
+    cx, cy = geom_centroid(g)
+    assert abs(cx - 2.0) < 1e-12 and abs(cy - 2.0) < 1e-12
+
+
+def test_convex_hull_and_dp():
+    pts = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (1, 1)],
+                   dtype=float)
+    hull = convex_hull(pts)
+    assert len(hull) == 5  # 4 corners + closure
+    line = np.array([(0, 0), (1, 0.01), (2, 0), (3, 1)], dtype=float)
+    simp = douglas_peucker(line, 0.1)
+    np.testing.assert_allclose(simp, [(0, 0), (2, 0), (3, 1)])
+
+
+def test_clip_ring_rect():
+    clipped = clip_ring_rect(SQUARE, 1, 1, 10, 10)
+    assert geom_area(parse_wkb(polygon_wkb([clipped]))) == 9.0
+    assert len(clip_ring_rect(SQUARE, 10, 10, 20, 20)) == 0
+
+
+def test_hilbert_matches_classic_algorithm():
+    """GDALHilbertCode (alg/hilbert.cpp) vs the textbook rotate-flip
+    Hilbert d-index on the 2^16 lattice."""
+
+    def xy2d(order, x, y):
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = np.random.RandomState(7)
+    xs = rng.randint(0, 1 << 16, 64).astype(np.uint32)
+    ys = rng.randint(0, 1 << 16, 64).astype(np.uint32)
+    got = hilbert_code_u16(xs, ys)
+    want = np.array([xy2d(1 << 16, int(x), int(y)) for x, y in zip(xs, ys)],
+                    dtype=np.uint32)
+    assert (got == want).all()

@@ -1,0 +1,47 @@
+"""kNN golden suite (FIXTURES.md #8): k-ring expansion == brute-force
+k-smallest haversine, k in {1, 5}."""
+
+import numpy as np
+import pandas as pd
+
+from gdal_spark.operators.knn import knn_bruteforce, knn_cells
+from gdal_spark.sources.pages import pages_df
+
+RNG = np.random.RandomState(123)
+TARGETS = pd.DataFrame({
+    "target_id": np.arange(100, dtype=np.int64),
+    "t_lon": RNG.uniform(-179, 179, 100),
+    "t_lat": RNG.uniform(-80, 80, 100),
+})
+
+
+def test_knn_k1_matches_bruteforce(spark):
+    pts = pages_df(spark, 1000, partitions=4).select("i", "lon", "lat")
+    got = (
+        knn_cells(pts, TARGETS, k=1, res=4)
+        .select("i", "target_id").toPandas()
+        .sort_values("i").reset_index(drop=True)
+    )
+    want = (
+        knn_bruteforce(pts, TARGETS, k=1)
+        .select("i", "target_id").toPandas()
+        .sort_values("i").reset_index(drop=True)
+    )
+    assert len(got) == 1000
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_k5_matches_bruteforce(spark):
+    pts = pages_df(spark, 300, partitions=4).select("i", "lon", "lat")
+    got = (
+        knn_cells(pts, TARGETS, k=5, res=4)
+        .select("i", "rank", "target_id").toPandas()
+        .sort_values(["i", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        knn_bruteforce(pts, TARGETS, k=5)
+        .select("i", "rank", "target_id").toPandas()
+        .sort_values(["i", "rank"]).reset_index(drop=True)
+    )
+    assert len(want) == 1500
+    pd.testing.assert_frame_equal(got, want)
