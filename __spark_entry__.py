@@ -1,38 +1,678 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the gdal_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (two-stage spatial join of
+LCG-geocoded points against the polygon fixture layer, then a
+per-polygon rollup) at sf0.001.
+
+``queries()`` / ``oracle_sql()`` pair every implemented operator from
+SURVEY.md §2 with a DuckDB-checkable ANSI-SQL oracle.  Spatial
+queries derive deterministic (lon, lat) from integer keys with an LCG
+whose SQL fragment is shared verbatim between the Spark plan and the
+oracle (gdal_spark.functions.geo), so both engines compute the same
+points; geometry predicates are then exercised through the *real*
+engine kernels (cell prefilter + ray-cast PIP, expanding-ring kNN)
+while the oracle states the same predicate arithmetically.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from gdal_spark.functions import geo, text as tf
+from gdal_spark.session import ship_package
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- spatial fixtures shared by queries and oracles -------------------
+
+# axis rectangles (lon0, lat0, lon1, lat1) — envelope fast-path cases
+RECTS = [
+    (-80.0, 25.0, -60.0, 50.0),
+    (-10.0, 35.0, 30.0, 60.0),
+    (100.0, -10.0, 150.0, 40.0),
+]
+# CCW triangles — exact ray-cast cases
+TRIS = [
+    ((-60.0, -30.0), (-40.0, -30.0), (-50.0, -10.0)),
+    ((10.0, 40.0), (40.0, 42.0), (25.0, 60.0)),
+]
+CITIES = [
+    (-74.006, 40.7128), (139.6917, 35.6895), (-0.1276, 51.5072),
+    (2.3522, 48.8566), (116.4074, 39.9042), (-118.2437, 34.0522),
+    (77.209, 28.6139), (-46.6333, -23.5505), (31.2357, 30.0444),
+    (151.2093, -33.8688), (37.6173, 55.7558), (-99.1332, 19.4326),
+]
+
+
+def _rect_polys_pdf() -> pd.DataFrame:
+    from gdal_spark.geometry.wkb import polygon_wkb
+
+    rows = []
+    for fid, (x0, y0, x1, y1) in enumerate(RECTS):
+        ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])
+        rows.append({"fid": fid, "geometry": polygon_wkb([ring])})
+    return pd.DataFrame(rows)
+
+
+def _tri_polys_pdf() -> pd.DataFrame:
+    from gdal_spark.geometry.wkb import polygon_wkb
+
+    rows = []
+    for fid, t in enumerate(TRIS):
+        ring = np.array(list(t) + [t[0]])
+        rows.append({"fid": fid, "geometry": polygon_wkb([ring])})
+    return pd.DataFrame(rows)
+
+
+def _points_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(geo.lon_from_key_sql("o_orderkey")).alias("lon"),
+        F.expr(geo.lat_from_key_sql("o_orderkey")).alias("lat"),
+    )
+
+
+_POINTS_SQL = (
+    "SELECT o_orderkey AS k, {lon} AS lon, {lat} AS lat FROM orders"
+).format(lon=geo.lon_from_key_sql("o_orderkey"),
+         lat=geo.lat_from_key_sql("o_orderkey"))
+
+
+# --- query implementations --------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_revenue_join(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+def q03_distinct_mode(spark, sf_dir):
+    """OGR SQL DISTINCT-list mode (ogr/ogr_swq.h:322)."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderpriority").distinct()
+        .orderBy("o_orderpriority")
+    )
+
+
+def q04_summary_mode(spark, sf_dir):
+    """OGR SQL summary-record mode (ogr/ogr_swq.h:325-334):
+    MIN MAX COUNT SUM AVG STDDEV_POP STDDEV_SAMP + COUNT(DISTINCT)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("l_quantity").alias("count_qty"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("stddev_pop_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_samp_qty"),
+        F.countDistinct("l_returnflag").alias("count_distinct_flag"),
+    )
+
+
+def q05_like_filter(spark, sf_dir):
+    """LIKE semantics (case-sensitive since GDAL 3.1, swq_test_like
+    ogr/ogr_swq.h:302)."""
+    p = _load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%red%") | F.col("p_type").like("S%"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+def q06_union_all(spark, sf_dir):
+    """UNION ALL concatenation (OGRUnionLayer,
+    gcore/gdaldataset.cpp:7577-7602)."""
+    r = _load(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    n = _load(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    return r.unionByName(n).groupBy("name").agg(
+        F.count("*").alias("n")
+    ).orderBy("name")
+
+
+def q07_orderby_limit_offset(spark, sf_dir):
+    """ORDER BY multi-key + LIMIT/OFFSET (ogr/ogr_swq.h:480-483)."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q08_window_latest_event(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+def q09_theta_join(spark, sf_dir):
+    """Theta join (OGR evaluates via per-row filters,
+    ogr_gensql.cpp:1330; Catalyst uses a real join)."""
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    return (
+        li.join(p, (li.l_partkey == p.p_partkey)
+                & (li.l_quantity > p.p_size))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .orderBy("p_brand")
+    )
+
+
+def q10_event_sessions(spark, sf_dir):
+    """Event-time tumbling window aggregation (streaming-style agg
+    run in batch; Structured Streaming shares the kernel)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+def q11_tile_assign(spark, sf_dir):
+    """z/x/y tile assignment at z=8 (GetTileIndices math,
+    apps/gdalalg_raster_tile.cpp:457-480) + per-tile counts."""
+    pts = _points_from_orders(spark, sf_dir)
+    z = 8
+    return (
+        pts.withColumn("x", geo.merc_x("lon"))
+        .withColumn("y", geo.merc_y("lat"))
+        .select(
+            geo.tile_x("x", z).alias("tile_x"),
+            geo.tile_y("y", z).alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q12_cell_count(spark, sf_dir):
+    """Quadtree cell ids at res 6 (the H3/S2 stand-in) + counts."""
+    pts = _points_from_orders(spark, sf_dir)
+    return (
+        pts.withColumn("cell", geo.cell_id("lon", "lat", 6))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+    )
+
+
+def q13_pip_rect(spark, sf_dir):
+    """Rectangle containment through the real two-stage spatial join
+    (broadcast cell prefilter + ray-cast PIP)."""
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_points_in_polygons,
+    )
+
+    pts = _points_from_orders(spark, sf_dir)
+    joined = spatial_join_points_in_polygons(
+        spark, pts, _rect_polys_pdf(), res=6)
+    return _count_all_fids(spark, joined, len(RECTS))
+
+
+def q14_pip_triangle(spark, sf_dir):
+    """Triangle containment through the exact PIP kernel."""
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_points_in_polygons,
+    )
+
+    pts = _points_from_orders(spark, sf_dir)
+    joined = spatial_join_points_in_polygons(
+        spark, pts, _tri_polys_pdf(), res=6)
+    return _count_all_fids(spark, joined, len(TRIS))
+
+
+def _count_all_fids(spark, joined: DataFrame, n_fids: int) -> DataFrame:
+    """Per-fid match counts including zero-match fids (the oracle's
+    per-polygon UNION ALL always emits one row per polygon)."""
+    fids = spark.createDataFrame(
+        pd.DataFrame({"fid": np.arange(n_fids, dtype=np.int64)}))
+    return (
+        joined.groupBy("fid").agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(fids), "fid", "right")
+        .select("fid", F.coalesce("cnt", F.lit(0)).alias("n"))
+        .orderBy("fid")
+    )
+
+
+def q15_knn_city(spark, sf_dir):
+    """k=1 kNN via expanding-ring search; rollup per nearest city."""
+    from gdal_spark.operators.knn import knn_cells
+
+    pts = _points_from_orders(spark, sf_dir)
+    targets = pd.DataFrame({
+        "target_id": np.arange(len(CITIES), dtype=np.int64),
+        "t_lon": [c[0] for c in CITIES],
+        "t_lat": [c[1] for c in CITIES],
+    })
+    nn = knn_cells(pts, targets, k=1, res=4, point_key="k")
+    return nn.groupBy("target_id").agg(F.count("*").alias("n")) \
+        .orderBy("target_id")
+
+
+def q16_token_stats(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tokens", tf.token_count("text"))
+        .withColumn("quality", tf.quality_score("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("sum_tokens"),
+            F.round(F.avg("tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q17_exact_dedup(spark, sf_dir):
+    """Exact dedup counts per source (md5 fingerprint groupBy)."""
+    from gdal_spark.operators.dedup import normalized_fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", normalized_fingerprint("text"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+def q18_ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-5 for queries vec_id in {0,1,2} (numpy GEMM
+    kernel path verified against the JVM-side expression path)."""
+    from gdal_spark.operators.similarity import cosine_topk_numpy
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    queries = pd.DataFrame({
+        "query_id": qpdf["vec_id"].astype(np.int64),
+        "query_vec": [list(map(float, v)) for v in qpdf["embedding"]],
+    })
+    out = cosine_topk_numpy(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id",
+        F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q19_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup dedup (rows-only check: signatures are
+    not SQL-expressible)."""
+    from gdal_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.6).select(
+        "doc_id", "source").orderBy("doc_id")
+
+
+def q20_simhash(spark, sf_dir):
+    """SimHash signatures (rows-only check)."""
+    from gdal_spark.operators.dedup import simhash_signatures
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_join": q02_revenue_join,
+    "q03_distinct_mode": q03_distinct_mode,
+    "q04_summary_mode": q04_summary_mode,
+    "q05_like_filter": q05_like_filter,
+    "q06_union_all": q06_union_all,
+    "q07_orderby_limit_offset": q07_orderby_limit_offset,
+    "q08_window_latest_event": q08_window_latest_event,
+    "q09_theta_join": q09_theta_join,
+    "q10_event_sessions": q10_event_sessions,
+    "q11_tile_assign": q11_tile_assign,
+    "q12_cell_count": q12_cell_count,
+    "q13_pip_rect": q13_pip_rect,
+    "q14_pip_triangle": q14_pip_triangle,
+    "q15_knn_city": q15_knn_city,
+    "q16_token_stats": q16_token_stats,
+    "q17_exact_dedup": q17_exact_dedup,
+    "q18_ann_cosine_topk": q18_ann_cosine_topk,
+    "q19_minhash_lsh_dedup": q19_minhash_lsh_dedup,
+    "q20_simhash": q20_simhash,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geocoded points -> two-stage spatial join against the
+    polygon fixture -> per-polygon counts (sf0.001)."""
+    ship_package(spark)
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_points_in_polygons,
+    )
+    from gdal_spark.sources.polygons import poly_fixture_pdf
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points_from_orders(spark, sf_dir)
+    polys = poly_fixture_pdf()
+    joined = spatial_join_points_in_polygons(spark, pts, polys, res=6)
+    return (
+        joined.groupBy("fid").agg(F.count("*").alias("n_points"))
+        .join(
+            F.broadcast(
+                spark.createDataFrame(polys[["fid", "eas_id", "prfedea"]])
+            ),
+            "fid", "right",
+        )
+        .select(
+            "fid", "eas_id", "prfedea",
+            F.coalesce("n_points", F.lit(0)).alias("n_points"),
+        )
+        .orderBy("fid")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ship_package(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+        return inner
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
+
+
+# --- oracles -----------------------------------------------------------
+
+def _rect_oracle() -> str:
+    parts = []
+    for fid, (x0, y0, x1, y1) in enumerate(RECTS):
+        parts.append(
+            f"SELECT {fid} AS fid, COUNT(*) AS n FROM pts "
+            f"WHERE lon > {x0} AND lon < {x1} "
+            f"AND lat > {y0} AND lat < {y1}"
+        )
+    return (
+        f"WITH pts AS ({_POINTS_SQL}) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY fid"
+    )
+
+
+def _tri_oracle() -> str:
+    parts = []
+    for fid, ((x1, y1), (x2, y2), (x3, y3)) in enumerate(TRIS):
+        # CCW triangle: inside iff all edge cross products > 0.
+        # Operands parenthesized: "--60.0" would start a SQL comment.
+        c1 = (f"((({x2})-({x1}))*(lat-({y1})) -"
+              f" (({y2})-({y1}))*(lon-({x1}))) > 0")
+        c2 = (f"((({x3})-({x2}))*(lat-({y2})) -"
+              f" (({y3})-({y2}))*(lon-({x2}))) > 0")
+        c3 = (f"((({x1})-({x3}))*(lat-({y3})) -"
+              f" (({y1})-({y3}))*(lon-({x3}))) > 0")
+        parts.append(
+            f"SELECT {fid} AS fid, COUNT(*) AS n FROM pts "
+            f"WHERE {c1} AND {c2} AND {c3}"
+        )
+    return (
+        f"WITH pts AS ({_POINTS_SQL}) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY fid"
+    )
+
+
+def _knn_oracle() -> str:
+    cities_values = ", ".join(
+        f"({i}, CAST({lon} AS DOUBLE), CAST({lat} AS DOUBLE))"
+        for i, (lon, lat) in enumerate(CITIES)
+    )
+    hav = geo.haversine_sql("lon", "lat", "t_lon", "t_lat")
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        cities(target_id, t_lon, t_lat) AS (VALUES {cities_values}),
+        scored AS (
+            SELECT k, target_id, {hav} AS dist_m,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY k ORDER BY {hav}, target_id
+                   ) AS rn
+            FROM pts CROSS JOIN cities
+        )
+        SELECT target_id, COUNT(*) AS n FROM scored WHERE rn = 1
+        GROUP BY target_id ORDER BY target_id
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mx = geo.merc_x_sql("lon")
+    my = geo.merc_y_sql("lat")
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_revenue_join": """
+            SELECT c_custkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY c_custkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+        "q03_distinct_mode": """
+            SELECT DISTINCT o_orderpriority FROM orders
+            ORDER BY o_orderpriority
+        """,
+        "q04_summary_mode": """
+            SELECT MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   COUNT(l_quantity) AS count_qty,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(STDDEV_POP(l_quantity), 6) AS stddev_pop_qty,
+                   ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_samp_qty,
+                   COUNT(DISTINCT l_returnflag) AS count_distinct_flag
+            FROM lineitem
+        """,
+        "q05_like_filter": """
+            SELECT p_brand, COUNT(*) AS n FROM part
+            WHERE p_name LIKE '%red%' OR p_type LIKE 'S%'
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q06_union_all": """
+            SELECT name, COUNT(*) AS n FROM (
+                SELECT r_name AS name FROM region
+                UNION ALL
+                SELECT n_name AS name FROM nation
+            ) t GROUP BY name ORDER BY name
+        """,
+        "q07_orderby_limit_offset": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20 OFFSET 10
+        """,
+        "q08_window_latest_event": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id ASC
+                       ) AS rn
+                FROM events
+            ) t WHERE rn = 1 ORDER BY user_id
+        """,
+        "q09_theta_join": """
+            SELECT p_brand, COUNT(*) AS n,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN part
+              ON l_partkey = p_partkey AND l_quantity > p_size
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q10_event_sessions": """
+            SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q11_tile_assign": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {geo.tile_x_sql(mx, 8)} AS tile_x,
+                   {geo.tile_y_sql(my, 8)} AS tile_y,
+                   COUNT(*) AS n
+            FROM pts GROUP BY 1, 2
+        """,
+        "q12_cell_count": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {geo.cell_id_sql('lon', 'lat', 6)} AS cell,
+                   COUNT(*) AS n
+            FROM pts GROUP BY 1
+        """,
+        "q13_pip_rect": _rect_oracle(),
+        "q14_pip_triangle": _tri_oracle(),
+        "q15_knn_city": _knn_oracle(),
+        "q16_token_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM({_TOKENS_DUCK}) AS sum_tokens,
+                   ROUND(AVG({_TOKENS_DUCK}), 4) AS avg_tokens,
+                   ROUND(AVG({_QUALITY_DUCK}), 4) AS avg_quality
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q17_exact_dedup": """
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g')))
+                       AS n_unique
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "q18_ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS query_vec
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_dot_product(e.embedding, q.query_vec)
+                       / (sqrt(list_dot_product(e.embedding, e.embedding))
+                          * sqrt(list_dot_product(q.query_vec, q.query_vec)))
+                           AS cos_raw
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cos_raw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos_raw, 4) AS cosine,
+                   CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        # q19/q20: minhash/simhash signatures are not SQL-expressible
+        # -> driver records rows-only checks.
+    }
+
+
+# DuckDB-dialect fragments for token count / quality (regexp_replace
+# needs the 'g' flag in DuckDB; Spark replaces all matches by default)
+_TOKENS_DUCK = (
+    "(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE "
+    "LENGTH(regexp_replace(TRIM(text), '\\s+', ' ', 'g')) - "
+    "LENGTH(REPLACE(regexp_replace(TRIM(text), '\\s+', ' ', 'g'), ' ', ''))"
+    " + 1 END)"
+)
+_QUALITY_DUCK = (
+    "((CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
+    "CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+    " / LENGTH(text) END) * "
+    "LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 200.0))"
+)

@@ -64,17 +64,26 @@ HAVERSINE_SQL = (
     "POW(SIN(RADIANS(({lon2}) - ({lon1})) / 2.0), 2))))"
 )
 
-# Deterministic geocode of an integer key -> (lon, lat): two LCG
-# draws (classic glibc / VAX multipliers).  Pure int64 arithmetic,
-# identical in Spark SQL and DuckDB — the test-table stand-in for the
-# html geo-hint extraction in gdal_spark.sources.pages.
+# Deterministic geocode of an integer key -> (lon, lat): two hash
+# draws with large odd multipliers (Knuth 2654435761, xxhash prime
+# 2246822519) so the product wraps mod 2^31 even for small keys —
+# small multipliers leave lon/lat monotone in the key and clustered.
+# Pure int64 arithmetic, identical in Spark SQL and DuckDB — the
+# test-table stand-in for the html geo-hint extraction in
+# gdal_spark.sources.pages.  Safe to |key| < ~3.4e9 (no int64
+# overflow).
 LCG_M = 2147483648
+LON_MULT = 2654435761
+LON_ADD = 1013904223
+LAT_MULT = 2246822519
+LAT_ADD = 3266489917
 LON_FROM_KEY_SQL = (
-    "(CAST((({key}) * 1103515245 + 12345) % {m} AS DOUBLE) / {m}"
+    "(CAST((({key}) * 2654435761 + 1013904223) % {m} AS DOUBLE) / {m}"
     " * 360.0 - 180.0)"
 )
 LAT_FROM_KEY_SQL = (
-    "(CAST((({key}) * 69069 + 1) % {m} AS DOUBLE) / {m} * 170.0 - 85.0)"
+    "(CAST((({key}) * 2246822519 + 3266489917) % {m} AS DOUBLE) / {m}"
+    " * 170.0 - 85.0)"
 )
 
 

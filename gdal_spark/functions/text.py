@@ -28,42 +28,39 @@ LANG_MARKERS = {
 EN_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "it", "for", "on"]
 
 
-def token_count_sql(col: str) -> str:
-    """Whitespace token count; identical in Spark SQL and DuckDB."""
-    return (
-        f"(CASE WHEN LENGTH(TRIM({col})) = 0 THEN 0 ELSE "
-        f"LENGTH(REGEXP_REPLACE(TRIM({col}), '\\s+', ' ')) - "
-        f"LENGTH(REPLACE(REGEXP_REPLACE(TRIM({col}), '\\s+', ' '), ' ', ''))"
-        f" + 1 END)"
-    )
-
-
 def token_count(col: str) -> Column:
-    return F.expr(token_count_sql(col)).cast("long")
+    """Whitespace token count.
 
-
-def alpha_ratio_sql(col: str) -> str:
-    """Fraction of alphabetic chars — a quality-score component."""
-    return (
-        f"(CASE WHEN LENGTH({col}) = 0 THEN 0.0 ELSE "
-        f"CAST(LENGTH(REGEXP_REPLACE({col}, '[^a-zA-Z]', '')) AS DOUBLE)"
-        f" / LENGTH({col}) END)"
-    )
-
-
-def quality_score_sql(col: str) -> str:
-    """Composite quality in [0,1]: alpha ratio x length saturation.
-
-    length saturation = min(1, n_chars / 200).
+    Built with the Column API (NOT F.expr) because Spark SQL string
+    literals treat backslash as an escape — '\\s+' in SQL text parses
+    as 's+'.  The DuckDB oracle states the same count with
+    regexp_replace(..., 'g').
     """
-    return (
-        f"(({alpha_ratio_sql(col)}) * "
-        f"LEAST(1.0, CAST(LENGTH({col}) AS DOUBLE) / 200.0))"
+    c = F.trim(F.col(col))
+    collapsed = F.regexp_replace(c, "\\s+", " ")
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.length(collapsed)
+        - F.length(F.replace(collapsed, F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+
+
+def alpha_ratio(col: str) -> Column:
+    """Fraction of alphabetic chars — a quality-score component."""
+    c = F.col(col)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).cast("double")
+        / F.length(c)
     )
 
 
 def quality_score(col: str) -> Column:
-    return F.expr(quality_score_sql(col))
+    """Composite quality in [0,1]: alpha ratio x length saturation
+    (min(1, n_chars / 200))."""
+    c = F.col(col)
+    return alpha_ratio(col) * F.least(
+        F.lit(1.0), F.length(c).cast("double") / 200.0
+    )
 
 
 def lang_id(col: str) -> Column:

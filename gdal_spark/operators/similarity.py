@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_topk_bruteforce — exact top-k per query, JVM-side
+  (F.zip_with/F.aggregate dot products) — the baseline every ANN
+  variant is verified against, and the DuckDB-oracle-checkable path.
+* cosine_topk_numpy — exact top-k with a numpy GEMM kernel
+  (mapInPandas over the corpus, queries broadcast): the fast exact
+  path; one matmul per Arrow batch.
+* ann_lsh_topk — approximate: random-hyperplane LSH buckets
+  (SimHash-for-vectors), candidate union over bands, exact rerank.
+
+Scale: corpus is scanned once, never shuffled; queries broadcast.
+Top-k merge is a groupBy over (query_id) of per-partition top-k —
+partial aggregation keeps the shuffle tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StructField, StructType
+)
+
+
+def cosine_sim_col(a: str | F.Column, b: F.Column) -> F.Column:
+    """JVM-side cosine similarity of two array<float/double> columns."""
+    a = F.col(a) if isinstance(a, str) else a
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                            lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0).cast("double"),
+                            lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame, queries_pdf: pd.DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id: str = "query_id", q_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k: broadcast queries x corpus, JVM-side cosine."""
+    spark = corpus.sparkSession
+    q = F.broadcast(spark.createDataFrame(queries_pdf))
+    scored = corpus.crossJoin(q).withColumn(
+        "cosine",
+        cosine_sim_col(vec_col, F.col(q_vec).cast("array<double>")),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "cosine", "rank")
+    )
+
+
+def cosine_topk_numpy(
+    corpus: DataFrame, queries_pdf: pd.DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id: str = "query_id", q_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k with a GEMM per Arrow batch + tiny top-k shuffle."""
+    spark = corpus.sparkSession
+    qids = queries_pdf[q_id].to_numpy(dtype=np.int64)
+    qm = np.vstack(queries_pdf[q_vec].to_numpy()).astype(np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+    schema = StructType([
+        StructField(q_id, LongType()),
+        StructField(id_col, corpus.schema[id_col].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qm_ = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            cm = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(cm, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cm = cm / norms
+            sims = cm @ qm_.T  # (batch, Q)
+            # per-partition partial top-k per query
+            kk = min(k, len(b))
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows = {q_id: [], id_col: [], "cosine": []}
+            ids = b[id_col].to_numpy()
+            for qi in range(len(qids_)):
+                sel = part[:, qi]
+                rows[q_id].extend([qids_[qi]] * len(sel))
+                rows[id_col].extend(ids[sel])
+                rows["cosine"].extend(sims[sel, qi])
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), id_col)
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42
+                       ) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame, queries_pdf: pd.DataFrame, k: int = 5,
+    n_planes: int = 16, n_bands: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id: str = "query_id", q_vec: str = "query_vec",
+) -> DataFrame:
+    """ANN: random-hyperplane LSH bucket prefilter + exact rerank.
+
+    Scale path: corpus is bucketed once (a narrow derived column);
+    per-query candidates come from matching any of n_bands bucket
+    words, then exact cosine reranks.  Recall grows with bands.
+    """
+    spark = corpus.sparkSession
+    dim = len(queries_pdf[q_vec].iloc[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    width = n_planes // n_bands
+    bc = spark.sparkContext.broadcast(planes)
+
+    sig_schema = StructType([
+        StructField(id_col, corpus.schema[id_col].dataType),
+        StructField("band", IntegerType()),
+        StructField("bucket", LongType()),
+    ])
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            cm = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            bits = (cm @ pl.T) > 0  # (n, planes)
+            rows = {id_col: [], "band": [], "bucket": []}
+            ids = b[id_col].to_numpy()
+            for band in range(n_bands):
+                word = np.zeros(len(b), dtype=np.int64)
+                for j in range(width):
+                    word |= bits[:, band * width + j].astype(np.int64) << j
+                rows[id_col].extend(ids)
+                rows["band"].extend([band] * len(b))
+                rows["bucket"].extend(word)
+            yield pd.DataFrame(rows)
+
+    corpus_buckets = corpus.select(id_col, vec_col).mapInPandas(
+        bucketize, sig_schema)
+
+    qm = np.vstack(queries_pdf[q_vec].to_numpy()).astype(np.float64)
+    qbits = (qm @ planes.T) > 0
+    qrows = []
+    for i, qid in enumerate(queries_pdf[q_id]):
+        for band in range(n_bands):
+            word = 0
+            for j in range(width):
+                word |= int(qbits[i, band * width + j]) << j
+            qrows.append((int(qid), band, word))
+    qb = F.broadcast(spark.createDataFrame(
+        pd.DataFrame(qrows, columns=[q_id, "band", "bucket"])))
+
+    cand = (
+        corpus_buckets.join(qb, ["band", "bucket"])
+        .select(q_id, id_col).distinct()
+    )
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(spark.createDataFrame(
+            queries_pdf[[q_id, q_vec]])), q_id)
+        .withColumn(
+            "cosine",
+            cosine_sim_col(vec_col, F.col(q_vec).cast("array<double>")),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "cosine", "rank")
+    )

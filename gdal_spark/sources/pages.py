@@ -58,9 +58,9 @@ def coords_for_index(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     Column expressions in pages_df)."""
     i = np.asarray(i, dtype=np.int64)
     m = geo.LCG_M
-    h1 = (i * 1103515245 + 12345) % m
-    h2 = (i * 69069 + 1) % m
-    h3 = (i * 22695477 + 1) % m
+    h1 = (i * geo.LON_MULT + geo.LON_ADD) % m
+    h2 = (i * geo.LAT_MULT + geo.LAT_ADD) % m
+    h3 = (i * 3266489917 + 374761393) % m
     u1 = h1 / m
     u2 = h2 / m
     u3 = h3 / m
@@ -102,9 +102,9 @@ def pages_df(spark: SparkSession, n: int, partitions: int | None = None
     partitions = partitions or spark.sparkContext.defaultParallelism
     df = spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
     m = float(geo.LCG_M)
-    u1 = (_lcg("i", 1103515245, 12345) / F.lit(m))
-    u2 = (_lcg("i", 69069, 1) / F.lit(m))
-    u3 = (_lcg("i", 22695477, 1) / F.lit(m))
+    u1 = (_lcg("i", geo.LON_MULT, geo.LON_ADD) / F.lit(m))
+    u2 = (_lcg("i", geo.LAT_MULT, geo.LAT_ADD) / F.lit(m))
+    u3 = (_lcg("i", 3266489917, 374761393) / F.lit(m))
     cities_lon = F.array(*[F.lit(c[0]) for c in CITIES])
     cities_lat = F.array(*[F.lit(c[1]) for c in CITIES])
     rank = F.floor(F.lit(len(CITIES)) * u1 * u1).cast("int")

@@ -1,0 +1,129 @@
+"""Dedup + similarity over the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_candidates, minhash_lsh_dedup,
+    minhash_signatures, ngram_jaccard_pairs, simhash_candidates,
+    simhash_signatures,
+)
+from gdal_spark.operators.similarity import (
+    ann_lsh_topk, cosine_topk_bruteforce, cosine_topk_numpy,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_keeps_min_key(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    out = exact_dedup(df).toPandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3]
+
+
+def test_minhash_detects_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("quick", "swift")
+    far = "completely different content about spark engines " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(df, num_hashes=64)
+    cand = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert (1, 4) in pairs  # identical
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup
+    deduped = minhash_lsh_dedup(df, threshold=0.5)
+    kept = sorted(r.doc_id for r in deduped.select("doc_id").collect())
+    assert 3 in kept and 1 in kept and 4 not in kept
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
+    out = {(r.a, r.b): r.jaccard
+           for r in ngram_jaccard_pairs(df, pairs, n=3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "word" + " tokens repeated many times for stability " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "unrelated " * 30)],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham12 < ham13
+    # with 8 bands any pair at hamming < 8 shares a band (pigeonhole)
+    cand = simhash_candidates(simhash_signatures(df), n_bands=8)
+    if ham12 < 8:
+        assert (1, 2) in {(r.a, r.b) for r in cand.collect()}
+    else:  # signature drifted more than expected: candidates may miss
+        assert ham12 < ham13
+
+
+def test_dedup_runs_on_documents_table(docs):
+    n = docs.count()
+    kept = exact_dedup(docs).count()
+    assert 0 < kept <= n
+
+
+def test_cosine_topk_numpy_matches_bruteforce(spark, emb):
+    q = emb.limit(3).toPandas()
+    queries = pd.DataFrame({
+        "query_id": np.arange(3, dtype=np.int64),
+        "query_vec": [list(map(float, v)) for v in q["embedding"]],
+    })
+    a = (
+        cosine_topk_bruteforce(emb, queries, k=5)
+        .select("query_id", "vec_id", "rank").toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        cosine_topk_numpy(emb, queries, k=5)
+        .select("query_id", "vec_id", "rank").toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # self-similarity: each query's top-1 is itself
+    top1 = a[a["rank"] == 1]
+    assert top1["vec_id"].tolist() == q["vec_id"].tolist()
+
+
+def test_ann_lsh_recall(spark, emb):
+    q = emb.limit(5).toPandas()
+    queries = pd.DataFrame({
+        "query_id": np.arange(5, dtype=np.int64),
+        "query_vec": [list(map(float, v)) for v in q["embedding"]],
+    })
+    exact = cosine_topk_numpy(emb, queries, k=5).toPandas()
+    approx = ann_lsh_topk(emb, queries, k=5, n_planes=16, n_bands=8).toPandas()
+    # recall@5 over the 5 queries
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.5
+    # top-1 self-match must survive LSH (identical vector, same buckets)
+    top1 = approx[approx["rank"] == 1].sort_values("query_id")
+    assert top1["vec_id"].tolist() == q["vec_id"].tolist()
