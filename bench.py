@@ -1,0 +1,139 @@
+"""gdal_spark benchmark — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pages_per_sec": ..., "tiles_per_sec": ...}
+
+The page counts scale with the relational sf so the bench measures
+the same relative workload at every scale factor.
+
+Run with BENCH_PARALLELISM=8/32 to override core count (used by
+tools/bench_scaling.py for the N->4N scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("BENCH_PARALLELISM",
+                      os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from gdal_spark.session import get_spark
+    from gdal_spark.sources.pages import CITIES, pages_coords_df, pages_df
+    from gdal_spark.sources.polygons import poly_fixture_pdf
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_points_in_polygons,
+    )
+    from gdal_spark.operators.knn import knn_cells
+    from gdal_spark.operators.tiling import build_pyramid
+    from gdal_spark.operators.dedup import minhash_lsh_dedup
+    from gdal_spark.operators.similarity import cosine_topk_numpy
+    import __spark_entry__ as entrymod
+
+    # scale page counts with sf (sf0.1 -> 2M join pages)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    n_join = int(20_000_000 * sf)
+    n_tile = int(10_000_000 * sf)
+    n_knn = int(5_000_000 * sf)
+    n_geo = int(2_000_000 * sf)
+
+    spark = get_spark("gdal_spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(int(CPUS), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        return out, dt
+
+    # 1. spatial join: pages x polygon fixture -> count matches
+    polys = poly_fixture_pdf()
+    pts = pages_coords_df(spark, n_join)
+    (_n, dt) = timed(
+        "spatial_join",
+        lambda: spatial_join_points_in_polygons(
+            spark, pts, polys, res=7).count(),
+    )
+    extras["pages_per_sec"] = round(n_join / dt, 1)
+
+    # 2. tiling: density pyramid z8 -> z4
+    pts_t = pages_coords_df(spark, n_tile)
+    (n_tiles, dt) = timed(
+        "tiling_pyramid",
+        lambda: build_pyramid(pts_t, base_zoom=8, min_zoom=4).count(),
+    )
+    extras["tiles_per_sec"] = round(n_tiles / dt, 1)
+    extras["tile_pages_per_sec"] = round(n_tile / dt, 1)
+
+    # 3. kNN k=1 against the city set
+    targets = pd.DataFrame({
+        "target_id": np.arange(len(CITIES), dtype=np.int64),
+        "t_lon": [c[0] for c in CITIES],
+        "t_lat": [c[1] for c in CITIES],
+    })
+    pts_k = pages_coords_df(spark, n_knn)
+    timed("knn_city",
+          lambda: knn_cells(pts_k, targets, k=1, res=4).count())
+
+    # 4. geocode extraction (html path, Arrow UDF)
+    from gdal_spark.sources.pages import with_extracted_geo
+
+    pg = pages_df(spark, n_geo)
+    timed("geocode_extract",
+          lambda: with_extracted_geo(pg).select("geo_lat").filter(
+              "geo_lat IS NOT NULL").count())
+
+    # 5-7. relational headline queries at SF_DIR
+    qs = entrymod.queries()
+    for name in ("q01_pricing_summary", "q09_theta_join",
+                 "q11_tile_assign", "q15_knn_city"):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    # 8. minhash dedup over documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())
+
+    # 9. ANN cosine top-k
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qpdf = emb.filter(F.col("vec_id") < 8).toPandas()
+    queries = pd.DataFrame({
+        "query_id": qpdf["vec_id"].astype(np.int64),
+        "query_vec": [list(map(float, v)) for v in qpdf["embedding"]],
+    })
+    timed("ann_cosine_topk",
+          lambda: cosine_topk_numpy(emb, queries, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "gdal_spark headline suite (spatial join + tiling + "
+                  "kNN + geocode + relational + dedup + ANN)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "parallelism": int(CPUS),
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -200,7 +200,10 @@ def knn_cells(
                         if hit is not None:
                             cand.append(hit)
                             n_cand += len(hit)
-                    lb = _ring_lower_bound_m(ctx, cty, r + 1, res_)
+                    # after shells 0..r, non-candidates are >= r+1
+                    # cells away (Chebyshev), so their merc-plane gap
+                    # is >= r*span: bound with gap argument r
+                    lb = _ring_lower_bound_m(ctx, cty, r, res_)
                     if n_cand >= kk:
                         if dk is None or True:
                             allc = np.concatenate(cand)

@@ -1,0 +1,504 @@
+"""Polygonize: raster -> vector polygons (distributed CCL + merge).
+
+Re-creates GDALPolygonize (alg/polygonize.cpp:71-80 driver,
+alg/gdalrasterpolygonenumerator.cpp:209-301 two-row labeling with
+union-find merge, alg/polygonize_polygonizer.cpp ring assembly):
+
+* per-tile connected-component labeling of equal-valued pixels
+  (4- or 8-connected; nodata masked), via row-run union-find — the
+  same run-merge structure as the reference's ProcessLine;
+* cross-tile merge: a label-adjacency graph over shared tile edges,
+  reduced by a driver-side union-find (the distributed-CCL pattern);
+  labels touching a tile border are a tiny fraction of all labels;
+* polygons are assembled from each global component's pixel *runs*
+  (y, x0, x1) grouped by final label: boundary edges are stitched
+  into closed rings with a turn rule matching the connectivity
+  (right-turn for 4-connected so corner-touching diagonals stay
+  separate rings, left-turn for 8-connected), then georeferenced via
+  the geotransform.
+
+Output: (value:double, geometry:binary WKB polygon, n_pixels:long).
+Ring equality with the reference is up to rotation/orientation; tests
+compare canonicalized rings against the reference's documented golden
+(autotest/alg/polygonize.py::test_polygonize_1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StructField, StructType
+)
+
+from gdal_spark.geometry.wkb import polygon_wkb
+
+
+# --------------------------------------------------------------------
+# single-tile CCL (numpy union-find over row runs)
+# --------------------------------------------------------------------
+
+class _UF:
+    __slots__ = ("parent",)
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # merge into the smaller id (GDAL merges keep the lower
+            # polygon id alive, gdalrasterpolygonenumerator.cpp)
+            if ra < rb:
+                self.parent[rb] = ra
+            else:
+                self.parent[ra] = rb
+
+
+def label_tile(arr: np.ndarray, nodata: float | None = None,
+               connectedness: int = 4) -> tuple[np.ndarray, int]:
+    """Label equal-value connected components; -1 for nodata.
+
+    Returns (labels int64 HxW, n_runs)."""
+    h, w = arr.shape
+    valid = np.ones((h, w), dtype=bool)
+    if nodata is not None:
+        if np.issubdtype(arr.dtype, np.floating):
+            valid = ~(np.isnan(arr) | (arr == nodata))
+        else:
+            valid = arr != nodata
+    # row runs: run starts where value changes or invalid boundary
+    newrun = np.ones((h, w), dtype=bool)
+    newrun[:, 1:] = (arr[:, 1:] != arr[:, :-1]) | (~valid[:, 1:]) \
+        | (~valid[:, :-1])
+    run_id = np.cumsum(newrun.ravel()).reshape(h, w) - 1
+    n_runs = int(run_id.max()) + 1 if h * w else 0
+    uf = _UF(n_runs)
+    # vertical adjacency (4-conn)
+    if h > 1:
+        eq = (arr[1:, :] == arr[:-1, :]) & valid[1:, :] & valid[:-1, :]
+        ys, xs = np.nonzero(eq)
+        for y, x in zip(ys, xs):
+            uf.union(int(run_id[y + 1, x]), int(run_id[y, x]))
+        if connectedness == 8:
+            eq = (arr[1:, 1:] == arr[:-1, :-1]) & valid[1:, 1:] \
+                & valid[:-1, :-1]
+            ys, xs = np.nonzero(eq)
+            for y, x in zip(ys, xs):
+                uf.union(int(run_id[y + 1, x + 1]), int(run_id[y, x]))
+            eq = (arr[1:, :-1] == arr[:-1, 1:]) & valid[1:, :-1] \
+                & valid[:-1, 1:]
+            ys, xs = np.nonzero(eq)
+            for y, x in zip(ys, xs):
+                uf.union(int(run_id[y + 1, x]), int(run_id[y, x + 1]))
+    roots = np.array([uf.find(i) for i in range(n_runs)], dtype=np.int64)
+    labels = roots[run_id]
+    labels[~valid] = -1
+    return labels, n_runs
+
+
+def runs_of_labels(labels: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray, np.ndarray]:
+    """Extract pixel runs: (label, y, x0, x1_exclusive) arrays."""
+    h, w = labels.shape
+    out_l, out_y, out_x0, out_x1 = [], [], [], []
+    for y in range(h):
+        row = labels[y]
+        starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+        ends = np.r_[starts[1:], w]
+        keep = row[starts] >= 0
+        out_l.append(row[starts][keep])
+        out_y.append(np.full(keep.sum(), y, dtype=np.int64))
+        out_x0.append(starts[keep].astype(np.int64))
+        out_x1.append(ends[keep].astype(np.int64))
+    return (np.concatenate(out_l), np.concatenate(out_y),
+            np.concatenate(out_x0), np.concatenate(out_x1))
+
+
+# --------------------------------------------------------------------
+# ring assembly from runs
+# --------------------------------------------------------------------
+
+def _interval_difference(a0, a1, b0, b1):
+    """Sub-intervals of [a0, a1) not covered by sorted disjoint
+    intervals (b0[i], b1[i])."""
+    out = []
+    cur = a0
+    for s, e in zip(b0, b1):
+        if e <= cur:
+            continue
+        if s >= a1:
+            break
+        if s > cur:
+            out.append((cur, min(s, a1)))
+        cur = max(cur, e)
+        if cur >= a1:
+            break
+    if cur < a1:
+        out.append((cur, a1))
+    return out
+
+
+def rings_from_runs(ys: np.ndarray, x0s: np.ndarray, x1s: np.ndarray,
+                    connectedness: int = 4) -> list[np.ndarray]:
+    """Stitch the boundary of a run set into closed rings (pixel
+    corner coordinates, y-down)."""
+    by_row: dict[int, list[tuple[int, int]]] = {}
+    for y, a, b in zip(ys, x0s, x1s):
+        by_row.setdefault(int(y), []).append((int(a), int(b)))
+    for y in by_row:
+        by_row[y].sort()
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add_edge(p, q):
+        edges.setdefault(p, []).append(q)
+
+    for y, ivs in by_row.items():
+        above = by_row.get(y - 1, [])
+        below = by_row.get(y + 1, [])
+        a0 = np.array([i[0] for i in above])
+        a1 = np.array([i[1] for i in above])
+        b0 = np.array([i[0] for i in below])
+        b1 = np.array([i[1] for i in below])
+        for (s, e) in ivs:
+            # top edges (rightward), split by coverage of row above
+            for (ts, te) in _interval_difference(s, e, a0, a1):
+                add_edge((ts, y), (te, y))
+            # bottom edges (leftward)
+            for (bs, be) in _interval_difference(s, e, b0, b1):
+                add_edge((be, y + 1), (bs, y + 1))
+            # left vertical (upward), right vertical (downward),
+            # split by horizontal adjacency with same-row neighbors
+            add_edge((s, y + 1), (s, y))
+            add_edge((e, y), (e, y + 1))
+
+    # left/right verticals above assume no same-row adjacency at run
+    # ends — true by construction (runs are maximal), except runs
+    # from *different* rows never share a vertical edge; nothing to fix.
+
+    # split long horizontal edges into unit steps? Not needed: walk
+    # operates on whole edges; corner-touch resolution needs vertex
+    # granularity only at edge endpoints, which is where touches occur.
+
+    rings: list[np.ndarray] = []
+    # deterministic walk order
+    starts = sorted(edges.keys())
+    used: dict[tuple[int, int], int] = {k: 0 for k in edges}
+
+    def pick_next(vertex, din):
+        outs = edges.get(vertex)
+        if not outs:
+            return None
+        avail = [q for q in outs if used[vertex] < len(outs)]
+        if not avail:
+            return None
+        cands = outs[:]
+        # remove already-consumed (multiset semantics)
+        # turn rule: 4-conn -> rightmost turn, 8-conn -> leftmost
+        def angle(q):
+            dout = (q[0] - vertex[0], q[1] - vertex[1])
+            # cross/dot of incoming vs outgoing (y-down coords)
+            cross = din[0] * dout[1] - din[1] * dout[0]
+            dot = din[0] * dout[0] + din[1] * dout[1]
+            return np.arctan2(cross, dot)
+
+        cands.sort(key=angle, reverse=(connectedness == 4))
+        return cands[0]
+
+    edge_pool: dict[tuple[int, int], list[tuple[int, int]]] = {
+        k: list(v) for k, v in edges.items()
+    }
+    for start in starts:
+        while edge_pool.get(start):
+            first = edge_pool[start].pop(
+                edge_pool[start].index(sorted(edge_pool[start])[0]))
+            ring = [start, first]
+            cur = first
+            din = (first[0] - start[0], first[1] - start[1])
+            guard = 0
+            while cur != start:
+                guard += 1
+                if guard > 4_000_000:
+                    raise RuntimeError("ring walk did not close")
+                outs = edge_pool.get(cur)
+                if not outs:
+                    raise RuntimeError("dangling boundary edge")
+                if len(outs) == 1:
+                    nxt = outs.pop()
+                else:
+                    def angle(q):
+                        dout = (q[0] - cur[0], q[1] - cur[1])
+                        cross = din[0] * dout[1] - din[1] * dout[0]
+                        dot = din[0] * dout[0] + din[1] * dout[1]
+                        return float(np.arctan2(cross, dot))
+
+                    outs.sort(key=angle,
+                              reverse=(connectedness == 4))
+                    nxt = outs.pop(0)
+                ring.append(nxt)
+                din = (nxt[0] - cur[0], nxt[1] - cur[1])
+                cur = nxt
+            arr = np.array(ring, dtype=np.float64)
+            # collapse collinear vertices
+            keep = np.ones(len(arr), dtype=bool)
+            d = np.diff(arr, axis=0)
+            same_dir = (d[1:, 0] * d[:-1, 1] == d[1:, 1] * d[:-1, 0])
+            keep[1:-1] = ~same_dir
+            arr = arr[keep]
+            if not np.array_equal(arr[0], arr[-1]):
+                arr = np.vstack([arr, arr[:1]])
+            # drop collinear through the closure vertex
+            if len(arr) > 3:
+                d0 = arr[1] - arr[0]
+                dn = arr[-1] - arr[-2]
+                if d0[0] * dn[1] == d0[1] * dn[0]:
+                    arr = np.vstack([arr[1:-1], arr[1:2]])
+            rings.append(arr)
+    return rings
+
+
+def _ring_signed_area(r: np.ndarray) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def assemble_polygons(ys, x0s, x1s, gt: list[float],
+                      connectedness: int = 4) -> list[list[np.ndarray]]:
+    """Runs -> list of polygons [outer, holes...] in georef coords."""
+    rings = rings_from_runs(np.asarray(ys), np.asarray(x0s),
+                            np.asarray(x1s), connectedness)
+    geo_rings = []
+    for r in rings:
+        gx = gt[0] + r[:, 0] * gt[1] + r[:, 1] * gt[2]
+        gy = gt[3] + r[:, 0] * gt[4] + r[:, 1] * gt[5]
+        geo_rings.append((np.column_stack([gx, gy]), _ring_signed_area(r)))
+    # y-down pixel space: outer rings have negative... determine by
+    # even-odd nesting: ring is a hole iff contained in an odd number
+    # of other rings
+    outers: list[tuple[np.ndarray, list[np.ndarray]]] = []
+    holes: list[np.ndarray] = []
+    from gdal_spark.geometry.pip import points_in_rings
+
+    px_rings = rings
+    for i, r in enumerate(px_rings):
+        pt = r[0] + (r[1] - r[0]) * 0.5  # midpoint of first edge
+        # nudge inward perpendicular to the edge
+        d = r[1] - r[0]
+        nrm = np.array([-d[1], d[0]])
+        nrm = nrm / max(np.hypot(*nrm), 1e-12) * 1e-3
+        inside_cnt = 0
+        for j, other in enumerate(px_rings):
+            if i == j:
+                continue
+            if points_in_rings(np.array([pt[0] + nrm[0], pt[0] - nrm[0]]),
+                               np.array([pt[1] + nrm[1], pt[1] - nrm[1]]),
+                               [other]).all():
+                inside_cnt += 1
+        if inside_cnt % 2 == 1:
+            holes.append(i)
+        else:
+            outers.append(i)
+    polys: list[list[np.ndarray]] = []
+    owner: dict[int, int] = {}
+    for oi in outers:
+        polys.append([geo_rings[oi][0]])
+        owner[oi] = len(polys) - 1
+    for hi in holes:
+        # assign hole to the smallest containing outer
+        best, best_area = None, np.inf
+        pt = px_rings[hi][0]
+        for oi in outers:
+            if points_in_rings(np.array([pt[0] + 0.001]),
+                               np.array([pt[1] + 0.001]),
+                               [px_rings[oi]])[0]:
+                a = abs(_ring_signed_area(px_rings[oi]))
+                if a < best_area:
+                    best, best_area = oi, a
+        if best is not None:
+            polys[owner[best]].append(geo_rings[hi][0])
+        else:
+            polys.append([geo_rings[hi][0]])
+    return polys
+
+
+# --------------------------------------------------------------------
+# distributed operator
+# --------------------------------------------------------------------
+
+RUNS_SCHEMA = StructType([
+    StructField("label", LongType()),      # tile-qualified label
+    StructField("value", DoubleType()),
+    StructField("y", LongType()),          # global pixel row
+    StructField("x0", LongType()),
+    StructField("x1", LongType()),
+])
+
+POLY_SCHEMA = StructType([
+    StructField("value", DoubleType()),
+    StructField("geometry", BinaryType()),
+    StructField("n_pixels", LongType()),
+])
+
+
+def polygonize_tiles(
+    tiles: DataFrame, gt: list[float], nodata: float | None = None,
+    connectedness: int = 4,
+) -> DataFrame:
+    """Distributed polygonize over a tile DataFrame (TILE_SCHEMA).
+
+    Stage 1: per-tile CCL -> labeled runs (label namespaced by tile).
+    Stage 2: border adjacency -> driver union-find -> broadcast remap.
+    Stage 3: groupBy(global label) -> ring assembly kernel.
+    """
+    spark = tiles.sparkSession
+
+    def tile_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"label": [], "value": [], "y": [], "x0": [], "x1": []}
+            for i in range(len(b)):
+                ts = int(b["tile_size"].iloc[i])
+                tx = int(b["tile_x"].iloc[i])
+                ty = int(b["tile_y"].iloc[i])
+                arr = np.frombuffer(
+                    b["data"].iloc[i], dtype=np.dtype(b["dtype"].iloc[i])
+                ).reshape(ts, ts)
+                labels, _ = label_tile(arr, nodata, connectedness)
+                ls, ys, x0s, x1s = runs_of_labels(labels)
+                if len(ls) == 0:
+                    continue
+                tile_key = (tx * (1 << 20) + ty) << 24
+                rows["label"].append(tile_key + ls)
+                vals = arr[ys, x0s].astype(np.float64)
+                rows["value"].append(vals)
+                rows["y"].append(ys + ty * ts)
+                rows["x0"].append(x0s + tx * ts)
+                rows["x1"].append(x1s + tx * ts)
+            if rows["label"]:
+                yield pd.DataFrame({
+                    k: np.concatenate(v) for k, v in rows.items()
+                })
+
+    runs = tiles.mapInPandas(tile_runs, RUNS_SCHEMA).cache()
+
+    # --- stage 2: adjacency across tile borders ---
+    # runs touching a horizontal tile border pair with runs in the
+    # adjacent tile row; overlap in x AND equal value => same polygon.
+    ts_row = tiles.select("tile_size").first()
+    tile_size = int(ts_row[0]) if ts_row else 256
+    border = runs.filter(
+        (F.col("y") % tile_size == 0) | ((F.col("y") + 1) % tile_size == 0)
+    )
+    top = border.filter(F.col("y") % tile_size == 0).alias("t")
+    bot = border.filter((F.col("y") + 1) % tile_size == 0).alias("b")
+    pairs = (
+        top.join(
+            bot,
+            (F.col("t.y") == F.col("b.y") + 1)
+            & (F.col("t.value") == F.col("b.value"))
+            & (F.col("t.x0") < F.col("b.x1"))
+            & (F.col("b.x0") < F.col("t.x1")),
+        )
+        .select(F.col("t.label").alias("a"), F.col("b.label").alias("b"))
+    )
+    if connectedness == 8:
+        pairs8 = top.join(
+            bot,
+            (F.col("t.y") == F.col("b.y") + 1)
+            & (F.col("t.value") == F.col("b.value"))
+            & (F.col("t.x0") <= F.col("b.x1"))
+            & (F.col("b.x0") <= F.col("t.x1")),
+        ).select(F.col("t.label").alias("a"), F.col("b.label").alias("b"))
+        pairs = pairs.unionByName(pairs8)
+    # vertical borders
+    left = runs.filter(F.col("x0") % tile_size == 0).alias("l")
+    right = runs.filter(F.col("x1") % tile_size == 0).alias("r")
+    diag = 1 if connectedness == 8 else 0
+    vpairs = (
+        right.join(
+            left,
+            (F.col("l.x0") == F.col("r.x1"))
+            & (F.col("l.value") == F.col("r.value"))
+            & (F.col("l.y") >= F.col("r.y") - diag)
+            & (F.col("l.y") <= F.col("r.y") + diag),
+        )
+        .select(F.col("l.label").alias("a"), F.col("r.label").alias("b"))
+    )
+    all_pairs = pairs.unionByName(vpairs).distinct().collect()
+
+    # driver-side union-find over border labels (small)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in all_pairs:
+        ra, rb = find(int(r.a)), find(int(r.b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    remap = {k: find(k) for k in list(parent)}
+    bc = spark.sparkContext.broadcast(remap)
+
+    def apply_remap(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for b in batches:
+            if m:
+                b = b.copy()
+                b["label"] = b["label"].map(lambda v: m.get(int(v), int(v)))
+            yield b
+
+    global_runs = runs.mapInPandas(apply_remap, RUNS_SCHEMA)
+
+    # --- stage 3: assemble polygons per global label ---
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = assemble_polygons(
+            pdf["y"].to_numpy(), pdf["x0"].to_numpy(),
+            pdf["x1"].to_numpy(), gt, connectedness)
+        n_pix = int((pdf["x1"] - pdf["x0"]).sum())
+        rows = {"value": [], "geometry": [], "n_pixels": []}
+        for rings in polys:
+            rows["value"].append(float(pdf["value"].iloc[0]))
+            rows["geometry"].append(polygon_wkb(rings))
+            rows["n_pixels"].append(n_pix if len(polys) == 1 else -1)
+        return pd.DataFrame(rows)
+
+    return (
+        global_runs.repartitionByRange("label")
+        .groupBy("label")
+        .applyInPandas(build, POLY_SCHEMA)
+    )
+
+
+def polygonize_array(arr: np.ndarray, gt: list[float],
+                     nodata: float | None = None,
+                     connectedness: int = 4) -> pd.DataFrame:
+    """Single-array reference path (tests / small rasters)."""
+    labels, _ = label_tile(arr, nodata, connectedness)
+    ls, ys, x0s, x1s = runs_of_labels(labels)
+    rows = {"value": [], "geometry": [], "n_pixels": []}
+    for lab in pd.unique(ls):
+        sel = ls == lab
+        polys = assemble_polygons(ys[sel], x0s[sel], x1s[sel], gt,
+                                  connectedness)
+        val = float(arr[ys[sel][0], x0s[sel][0]])
+        npix = int((x1s[sel] - x0s[sel]).sum())
+        for rings in polys:
+            rows["value"].append(val)
+            rows["geometry"].append(polygon_wkb(rings))
+            rows["n_pixels"].append(npix if len(polys) == 1 else -1)
+    return pd.DataFrame(rows)

@@ -1,0 +1,410 @@
+"""Rasterize: vector -> raster with GDAL-exact inclusion rules.
+
+Kernel semantics ported rule-for-rule from the reference:
+
+* scanline polygon fill at pixel centers: dy = y + 0.5; a segment
+  contributes a crossing iff dy >= y1 and dy < y2 (after ordering
+  y1 < y2); crossing x = floor(intersect + 0.5); crossings sorted and
+  filled in pairs [x_i, x_{i+1} - 1]
+  (alg/llrasterize.cpp:105-193 GDALdllImageFilledPolygon)
+* bottom horizontal segments (traversed right-to-left) filled
+  separately as [floor(x2+0.5) clamped 0, floor(x1+0.5) clamped W]-1;
+  top horizontals skipped (llrasterize.cpp:152-183)
+* ALL_TOUCHED adds the outline via the pixel-stepping line walk with
+  vertical/horizontal special cases (|dx| or |dy| < .01) and
+  EPSILON_INTERSECT_ONLY = 1e-4 (llrasterize.cpp:407-745)
+* MERGE_ALG=REPLACE writes the burn value, ADD accumulates; with ADD
+  a per-geometry visited set prevents double burns
+  (alg/gdalrasterize.cpp:71-127 gvBurnScanlineBasic / MakeKey)
+* burn value from a fixed value or an attribute column
+  (BURN_VALUE_FROM / -a, gdalrasterize.cpp:796-834)
+
+Distribution: the output grid is tiled; each geometry is replicated
+to the tiles its bbox covers (same cover math as the spatial join),
+then an applyInPandas kernel renders each tile independently with
+geometry coordinates shifted into tile-local pixel space — exactly
+the reference's chunked execution (OPTIM=RASTER chunks,
+gdalrasterize.cpp:840-870) rendered as a Spark shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdal_spark.geometry.wkb import parse_wkb
+from gdal_spark.operators.tiling import TILE_SCHEMA
+
+
+# --------------------------------------------------------------------
+# single-chunk numpy kernel (pixel-space geometry)
+# --------------------------------------------------------------------
+
+def _copy_word(val: float, dtype: np.dtype) -> float:
+    """GDALCopyWord double->T: round-half-away + clamp for ints."""
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        v = math.floor(val + 0.5) if val >= 0 else math.ceil(val - 0.5)
+        return min(max(v, info.min), info.max)
+    return val
+
+
+def fill_polygon_scanline(
+    grid: np.ndarray, rings: list[np.ndarray], burn: float,
+    merge_add: bool = False, visited: np.ndarray | None = None,
+) -> None:
+    """GDALdllImageFilledPolygon semantics on *grid* (H, W) in place.
+
+    ``rings``: pixel-space rings (closed).  ``visited`` is the ADD
+    double-burn guard (bAvoidBurningSamePoints).
+    """
+    h, w = grid.shape
+    maxx = w - 1
+    ally = np.concatenate([r[:, 1] for r in rings]) if rings else np.array([])
+    if len(ally) == 0:
+        return
+    miny = int(max(0.0, ally.min()))
+    maxy = int(min(float(h - 1), ally.max()))
+    dt = grid.dtype
+
+    def burn_span(y: int, x0: int, x1: int) -> None:
+        x0 = max(x0, 0)
+        x1 = min(x1, w - 1)
+        if x1 < x0:
+            return
+        if merge_add:
+            if visited is not None:
+                mask = ~visited[y, x0:x1 + 1]
+                seg = grid[y, x0:x1 + 1]
+                newv = seg[mask].astype(np.float64) + burn
+                if np.issubdtype(dt, np.integer):
+                    info = np.iinfo(dt)
+                    newv = np.clip(np.where(newv >= 0,
+                                            np.floor(newv + 0.5),
+                                            np.ceil(newv - 0.5)),
+                                   info.min, info.max)
+                seg[mask] = newv.astype(dt)
+                visited[y, x0:x1 + 1] = True
+            else:
+                newv = grid[y, x0:x1 + 1].astype(np.float64) + burn
+                if np.issubdtype(dt, np.integer):
+                    info = np.iinfo(dt)
+                    newv = np.clip(np.where(newv >= 0,
+                                            np.floor(newv + 0.5),
+                                            np.ceil(newv - 0.5)),
+                                   info.min, info.max)
+                grid[y, x0:x1 + 1] = newv.astype(dt)
+        else:
+            grid[y, x0:x1 + 1] = _copy_word(burn, dt)
+            if visited is not None:
+                visited[y, x0:x1 + 1] = True
+
+    # flatten rings into segment arrays (per-part wrap: segment
+    # (last, first) handled by closing points being present)
+    for y in range(miny, maxy + 1):
+        dy = y + 0.5
+        ints: list[int] = []
+        horiz: list[tuple[int, int]] = []
+        for ring in rings:
+            x1s = ring[:, 0]
+            y1s = ring[:, 1]
+            for i in range(1, len(ring)):
+                dy1, dy2 = y1s[i - 1], y1s[i]
+                if (dy1 < dy and dy2 < dy) or (dy1 > dy and dy2 > dy):
+                    continue
+                if dy1 < dy2:
+                    dx1, dx2 = x1s[i - 1], x1s[i]
+                elif dy1 > dy2:
+                    dy1, dy2 = dy2, dy1
+                    dx2, dx1 = x1s[i - 1], x1s[i]
+                else:
+                    # horizontal: bottom segments (right-to-left) fill
+                    # separately; top segments skipped
+                    if x1s[i - 1] > x1s[i]:
+                        hx1 = math.floor(x1s[i] + 0.5)
+                        hx2 = math.floor(x1s[i - 1] + 0.5)
+                        if hx1 > maxx or hx2 <= 0:
+                            continue
+                        horiz.append((int(max(hx1, 0.0)),
+                                      int(min(float(hx2), float(w)))))
+                    continue
+                if dy < dy2 and dy >= dy1:
+                    inter = (dy - dy1) * (dx2 - dx1) / (dy2 - dy1) + dx1
+                    inter = min(max(inter, -2**31), 2**31 - 1)
+                    ints.append(int(math.floor(inter + 0.5)))
+        ints.sort()
+        horiz.sort()
+        for i in range(0, len(ints) - 1, 2):
+            if ints[i] <= maxx and ints[i + 1] > 0:
+                burn_span(y, ints[i], ints[i + 1] - 1)
+        # horizontal fills, skipping spans already burnt this line
+        i = 0
+        for hx1, hx2 in horiz:
+            if hx1 <= maxx and hx2 > 0:
+                while i + 1 < len(ints) and ints[i] < hx1:
+                    i += 2
+                if i + 1 >= len(ints) or ints[i] != hx1:
+                    burn_span(y, hx1, hx2 - 1)
+
+
+_EPS_IO = 1e-4  # EPSILON_INTERSECT_ONLY (llrasterize.cpp:418)
+
+
+def line_all_touched(
+    grid: np.ndarray, coords: np.ndarray, burn: float,
+    merge_add: bool = False, visited: np.ndarray | None = None,
+    intersect_only: bool = False,
+) -> None:
+    """GDALdllImageLineAllTouched pixel walk (llrasterize.cpp:407-745).
+
+    Burns every pixel the polyline touches.  Per-part previous-segment
+    dedup (lastBurntPoints) is preserved via the visited set when ADD.
+    """
+    h, w = grid.shape
+    dt = grid.dtype
+
+    def burn_pt(y: int, x: int) -> None:
+        if not (0 <= y < h and 0 <= x < w):
+            return
+        if visited is not None:
+            if visited[y, x]:
+                return
+            visited[y, x] = True
+        if merge_add:
+            grid[y, x] = _copy_word(float(grid[y, x]) + burn, dt)
+        else:
+            grid[y, x] = _copy_word(burn, dt)
+
+    n = len(coords)
+    for j in range(1, n):
+        x0, y0 = float(coords[j - 1, 0]), float(coords[j - 1, 1])
+        x1, y1 = float(coords[j, 0]), float(coords[j, 1])
+        if (y0 < 0 and y1 < 0) or (y0 > h and y1 > h) or \
+           (x0 < 0 and x1 < 0) or (x0 > w and x1 > w):
+            continue
+        if x0 > x1:
+            x0, x1 = x1, x0
+            y0, y1 = y1, y0
+        if abs(x0 - x1) < 0.01:  # vertical
+            if intersect_only and abs(x0 - round(x0)) < _EPS_IO \
+                    and abs(x1 - round(x1)) < _EPS_IO:
+                continue
+            if y1 < y0:
+                y0, y1 = y1, y0
+            ix = int(math.floor(x1))
+            iy = int(math.floor(y0))
+            iy_end = int(math.floor(y1 - _EPS_IO))
+            if ix < 0 or ix >= w:
+                continue
+            iy = max(iy, 0)
+            iy_end = min(iy_end, h - 1)
+            for yy in range(iy, iy_end + 1):
+                burn_pt(yy, ix)
+            continue
+        if abs(y0 - y1) < 0.01:  # horizontal
+            if intersect_only and abs(y0 - round(y0)) < _EPS_IO \
+                    and abs(y1 - round(y1)) < _EPS_IO:
+                continue
+            ix = int(math.floor(x0))
+            iy = int(math.floor(y0))
+            ix_end = int(math.floor(x1 - _EPS_IO))
+            if iy < 0 or iy >= h:
+                continue
+            ix = max(ix, 0)
+            ix_end = min(ix_end, w - 1)
+            for xx in range(ix, ix_end + 1):
+                burn_pt(iy, xx)
+            continue
+        # general sloped case with the exact clipping + stepping rules
+        slope = (y1 - y0) / (x1 - x0)
+        if x1 > w:
+            y1 -= (x1 - w) * slope
+            x1 = float(w)
+        if x0 < 0.0:
+            y0 += (0.0 - x0) * slope
+            x0 = 0.0
+        if y1 > y0:
+            if y0 < 0.0:
+                x0 += (0.0 - y0) / slope
+                y0 = 0.0
+            if y1 >= h:
+                x1 += (y1 - h) / slope
+                if x1 > w:
+                    x1 = float(w)
+        else:
+            if y0 >= h:
+                x0 += (h - y0) / slope
+                y0 = float(h)
+            if y1 < 0.0:
+                x1 -= (y1 - 0.0) / slope
+        x, y = x0, y0
+        while 0.0 <= x < x1:
+            ix = int(math.floor(x))
+            iy = int(math.floor(y))
+            if 0 <= iy < h:
+                burn_pt(iy, ix)
+            step_x = math.floor(x + 1.0) - x
+            step_y = step_x * slope
+            if int(math.floor(y + step_y)) == iy:
+                x += step_x
+                y += step_y
+            elif slope < 0:
+                step_y = iy - y
+                if step_y > -1e-9:
+                    step_y = -1e-9
+                step_x = step_y / slope
+                x += step_x
+                y += step_y
+            else:
+                step_y = (iy + 1) - y
+                if step_y < 1e-9:
+                    step_y = 1e-9
+                step_x = step_y / slope
+                x += step_x
+                y += step_y
+
+
+def rasterize_chunk(
+    shape: tuple[int, int],
+    geoms_px: list[tuple[list[np.ndarray], float]],
+    dtype: str = "float64",
+    all_touched: bool = False,
+    merge_alg: str = "replace",
+    init: float = 0.0,
+) -> np.ndarray:
+    """Rasterize pixel-space (rings, burn) geoms into one chunk."""
+    grid = np.full(shape, init, dtype=np.dtype(dtype))
+    merge_add = merge_alg.lower() == "add"
+    for rings, burn in geoms_px:
+        visited = (
+            np.zeros(shape, dtype=bool) if (merge_add or all_touched)
+            else None
+        )
+        fill_polygon_scanline(grid, rings, burn, merge_add, visited)
+        if all_touched:
+            for ring in rings:
+                line_all_touched(grid, ring, burn, merge_add, visited)
+    return grid
+
+
+# --------------------------------------------------------------------
+# distributed operator
+# --------------------------------------------------------------------
+
+class GridSpec:
+    """Output raster grid: geotransform-style georeferencing
+    (GDALDataset::GetGeoTransform, gcore/gdal_dataset.h)."""
+
+    def __init__(self, x0: float, y1: float, px_w: float, px_h: float,
+                 width: int, height: int):
+        self.x0 = x0       # west edge
+        self.y1 = y1       # north edge
+        self.px_w = px_w
+        self.px_h = px_h
+        self.width = width
+        self.height = height
+
+    def to_px(self, coords: np.ndarray) -> np.ndarray:
+        out = np.empty_like(coords)
+        out[:, 0] = (coords[:, 0] - self.x0) / self.px_w
+        out[:, 1] = (self.y1 - coords[:, 1]) / self.px_h
+        return out
+
+    @property
+    def gt(self) -> list[float]:
+        return [self.x0, self.px_w, 0.0, self.y1, 0.0, -self.px_h]
+
+
+def rasterize(
+    spark: SparkSession,
+    polys_pdf: pd.DataFrame,
+    grid: GridSpec,
+    burn_value: float | None = None,
+    burn_col: str | None = None,
+    dtype: str = "float64",
+    all_touched: bool = False,
+    merge_alg: str = "replace",
+    tile_size: int = 256,
+    fid_col: str = "fid",
+    geom_col: str = "geometry",
+) -> DataFrame:
+    """Distributed rasterize -> tile DataFrame (TILE_SCHEMA, zoom=-1
+    marks a custom grid rather than WebMercatorQuad)."""
+    n_tx = (grid.width + tile_size - 1) // tile_size
+    n_ty = (grid.height + tile_size - 1) // tile_size
+
+    rows = {"tile_x": [], "tile_y": [], "gid": []}
+    geoms: dict[int, tuple[list[np.ndarray], float]] = {}
+    order_keys: dict[int, int] = {}
+    for order, (_, r) in enumerate(polys_pdf.iterrows()):
+        g = parse_wkb(bytes(r[geom_col]))
+        rings_px = [grid.to_px(ring) for ring in g.rings()]
+        burn = float(r[burn_col]) if burn_col else float(burn_value)
+        gid = int(r[fid_col])
+        geoms[gid] = (rings_px, burn)
+        order_keys[gid] = order
+        allc = np.vstack(rings_px)
+        tx0 = max(int(allc[:, 0].min() // tile_size), 0)
+        tx1 = min(int(allc[:, 0].max() // tile_size), n_tx - 1)
+        ty0 = max(int(allc[:, 1].min() // tile_size), 0)
+        ty1 = min(int(allc[:, 1].max() // tile_size), n_ty - 1)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                rows["tile_x"].append(tx)
+                rows["tile_y"].append(ty)
+                rows["gid"].append(gid)
+    if not rows["tile_x"]:
+        return spark.createDataFrame([], TILE_SCHEMA)
+
+    assign = spark.createDataFrame(pd.DataFrame(rows))
+    bc = spark.sparkContext.broadcast((geoms, order_keys))
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        geoms_, order_ = bc.value
+        tx, ty = int(key[0]), int(key[1])
+        ox, oy = tx * tile_size, ty * tile_size
+        w = min(tile_size, grid.width - ox)
+        h = min(tile_size, grid.height - oy)
+        # feature order must match the sequential reference burn order
+        gids = sorted(pdf["gid"].unique(), key=lambda g: order_[g])
+        local = []
+        for gid in gids:
+            rings_px, burn = geoms_[gid]
+            local.append(([r - np.array([[ox, oy]]) for r in rings_px],
+                          burn))
+        arr = rasterize_chunk((h, w), local, dtype, all_touched, merge_alg)
+        if (h, w) != (tile_size, tile_size):
+            full = np.zeros((tile_size, tile_size), dtype=arr.dtype)
+            full[:h, :w] = arr
+            arr = full
+        return pd.DataFrame({
+            "zoom": [-1], "tile_x": [tx], "tile_y": [ty], "band": [1],
+            "data": [arr.tobytes()], "dtype": [dtype],
+            "tile_size": [tile_size],
+        })
+
+    return (
+        assign.repartitionByRange("tile_x", "tile_y")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(render, TILE_SCHEMA)
+    )
+
+
+def assemble_raster(tiles_pdf: pd.DataFrame, grid: GridSpec) -> np.ndarray:
+    """Collect tiles -> full numpy raster (tests / small outputs)."""
+    dt = np.dtype(tiles_pdf["dtype"].iloc[0]) if len(tiles_pdf) else \
+        np.float64
+    out = np.zeros((grid.height, grid.width), dtype=dt)
+    for _, r in tiles_pdf.iterrows():
+        ts = int(r["tile_size"])
+        arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])) \
+            .reshape(ts, ts)
+        ox, oy = int(r["tile_x"]) * ts, int(r["tile_y"]) * ts
+        w = min(ts, grid.width - ox)
+        h = min(ts, grid.height - oy)
+        out[oy:oy + h, ox:ox + w] = arr[:h, :w]
+    return out

@@ -1,0 +1,407 @@
+"""The tiling engine: z/x/y pyramid over WebMercatorQuad.
+
+Re-creates ``gdal raster tile`` (apps/gdalalg_raster_tile.cpp) as
+Spark dataflow:
+
+* tile assignment uses the exact GetTileIndices math (:457-480 —
+  floor((x - topLeftX)/(res*tileW) + 1e-3), clamped) as JVM column
+  expressions;
+* base-zoom rendering is a **salted two-phase aggregation**: a
+  map-side combine (mapInPandas partial histograms per tile per
+  input partition — the distributed analog of GDAL's per-chunk
+  accumulation under the 64MB warp memory budget,
+  alg/gdalwarpoperation.cpp:611) followed by a groupBy(tile) merge.
+  Hot tiles (Zipf cities) arrive pre-reduced, so the shuffle carries
+  at most n_partitions rows per tile instead of n_points — this is
+  the "explicit salting of hot cells" of the north rule, with the
+  input partition id as the salt;
+* the shuffle into tile order is range-partitioned on (z, x, y)
+  (repartitionByRange), mirroring the reference's Hilbert/row-major
+  tile traversal locality (gdalalg_raster_tile.cpp tile loops);
+* overview zooms are built from the zoom below
+  (gdalalg_raster_tile.cpp:1552-1596): groupBy(parent) of 4 children
+  with a 2x2 sum/average reduce — iterated down to zoom 0.
+
+Tile rows: (zoom:int, tile_x:long, tile_y:long, band:int,
+data:binary raw C-order, dtype:string, tile_size:int).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType
+)
+
+from gdal_spark.functions import geo
+
+TILE_SCHEMA = StructType([
+    StructField("zoom", IntegerType()),
+    StructField("tile_x", LongType()),
+    StructField("tile_y", LongType()),
+    StructField("band", IntegerType()),
+    StructField("data", BinaryType()),
+    StructField("dtype", StringType()),
+    StructField("tile_size", IntegerType()),
+])
+
+_PARTIAL_SCHEMA = StructType([
+    StructField("tile_x", LongType()),
+    StructField("tile_y", LongType()),
+    StructField("idx", BinaryType()),    # int32 flat pixel indices
+    StructField("cnt", BinaryType()),    # int64 counts
+])
+
+
+def tiles_to_arrays(pdf: pd.DataFrame) -> dict:
+    """Decode tile rows -> {(zoom, x, y, band): np.ndarray}."""
+    out = {}
+    for _, r in pdf.iterrows():
+        ts = int(r["tile_size"])
+        arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"]))
+        out[(int(r["zoom"]), int(r["tile_x"]), int(r["tile_y"]),
+             int(r["band"]))] = arr.reshape(ts, ts)
+    return out
+
+
+def page_density_tiles(
+    points: DataFrame, zoom: int, tile_size: int = 256,
+    lon: str = "lon", lat: str = "lat",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Base-zoom page-density raster: count of points per pixel."""
+    return densify(
+        sparse_density(points, zoom, tile_size, lon, lat, num_partitions),
+        zoom, tile_size,
+    )
+
+
+def sparse_density(
+    points: DataFrame, zoom: int, tile_size: int = 256,
+    lon: str = "lon", lat: str = "lat",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sparse per-tile histogram: (tile_x, tile_y, idx, cnt) with one
+    row per occupied tile.
+
+    ``num_partitions`` sizes the tile shuffle explicitly: the sparse
+    rows are tiny but downstream densification inflates ~1000x, so
+    AQE's byte-based coalescing would collapse the exchange to one
+    task.  An explicit count keeps the render stage wide (and at 100TB
+    a caller sizes it to tiles/executor)."""
+    n = 1 << zoom
+    # global pixel coordinates at this zoom (pixel res = span/tile_size)
+    res = geo.tile_span(zoom) / tile_size
+    px = F.floor(
+        (geo.merc_x(lon) + F.lit(geo.ORIGIN)) / F.lit(res) + F.lit(1e-3)
+    )
+    py = F.floor(
+        (F.lit(geo.ORIGIN) - geo.merc_y(lat)) / F.lit(res) + F.lit(1e-3)
+    )
+    maxpx = n * tile_size - 1
+    px = F.least(F.greatest(px, F.lit(0)), F.lit(maxpx))
+    py = F.least(F.greatest(py, F.lit(0)), F.lit(maxpx))
+    pix_bits = 2 * int(np.log2(tile_size))
+    staged = points.select(
+        (
+            ((px / tile_size).cast("long") * F.lit(n)
+             + (py / tile_size).cast("long")) * F.lit(1 << pix_bits)
+            + ((py % tile_size) * tile_size + (px % tile_size)).cast("long")
+        ).alias("key")
+    )
+
+    # ---- phase 1: map-side combine (per-partition sparse partials).
+    # One np.unique per partition replaces per-point shuffle rows: a
+    # hot tile leaves each partition as ONE (idx, cnt) sparse row, so
+    # the shuffle is bounded by n_partitions x occupied_tiles.
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks: list[np.ndarray] = []
+        counts: list[np.ndarray] = []
+        for b in batches:
+            if len(b) == 0:
+                continue
+            k, c = np.unique(b["key"].to_numpy(), return_counts=True)
+            chunks.append(k)
+            counts.append(c)
+        if not chunks:
+            return
+        allk = np.concatenate(chunks)
+        allc = np.concatenate(counts)
+        order = np.argsort(allk, kind="stable")
+        allk, allc = allk[order], allc[order]
+        uk, starts = np.unique(allk, return_index=True)
+        csum = np.add.reduceat(allc, starts)
+        tile = uk >> pix_bits
+        pix = (uk & ((1 << pix_bits) - 1)).astype(np.int32)
+        tstarts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+        tends = np.r_[tstarts[1:], len(tile)]
+        rows = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
+        for s, e in zip(tstarts, tends):
+            t = int(tile[s])
+            rows["tile_x"].append(t // n)
+            rows["tile_y"].append(t % n)
+            rows["idx"].append(pix[s:e].tobytes())
+            rows["cnt"].append(csum[s:e].astype(np.int64).tobytes())
+        yield pd.DataFrame(rows)
+
+    partials = staged.mapInPandas(partial, _PARTIAL_SCHEMA)
+
+    nparts = num_partitions or (
+        points.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    return _merge_sparse(partials, nparts)
+
+
+def _merge_sparse(partials: DataFrame, nparts: int) -> DataFrame:
+    """Stream-merge sparse partials per tile (range partition + sort
+    clusters each tile; the mapInPandas iterator merges across
+    Arrow-batch boundaries within a partition, avoiding per-group
+    pandas overhead on tens of thousands of tiles).  Output stays
+    SPARSE: one (idx, cnt) row per tile."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: tuple[int, int] | None = None
+        idx_acc: list[np.ndarray] = []
+        cnt_acc: list[np.ndarray] = []
+        out = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
+
+        def flush():
+            if cur is None:
+                return
+            if len(idx_acc) == 1:
+                idx, cnt = idx_acc[0], cnt_acc[0]
+            else:
+                alli = np.concatenate(idx_acc)
+                allc = np.concatenate(cnt_acc)
+                order = np.argsort(alli, kind="stable")
+                alli, allc = alli[order], allc[order]
+                idx, starts = np.unique(alli, return_index=True)
+                cnt = np.add.reduceat(allc, starts)
+            out["tile_x"].append(cur[0])
+            out["tile_y"].append(cur[1])
+            out["idx"].append(np.ascontiguousarray(idx, np.int32).tobytes())
+            out["cnt"].append(np.ascontiguousarray(cnt, np.int64).tobytes())
+
+        for b in batches:
+            for tx, ty, idx_b, cnt_b in zip(
+                b["tile_x"], b["tile_y"], b["idx"], b["cnt"]
+            ):
+                t = (int(tx), int(ty))
+                if t != cur:
+                    flush()
+                    cur = t
+                    idx_acc, cnt_acc = [], []
+                    if len(out["tile_x"]) >= 1024:
+                        yield pd.DataFrame(out)
+                        for k in out:
+                            out[k] = []
+                idx_acc.append(np.frombuffer(idx_b, dtype=np.int32))
+                cnt_acc.append(np.frombuffer(cnt_b, dtype=np.int64))
+        flush()
+        if out["tile_x"]:
+            yield pd.DataFrame(out)
+
+    return (
+        partials.repartitionByRange(nparts, "tile_x", "tile_y")
+        .sortWithinPartitions("tile_x", "tile_y")
+        .mapInPandas(merge, _PARTIAL_SCHEMA)
+    )
+
+
+def sparse_overview(sparse: DataFrame, tile_size: int = 256,
+                    num_partitions: int | None = None) -> DataFrame:
+    """One pyramid level on the SPARSE representation: parent pixel =
+    child global pixel >> 1 (sum reduce).  Shuffles only the sparse
+    entries — O(occupied pixels), never O(tiles x tile bytes)."""
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
+            for tx, ty, idx_b, cnt_b in zip(
+                b["tile_x"], b["tile_y"], b["idx"], b["cnt"]
+            ):
+                idx = np.frombuffer(idx_b, dtype=np.int32).astype(np.int64)
+                cnt = np.frombuffer(cnt_b, dtype=np.int64)
+                px = idx % tile_size
+                py = idx // tile_size
+                # parent-local pixel: offset by child parity, halved
+                ppx = (px + (int(tx) % 2) * tile_size) >> 1
+                ppy = (py + (int(ty) % 2) * tile_size) >> 1
+                pidx = ppy * tile_size + ppx
+                order = np.argsort(pidx, kind="stable")
+                ps = pidx[order]
+                st = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+                uq = ps[st]
+                csum = np.add.reduceat(cnt[order], st)
+                rows["tile_x"].append(int(tx) // 2)
+                rows["tile_y"].append(int(ty) // 2)
+                rows["idx"].append(uq.astype(np.int32).tobytes())
+                rows["cnt"].append(csum.astype(np.int64).tobytes())
+            if rows["tile_x"]:
+                yield pd.DataFrame(rows)
+
+    nparts = num_partitions or (
+        sparse.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    return _merge_sparse(sparse.mapInPandas(transform, _PARTIAL_SCHEMA),
+                         nparts)
+
+
+def densify(sparse: DataFrame, zoom: int, tile_size: int = 256) -> DataFrame:
+    """Sparse (idx, cnt) rows -> dense TILE_SCHEMA rasters (map-side
+    only; done at materialization time, never shuffled)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"zoom": [], "tile_x": [], "tile_y": [], "band": [],
+               "data": [], "dtype": [], "tile_size": []}
+        for b in batches:
+            for tx, ty, idx_b, cnt_b in zip(
+                b["tile_x"], b["tile_y"], b["idx"], b["cnt"]
+            ):
+                hist = np.zeros(tile_size * tile_size, dtype=np.int64)
+                idx = np.frombuffer(idx_b, dtype=np.int32)
+                hist[idx] = np.frombuffer(cnt_b, dtype=np.int64)
+                data = np.minimum(hist, np.iinfo(np.uint32).max) \
+                    .astype(np.uint32)
+                out["zoom"].append(zoom)
+                out["tile_x"].append(int(tx))
+                out["tile_y"].append(int(ty))
+                out["band"].append(1)
+                out["data"].append(data.tobytes())
+                out["dtype"].append("uint32")
+                out["tile_size"].append(tile_size)
+                if len(out["zoom"]) >= 64:
+                    yield pd.DataFrame(out)
+                    for k in out:
+                        out[k] = []
+        if out["zoom"]:
+            yield pd.DataFrame(out)
+
+    return sparse.mapInPandas(kernel, TILE_SCHEMA)
+
+
+def overview_reduce(tiles: DataFrame, agg: str = "sum") -> DataFrame:
+    """One overview level: zoom z -> z-1, 2x2 block reduce.
+
+    ``agg``: 'sum' (counts/density), 'average' (the reference's
+    default overview resampling), 'max', 'min' — the overview subset
+    of GDALResampleAlg (alg/gdalwarper.h:34-68).
+    """
+
+    def _reduce(children: list[tuple[int, int, bytes]], ts: int,
+                dt: np.dtype):
+        canvas = np.zeros((2 * ts, 2 * ts),
+                          dtype=np.float64 if agg == "average" else dt)
+        filled = np.zeros((2 * ts, 2 * ts), dtype=bool)
+        for cx, cy, data in children:
+            sub = np.frombuffer(data, dtype=dt).reshape(ts, ts)
+            ox, oy = cx % 2, cy % 2
+            canvas[oy * ts:(oy + 1) * ts, ox * ts:(ox + 1) * ts] = sub
+            filled[oy * ts:(oy + 1) * ts, ox * ts:(ox + 1) * ts] = True
+        q = canvas.reshape(ts, 2, ts, 2)
+        if agg == "sum":
+            out = q.sum(axis=(1, 3))
+        elif agg == "average":
+            cnt = filled.reshape(ts, 2, ts, 2).sum(axis=(1, 3))
+            cnt[cnt == 0] = 1
+            out = q.sum(axis=(1, 3)) / cnt
+        elif agg == "max":
+            out = q.max(axis=(1, 3))
+        elif agg == "min":
+            out = q.min(axis=(1, 3))
+        else:
+            raise ValueError(f"unknown overview agg {agg}")
+        return out.astype(dt)
+
+    def reduce_stream(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+        cur = None
+        children: list[tuple[int, int, bytes]] = []
+        meta = {}
+        out = {"zoom": [], "tile_x": [], "tile_y": [], "band": [],
+               "data": [], "dtype": [], "tile_size": []}
+
+        def flush():
+            if cur is None:
+                return
+            ts = meta["ts"]
+            dt = meta["dt"]
+            arr = _reduce(children, ts, dt)
+            out["zoom"].append(meta["zoom"] - 1)
+            out["tile_x"].append(cur[0])
+            out["tile_y"].append(cur[1])
+            out["band"].append(meta["band"])
+            out["data"].append(arr.tobytes())
+            out["dtype"].append(str(dt))
+            out["tile_size"].append(ts)
+
+        for b in batches:
+            for ptx, pty, ts_, dt_, zm, bd, ctx, cty, data in zip(
+                b["ptile_x"], b["ptile_y"], b["tile_size"], b["dtype"],
+                b["zoom"], b["band"], b["tile_x"], b["tile_y"], b["data"],
+            ):
+                t = (int(ptx), int(pty))
+                if t != cur:
+                    flush()
+                    cur = t
+                    children = []
+                    if len(out["zoom"]) >= 64:
+                        yield pd.DataFrame(out)
+                        for k in out:
+                            out[k] = []
+                meta = {"ts": int(ts_), "dt": np.dtype(dt_),
+                        "zoom": int(zm), "band": int(bd)}
+                children.append((int(ctx), int(cty), data))
+        flush()
+        if out["zoom"]:
+            yield pd.DataFrame(out)
+
+    parents = tiles.withColumn(
+        "ptile_x", (F.col("tile_x") / 2).cast("long")
+    ).withColumn("ptile_y", (F.col("tile_y") / 2).cast("long"))
+    nparts = tiles.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        parents.repartitionByRange(nparts, "ptile_x", "ptile_y")
+        .sortWithinPartitions("ptile_x", "ptile_y")
+        .mapInPandas(reduce_stream, TILE_SCHEMA)
+        .select(*[f.name for f in TILE_SCHEMA.fields])
+    )
+
+
+def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int = 0,
+                  tile_size: int = 256, lon: str = "lon", lat: str = "lat"
+                  ) -> DataFrame:
+    """Full pyramid: base zoom rendered from points, overview zooms
+    from the zoom below (gdalalg_raster_tile.cpp:1552-1596).
+
+    Levels propagate in the SPARSE representation; each zoom is
+    densified map-side only for the output union."""
+    level = sparse_density(points, base_zoom, tile_size, lon, lat)
+    out = densify(level, base_zoom, tile_size)
+    for z in range(base_zoom, min_zoom, -1):
+        level = sparse_overview(level, tile_size)
+        out = out.unionByName(densify(level, z - 1, tile_size))
+    return out
+
+
+def tile_y_file(tiles: DataFrame, convention: str = "xyz") -> DataFrame:
+    """Apply the XYZ/TMS file-name convention
+    (gdalalg_raster_tile.cpp:509-514 GetFileY)."""
+    if convention == "xyz":
+        return tiles.withColumn("file_y", F.col("tile_y"))
+    return tiles.withColumn(
+        "file_y",
+        F.expr("CAST(POWER(2, zoom) AS BIGINT) - 1 - tile_y"),
+    )
+
+
+def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
+                mode: str = "overwrite") -> None:
+    """Partitioned tile sink: zoom=*/... parquet layout (Hive scheme,
+    the same layout as apps/gdalalg_vector_partition.cpp)."""
+    tile_y_file(tiles, convention).write.partitionBy("zoom").parquet(
+        path, mode=mode)

@@ -94,8 +94,16 @@ _RENDER_SCHEMA = StructType([
 ])
 
 
-def pages_df(spark: SparkSession, n: int, partitions: int | None = None
-             ) -> DataFrame:
+def pages_coords_df(spark: SparkSession, n: int,
+                    partitions: int | None = None) -> DataFrame:
+    """(i, lon, lat, lang, url) without html/text rendering — the
+    pure-JVM fast path for join/tiling benchmarks where the page body
+    is not consumed.  Same coordinates as pages_df."""
+    return pages_df(spark, n, partitions, coords_only=True)
+
+
+def pages_df(spark: SparkSession, n: int, partitions: int | None = None,
+             coords_only: bool = False) -> DataFrame:
     """Synthesize n pages. Columns: url, warc_ts, html, text, lang,
     plus the true lon/lat (dropped by callers that exercise the
     geocode-extraction path)."""
@@ -132,6 +140,8 @@ def pages_df(spark: SparkSession, n: int, partitions: int | None = None
         )
         .withColumn("lang", F.element_at(langs, (F.col("i") % 6 + 1).cast("int")))
     )
+    if coords_only:
+        return df.select("i", "url", "lang", "lon", "lat")
 
     out_schema = StructType([
         StructField("i", df.schema["i"].dataType),

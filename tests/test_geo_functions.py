@@ -107,7 +107,9 @@ def test_lcg_geocode_matches_numpy(spark):
         F.expr(geo.lat_from_key_sql("k")).alias("lat"),
     ).collect()
     k = np.arange(1000, dtype=np.int64)
-    lon = ((k * 1103515245 + 12345) % geo.LCG_M) / geo.LCG_M * 360 - 180
-    lat = ((k * 69069 + 1) % geo.LCG_M) / geo.LCG_M * 170 - 85
+    lon = ((k * geo.LON_MULT + geo.LON_ADD) % geo.LCG_M) / geo.LCG_M \
+        * 360 - 180
+    lat = ((k * geo.LAT_MULT + geo.LAT_ADD) % geo.LCG_M) / geo.LCG_M \
+        * 170 - 85
     np.testing.assert_allclose([r.lon for r in rows], lon, atol=1e-12)
     np.testing.assert_allclose([r.lat for r in rows], lat, atol=1e-12)

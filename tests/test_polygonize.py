@@ -1,0 +1,139 @@
+"""Polygonize parity: the reference's canonical golden
+(autotest/alg/polygonize.py::test_polygonize_1) re-expressed over the
+same 5x7 grid, plus distributed == single-array equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.geometry.packed import geom_area
+from gdal_spark.geometry.wkb import parse_wkb
+from gdal_spark.operators.polygonize import (
+    label_tile, polygonize_array, polygonize_tiles, runs_of_labels,
+)
+
+# autotest/alg/data/polygonize_in.grd: 5x7, cellsize 60, nodata 132,
+# origin (440720, 3751440) north-up (yll 3751020 + 7*60)
+GRID = np.array([
+    [107, 123, 132, 115, 132],
+    [115, 132, 132, 123, 123],
+    [115, 132, 140, 132, 123],
+    [148, 132, 123, 123, 123],
+    [156, 156, 156, 140, 132],
+    [156, 100, 156, 101, 102],
+    [156, 156, 156, 103, 103],
+], dtype=np.int32)
+GT = [440720.0, 60.0, 0.0, 3751440.0, 0.0, -60.0]
+NODATA = 132.0
+
+EXPECT_DNS = sorted([107, 123, 115, 115, 140, 148, 123, 140, 100, 101,
+                     102, 156, 103])
+EXPECT_156_WKT_RINGS = {
+    # outer and hole rings of the DN=156 polygon (as vertex sets)
+    "outer": {(440720, 3751200), (440720, 3751020), (440900, 3751020),
+              (440900, 3751200)},
+    "hole": {(440780, 3751140), (440840, 3751140), (440840, 3751080),
+             (440780, 3751080)},
+}
+
+
+def test_label_tile_counts():
+    labels, _ = label_tile(GRID, NODATA, 4)
+    uniq = np.unique(labels[labels >= 0])
+    assert len(uniq) == 13
+
+
+def test_polygonize_golden_4conn():
+    out = polygonize_array(GRID, GT, NODATA, 4)
+    assert len(out) == 13
+    assert sorted(out["value"].astype(int).tolist()) == EXPECT_DNS
+    # the DN=156 polygon has a hole with the documented ring coords
+    g156 = [parse_wkb(b) for v, b in zip(out["value"], out["geometry"])
+            if v == 156]
+    assert len(g156) == 1
+    rings = g156[0].rings()
+    assert len(rings) == 2
+    ring_sets = [set(map(tuple, r[:-1].astype(int))) for r in rings]
+    assert EXPECT_156_WKT_RINGS["outer"] in ring_sets
+    assert EXPECT_156_WKT_RINGS["hole"] in ring_sets
+    # area: 15 outer cells minus 1 hole cell... outer bbox 3x3 cells
+    # (the 156 block is 3 cols x 3 rows = 9 cells with 1 hole)
+    g = g156[0]
+    assert geom_area(g) == (9 - 1) * 60 * 60
+
+
+def test_polygonize_8conn_merges_diagonal():
+    grid = np.array([
+        [5, 0],
+        [0, 5],
+    ], dtype=np.int32)
+    out4 = polygonize_array(grid, [0, 1, 0, 2, 0, -1], None, 4)
+    out8 = polygonize_array(grid, [0, 1, 0, 2, 0, -1], None, 8)
+    n5_4 = (out4["value"] == 5).sum()
+    n5_8 = (out8["value"] == 5).sum()
+    assert n5_4 == 2
+    assert n5_8 == 1
+
+
+def test_runs_roundtrip():
+    labels, _ = label_tile(GRID, NODATA, 4)
+    ls, ys, x0s, x1s = runs_of_labels(labels)
+    # total run pixels == valid pixels
+    assert (x1s - x0s).sum() == (GRID != NODATA).sum()
+
+
+def test_distributed_polygonize_matches_single(spark):
+    """Tile the golden grid into 4 tiles; cross-tile merge must give
+    the same polygons as the single-array path."""
+    # embed the 5x7 grid into an 8x8 canvas (nodata padding)
+    canvas = np.full((8, 8), NODATA, dtype=np.float64)
+    canvas[:7, :5] = GRID
+    rows = []
+    ts = 4
+    for ty in range(2):
+        for tx in range(2):
+            sub = canvas[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({
+                "zoom": -1, "tile_x": tx, "tile_y": ty, "band": 1,
+                "data": sub.astype(np.float64).tobytes(),
+                "dtype": "float64", "tile_size": ts,
+            })
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    got = polygonize_tiles(tiles, GT, NODATA, 4).toPandas()
+    want = polygonize_array(canvas, GT, NODATA, 4)
+
+    def canon(df):
+        out = []
+        for v, b in zip(df["value"], df["geometry"]):
+            g = parse_wkb(bytes(b))
+            area = geom_area(g)
+            allc = np.vstack(g.rings())
+            out.append((float(v), round(area, 6),
+                        round(float(allc[:, 0].min()), 6),
+                        round(float(allc[:, 1].min()), 6),
+                        len(g.rings())))
+        return sorted(out)
+
+    assert len(got) == len(want) == 13
+    assert canon(got) == canon(want)
+
+
+def test_distributed_polygonize_spanning_polygon(spark):
+    """A polygon spanning all 4 tiles must merge into one feature."""
+    canvas = np.zeros((8, 8), dtype=np.float64)
+    canvas[2:6, 2:6] = 9.0
+    rows = []
+    ts = 4
+    for ty in range(2):
+        for tx in range(2):
+            sub = canvas[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({
+                "zoom": -1, "tile_x": tx, "tile_y": ty, "band": 1,
+                "data": sub.tobytes(), "dtype": "float64", "tile_size": ts,
+            })
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    got = polygonize_tiles(tiles, [0, 1, 0, 8, 0, -1], 0.0, 4).toPandas()
+    assert len(got) == 1
+    g = parse_wkb(bytes(got["geometry"].iloc[0]))
+    assert geom_area(g) == 16.0
+    assert got["n_pixels"].iloc[0] == 16
