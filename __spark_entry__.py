@@ -390,6 +390,145 @@ def q20_simhash(spark, sf_dir):
     return simhash_signatures(docs).orderBy("doc_id")
 
 
+def q21_density_pyramid(spark, sf_dir):
+    """Tile pyramid stats: tiles and total mass per zoom (sparse
+    density + overview reduce; mass conservation is the invariant)."""
+    from gdal_spark.operators.tiling import build_pyramid, tiles_to_arrays
+    from gdal_spark.operators.checksum import tile_checksums  # noqa: F401
+    from typing import Iterator
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType
+    )
+
+    pts = _points_from_orders(spark, sf_dir)
+    pyr = build_pyramid(pts, base_zoom=6, min_zoom=4)
+
+    schema = StructType([
+        StructField("zoom", IntegerType()),
+        StructField("tile_x", LongType()),
+        StructField("tile_y", LongType()),
+        StructField("mass", LongType()),
+    ])
+
+    def mass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                arr = np.frombuffer(r["data"],
+                                    dtype=np.dtype(r["dtype"]))
+                out.append(int(arr.sum()))
+            yield pd.DataFrame({
+                "zoom": b["zoom"], "tile_x": b["tile_x"],
+                "tile_y": b["tile_y"],
+                "mass": np.array(out, dtype=np.int64),
+            })
+
+    return (
+        pyr.mapInPandas(mass, schema)
+        .groupBy("zoom")
+        .agg(F.count("*").alias("n_tiles"),
+             F.sum("mass").alias("total_points"))
+        .orderBy("zoom")
+    )
+
+
+# zonal fixture: mercator rectangles aligned to z=6 pixel boundaries
+# (tile_size 256 -> pixel res = span(6)/256); zone k covers pixel
+# range [xpx0, xpx1) x [ypx0, ypx1)
+_ZONE_PX = [
+    (4000, 4000, 6000, 6000),
+    (9000, 2000, 12000, 5000),
+    (1000, 9000, 3000, 12000),
+]
+
+
+def q22_zonal_density(spark, sf_dir):
+    """Zonal stats over the page-density raster at z=6: per-zone sum
+    equals the number of points whose global pixel falls in the zone
+    (raster x vector then SQL agg — the zonal.cpp composition)."""
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.tiling import page_density_tiles
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.zonal import zonal_stats
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=6)
+    res = geo.tile_span(6) / 256
+    n_px = 64 * 256
+    grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
+    zones = []
+    for fid, (x0, y0, x1, y1) in enumerate(_ZONE_PX):
+        ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)], dtype=np.float64)
+        gx = grid.x0 + ring[:, 0] * res
+        gy = grid.y1 - ring[:, 1] * res
+        zones.append({
+            "fid": fid,
+            "geometry": polygon_wkb([np.column_stack([gx, gy])]),
+        })
+    out = zonal_stats(spark, tiles, pd.DataFrame(zones), grid)
+    # n_pixels would depend on which tiles are occupied (densify only
+    # materializes occupied tiles) — the SQL-checkable outputs are the
+    # per-zone point mass and max pixel density
+    return out.select(
+        F.col("zone").cast("long").alias("zone"),
+        F.col("sum").cast("long").alias("n_points"),
+        F.col("max").cast("long").alias("max_density"),
+    ).orderBy("zone")
+
+
+def q23_rasterize_checksum(spark, sf_dir):
+    """Rasterize triangles + per-tile GDAL checksum (rows-only: the
+    checksum oracle is validated against byte.tif==4672 in pytest)."""
+    from gdal_spark.operators.checksum import tile_checksums
+    from gdal_spark.operators.rasterize import GridSpec, rasterize
+
+    grid = GridSpec(-180.0, 85.0, 0.5, 0.5, 720, 340)
+    tris = _tri_polys_pdf()
+    tris["burn"] = [100.0, 200.0]
+    tiles = rasterize(spark, tris, grid, burn_col="burn", dtype="uint8",
+                      merge_alg="add", tile_size=128)
+    return tile_checksums(tiles).orderBy("tile_x", "tile_y")
+
+
+def q24_polygonize_roundtrip(spark, sf_dir):
+    """Rasterize -> polygonize roundtrip (rows-only)."""
+    from gdal_spark.operators.polygonize import polygonize_tiles
+    from gdal_spark.operators.rasterize import GridSpec, rasterize
+
+    grid = GridSpec(-180.0, 85.0, 0.5, 0.5, 720, 340)
+    rects = _rect_polys_pdf()
+    rects["burn"] = [10.0, 20.0, 30.0]
+    tiles = rasterize(spark, rects, grid, burn_col="burn", dtype="uint8",
+                      tile_size=128)
+    polys = polygonize_tiles(tiles, grid.gt, nodata=0.0)
+    return (
+        polys.groupBy("value").agg(F.count("*").alias("n_polys"),
+                                   F.sum("n_pixels").alias("n_pixels"))
+        .orderBy("value")
+    )
+
+
+def q25_warp_density(spark, sf_dir):
+    """Warp the z=5 density raster 3857 -> 4326 (rows-only: near
+    resample conserves neither mass nor checksums)."""
+    from gdal_spark.operators.checksum import tile_checksums
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import page_density_tiles
+    from gdal_spark.operators.warp import warp_tiles
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=5)
+    n_px = 32 * 256
+    res = 2 * geo.ORIGIN / n_px
+    src = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
+    dst = GridSpec(-180.0, 85.0, 0.125, 0.125, 2880, 1360)
+    out = warp_tiles(tiles, src, dst, "EPSG:3857", "EPSG:4326",
+                     "near", nodata=0.0, dtype="uint32")
+    return tile_checksums(out).orderBy("tile_x", "tile_y")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_join": q02_revenue_join,
@@ -411,7 +550,70 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_ann_cosine_topk": q18_ann_cosine_topk,
     "q19_minhash_lsh_dedup": q19_minhash_lsh_dedup,
     "q20_simhash": q20_simhash,
+    "q21_density_pyramid": q21_density_pyramid,
+    "q22_zonal_density": q22_zonal_density,
+    "q23_rasterize_checksum": q23_rasterize_checksum,
+    "q24_polygonize_roundtrip": q24_polygonize_roundtrip,
+    "q25_warp_density": q25_warp_density,
 }
+
+
+def _pixel6_sql() -> tuple[str, str]:
+    """Global z=6 pixel coords of a point, matching the engine's
+    staged computation in page_density_tiles (same literals)."""
+    res = geo.tile_span(6) / 256
+    maxpx = 64 * 256 - 1
+    mx = geo.merc_x_sql("lon")
+    my = geo.merc_y_sql("lat")
+    px = (f"LEAST(GREATEST(CAST(FLOOR((({mx}) - (-{geo.ORIGIN!r})) /"
+          f" {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+    py = (f"LEAST(GREATEST(CAST(FLOOR(({geo.ORIGIN!r} - ({my})) /"
+          f" {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+    return px, py
+
+
+def _pyramid_oracle() -> str:
+    px, py = _pixel6_sql()
+    parts = []
+    for z in (4, 5, 6):
+        shift = 1 << (6 - z)  # pixel halvings 6 -> z
+        tx = f"CAST(FLOOR(px / {256 * shift}) AS BIGINT)"
+        ty = f"CAST(FLOOR(py / {256 * shift}) AS BIGINT)"
+        parts.append(
+            f"SELECT {z} AS zoom,"
+            f" COUNT(DISTINCT ({tx}) * 65536 + ({ty})) AS n_tiles,"
+            f" COUNT(*) AS total_points FROM pix"
+        )
+    return (
+        f"WITH pts AS ({_POINTS_SQL}),"
+        f" pix AS (SELECT {px} AS px, {py} AS py FROM pts) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY zoom"
+    )
+
+
+def _zonal_oracle() -> str:
+    px, py = _pixel6_sql()
+    parts = []
+    for fid, (x0, y0, x1, y1) in enumerate(_ZONE_PX):
+        parts.append(
+            f"SELECT {fid} AS zone, COUNT(*) AS n_points,"
+            f" MAX(cnt) AS max_density FROM ("
+            f"  SELECT px, py, COUNT(*) AS cnt FROM pix"
+            f"  WHERE px >= {x0} AND px < {x1}"
+            f"  AND py >= {y0} AND py < {y1}"
+            f"  GROUP BY px, py) g"
+        )
+    # n_points = sum of per-pixel counts = plain count of points in zone
+    return (
+        f"WITH pts AS ({_POINTS_SQL}),"
+        f" pix AS (SELECT {px} AS px, {py} AS py FROM pts) "
+        + " UNION ALL ".join(
+            p.replace("COUNT(*) AS n_points", "SUM(cnt) AS n_points")
+            for p in parts
+        )
+        + " ORDER BY zone"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -657,8 +859,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank
         """,
-        # q19/q20: minhash/simhash signatures are not SQL-expressible
-        # -> driver records rows-only checks.
+        "q21_density_pyramid": _pyramid_oracle(),
+        "q22_zonal_density": _zonal_oracle(),
+        # q19/q20 (minhash/simhash signatures), q23 (checksums),
+        # q24 (polygonize rings), q25 (warp resampling) are not
+        # SQL-expressible -> driver records rows-only checks; their
+        # deep parity is asserted in pytest (goldens incl. byte.tif
+        # checksum 4672 and the 13-polygon polygonize fixture).
     }
 
 

@@ -1,0 +1,120 @@
+"""Warp / translate: identity, window/outsize, cast/scale, CRS
+roundtrip (golden suite #3: reprojected coordinates match the closed
+forms to 1e-9 deg, verified in test_geo_functions; here raster
+semantics)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.operators.rasterize import GridSpec, assemble_raster
+from gdal_spark.operators.warp import (
+    tiles_from_array, translate_tiles, warp_tiles,
+)
+
+RNG = np.random.RandomState(3)
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    arr = RNG.randint(0, 255, (96, 128)).astype(np.uint8)
+    tiles, w, h = tiles_from_array(spark, arr, tile_size=64)
+    grid = GridSpec(x0=0.0, y1=float(h), px_w=1.0, px_h=1.0,
+                    width=w, height=h)
+    return arr, tiles, grid
+
+
+def test_identity_warp(spark, src):
+    arr, tiles, grid = src
+    out = warp_tiles(tiles, grid, grid, "EPSG:3857", "EPSG:3857",
+                     "near", tile_size=64)
+    got = assemble_raster(out.toPandas(), grid)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_translate_window(spark, src):
+    arr, tiles, grid = src
+    out = translate_tiles(tiles, grid, srcwin=(16, 8, 64, 48),
+                          tile_size=64)
+    dstg = GridSpec(16.0, grid.y1 - 8, 1.0, 1.0, 64, 48)
+    got = assemble_raster(out.toPandas(), dstg)
+    np.testing.assert_array_equal(got, arr[8:56, 16:80])
+
+
+def test_translate_downscale_average(spark, src):
+    arr, tiles, grid = src
+    out = translate_tiles(tiles, grid, srcwin=(0, 0, 128, 96),
+                          outsize=(64, 48), resample="average",
+                          tile_size=64)
+    dstg = GridSpec(0.0, grid.y1, 2.0, 2.0, 64, 48)
+    got = assemble_raster(out.toPandas(), dstg).astype(np.float64)
+    want = arr.astype(np.float64).reshape(48, 2, 64, 2).mean(axis=(1, 3))
+    # average via footprint estimate: allow rounding differences
+    assert np.abs(got - np.round(want)).max() <= 1.0
+
+
+def test_translate_upscale_near(spark, src):
+    arr, tiles, grid = src
+    out = translate_tiles(tiles, grid, srcwin=(0, 0, 64, 48),
+                          outsize=(128, 96), resample="near",
+                          tile_size=64)
+    dstg = GridSpec(0.0, grid.y1, 0.5, 0.5, 128, 96)
+    got = assemble_raster(out.toPandas(), dstg)
+    want = np.kron(arr[:48, :64], np.ones((2, 2), dtype=np.uint8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_translate_scale_and_cast(spark, src):
+    arr, tiles, grid = src
+    out = translate_tiles(tiles, grid, srcwin=(0, 0, 128, 96),
+                          scale=(0.0, 255.0, 0.0, 1.0), ot="float32",
+                          tile_size=64)
+    dstg = GridSpec(0.0, grid.y1, 1.0, 1.0, 128, 96)
+    got = assemble_raster(out.toPandas(), dstg)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, arr / 255.0, atol=1e-6)
+
+
+def test_translate_cast_clamps(spark, src):
+    arr, tiles, grid = src
+    out = translate_tiles(tiles, grid, srcwin=(0, 0, 128, 96),
+                          scale=(0.0, 1.0, 0.0, 1000.0), ot="uint8",
+                          tile_size=64)
+    dstg = GridSpec(0.0, grid.y1, 1.0, 1.0, 128, 96)
+    got = assemble_raster(out.toPandas(), dstg)
+    assert got.dtype == np.uint8
+    assert got[arr > 0].max() == 255  # clamped
+
+
+def test_warp_4326_3857_samples_correctly(spark):
+    """Warp a 4326 lat/lon grid to 3857 and verify sampled values by
+    back-projecting dst pixel centers (near kernel)."""
+    # source: 4326 grid over the world, value = encoded (lon_idx)
+    w4, h4 = 360, 170
+    arr = (np.arange(h4)[:, None] * 1000 + np.arange(w4)[None, :]) \
+        .astype(np.float64)
+    tiles, _, _ = tiles_from_array(spark, arr, tile_size=64)
+    src_grid = GridSpec(x0=-180.0, y1=85.0, px_w=1.0, px_h=1.0,
+                        width=w4, height=h4)
+    from gdal_spark.functions import geo
+
+    dst_grid = GridSpec(
+        x0=-geo.ORIGIN, y1=geo.ORIGIN * 0.9,
+        px_w=geo.ORIGIN / 128, px_h=geo.ORIGIN / 128,
+        width=256, height=230,
+    )
+    out = warp_tiles(tiles, src_grid, dst_grid, "EPSG:4326", "EPSG:3857",
+                     "near", nodata=-1.0, tile_size=64)
+    got = assemble_raster(out.toPandas(), dst_grid)
+    # oracle: back-project a sample of dst pixels
+    jj, ii = np.mgrid[0:dst_grid.height:17, 0:dst_grid.width:13]
+    wx = dst_grid.x0 + (ii + 0.5) * dst_grid.px_w
+    wy = dst_grid.y1 - (jj + 0.5) * dst_grid.px_h
+    lon = wx / geo.ORIGIN * 180.0
+    lat = np.degrees(2 * np.arctan(np.exp(wy / geo.ORIGIN * np.pi))
+                     - np.pi / 2)
+    sx = np.floor((lon + 180.0) / 1.0).astype(int)
+    sy = np.floor((85.0 - lat) / 1.0).astype(int)
+    inside = (sx >= 0) & (sx < w4) & (sy >= 0) & (sy < h4)
+    want = np.where(inside, arr[np.clip(sy, 0, h4 - 1),
+                                np.clip(sx, 0, w4 - 1)], -1.0)
+    np.testing.assert_array_equal(got[jj, ii], want)
