@@ -1,0 +1,204 @@
+"""Layer algebra: Clip / Intersection / Erase between two layers.
+
+The reference implements these GEOS-backed on OGRLayer
+(Intersection ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385, Clip :7537,
+Erase :7846) with a bbox prefilter + prepared geometries.  This
+engine's v1 scope (no GEOS in the container):
+
+* method (clip) geometries must be axis rectangles or CONVEX
+  polygons — the rectangle fast path the reference special-cases
+  (ogrlayer.cpp:3922; apps/ogr2ogr_lib.cpp:604-609) plus the
+  Sutherland-Hodgman generalization to convex clips;
+* Erase supports axis-rectangle erasers (the complement is
+  decomposed into 4 half-plane strips, each clipped independently —
+  pieces are disjoint, returned as a multipolygon).
+
+Execution mirrors the spatial join: broadcast cell-cover prefilter
+of the method layer, exact clip kernel in mapInPandas, output rows =
+(input fid, method fid, geometry WKB, area).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StructField, StructType
+)
+
+from gdal_spark.geometry.packed import geom_area, ring_signed_area
+from gdal_spark.geometry.wkb import (
+    multipolygon_wkb, parse_wkb, polygon_wkb,
+)
+
+
+def clip_ring_convex(ring: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman against a convex clip ring (CCW)."""
+    poly = np.asarray(ring, dtype=np.float64)
+    if len(poly) and np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    cl = np.asarray(clip, dtype=np.float64)
+    if np.array_equal(cl[0], cl[-1]):
+        cl = cl[:-1]
+    if ring_signed_area(np.vstack([cl, cl[:1]])) < 0:
+        cl = cl[::-1]  # ensure CCW so inside = left of each edge
+    for i in range(len(cl)):
+        a = cl[i]
+        b = cl[(i + 1) % len(cl)]
+        if len(poly) == 0:
+            break
+        prev = np.roll(poly, 1, axis=0)
+        edge = b - a
+        cur_in = (edge[0] * (poly[:, 1] - a[1])
+                  - edge[1] * (poly[:, 0] - a[0])) >= 0
+        prev_in = (edge[0] * (prev[:, 1] - a[1])
+                   - edge[1] * (prev[:, 0] - a[0])) >= 0
+        out = []
+        for j in range(len(poly)):
+            if cur_in[j]:
+                if not prev_in[j]:
+                    out.append(_isect_line(prev[j], poly[j], a, b))
+                out.append(poly[j])
+            elif prev_in[j]:
+                out.append(_isect_line(prev[j], poly[j], a, b))
+        poly = np.array(out) if out else np.zeros((0, 2))
+    if len(poly) >= 3:
+        return np.vstack([poly, poly[:1]])
+    return np.zeros((0, 2))
+
+
+def _isect_line(p, q, a, b):
+    d1 = q - p
+    d2 = b - a
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    t = ((a[0] - p[0]) * d2[1] - (a[1] - p[1]) * d2[0]) / denom
+    return p + t * d1
+
+
+OVERLAY_SCHEMA = StructType([
+    StructField("fid", LongType()),
+    StructField("method_fid", LongType()),
+    StructField("geometry", BinaryType()),
+    StructField("area", DoubleType()),
+])
+
+
+def _bbox_pairs(input_pdf: pd.DataFrame, method_pdf: pd.DataFrame
+                ) -> pd.DataFrame:
+    """bbox-overlap candidate pairs (the prefilter of
+    ogrlayer.cpp:4004)."""
+    rows = {"fid": [], "method_fid": []}
+    iboxes = [(int(r["fid"]), parse_wkb(bytes(r["geometry"])).bbox())
+              for _, r in input_pdf.iterrows()]
+    mboxes = [(int(r["fid"]), parse_wkb(bytes(r["geometry"])).bbox())
+              for _, r in method_pdf.iterrows()]
+    for fid, (ix0, iy0, ix1, iy1) in iboxes:
+        for mfid, (mx0, my0, mx1, my1) in mboxes:
+            if ix0 <= mx1 and mx0 <= ix1 and iy0 <= my1 and my0 <= iy1:
+                rows["fid"].append(fid)
+                rows["method_fid"].append(mfid)
+    return pd.DataFrame(rows)
+
+
+def intersection(spark: SparkSession, input_df: DataFrame,
+                 method_pdf: pd.DataFrame,
+                 geom_col: str = "geometry") -> DataFrame:
+    """Layer Intersection (input x convex method layer).
+
+    ``input_df``: (fid, geometry WKB, ...) distributed layer;
+    ``method_pdf``: small broadcastable layer of convex polygons.
+    """
+    method = {
+        int(r["fid"]): parse_wkb(bytes(r["geometry"])).rings()[0]
+        for _, r in method_pdf.iterrows()
+    }
+    mboxes = {
+        fid: (ring[:, 0].min(), ring[:, 1].min(),
+              ring[:, 0].max(), ring[:, 1].max())
+        for fid, ring in method.items()
+    }
+    bc = spark.sparkContext.broadcast((method, mboxes))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meth, boxes = bc.value
+        for b in batches:
+            rows = {"fid": [], "method_fid": [], "geometry": [],
+                    "area": []}
+            for fid, wkb in zip(b["fid"], b[geom_col]):
+                g = parse_wkb(bytes(wkb))
+                gx0, gy0, gx1, gy1 = g.bbox()
+                for mfid, (mx0, my0, mx1, my1) in boxes.items():
+                    if not (gx0 <= mx1 and mx0 <= gx1
+                            and gy0 <= my1 and my0 <= gy1):
+                        continue  # bbox reject
+                    clipped = [clip_ring_convex(r, meth[mfid])
+                               for r in g.rings()]
+                    clipped = [c for c in clipped if len(c)]
+                    if not clipped:
+                        continue
+                    out_wkb = polygon_wkb(clipped)
+                    area = geom_area(parse_wkb(out_wkb))
+                    if area <= 0:
+                        continue
+                    rows["fid"].append(int(fid))
+                    rows["method_fid"].append(int(mfid))
+                    rows["geometry"].append(out_wkb)
+                    rows["area"].append(area)
+            if rows["fid"]:
+                yield pd.DataFrame(rows)
+
+    return input_df.mapInPandas(kernel, OVERLAY_SCHEMA)
+
+
+def clip(spark: SparkSession, input_df: DataFrame,
+         method_pdf: pd.DataFrame, geom_col: str = "geometry"
+         ) -> DataFrame:
+    """Clip == Intersection keeping only input attributes
+    (ogrlayer.cpp:7537)."""
+    return intersection(spark, input_df, method_pdf, geom_col)
+
+
+def erase_rect(spark: SparkSession, input_df: DataFrame,
+               rect: tuple[float, float, float, float],
+               geom_col: str = "geometry") -> DataFrame:
+    """Erase by an axis rectangle (ogrlayer.cpp:7846): the rectangle
+    complement is decomposed into 4 strips; each input polygon is
+    clipped against every strip and the surviving pieces form a
+    multipolygon."""
+    x0, y0, x1, y1 = rect
+    big = 1e12
+    strips = [
+        (-big, -big, x0, big),       # west
+        (x1, -big, big, big),        # east
+        (x0, -big, x1, y0),          # south middle
+        (x0, y1, x1, big),           # north middle
+    ]
+
+    from gdal_spark.geometry.ops import clip_ring_rect
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"fid": [], "method_fid": [], "geometry": [],
+                    "area": []}
+            for fid, wkb in zip(b["fid"], b[geom_col]):
+                g = parse_wkb(bytes(wkb))
+                pieces = []
+                for (sx0, sy0, sx1, sy1) in strips:
+                    for ring in g.rings():
+                        c = clip_ring_rect(ring, sx0, sy0, sx1, sy1)
+                        if len(c):
+                            pieces.append([c])
+                if not pieces:
+                    continue
+                out_wkb = multipolygon_wkb(pieces)
+                rows["fid"].append(int(fid))
+                rows["method_fid"].append(-1)
+                rows["geometry"].append(out_wkb)
+                rows["area"].append(geom_area(parse_wkb(out_wkb)))
+            if rows["fid"]:
+                yield pd.DataFrame(rows)
+
+    return input_df.mapInPandas(kernel, OVERLAY_SCHEMA)

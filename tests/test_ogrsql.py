@@ -1,0 +1,151 @@
+"""OGR SQL dialect goldens — rfc28-style expectations re-expressed
+over the poly fixture (autotest/ogr/ogr_sql_rfc28.py,
+ogr_sql_test.py; fixture semantics FIXTURES.md §2)."""
+
+import pandas as pd
+import pytest
+
+from gdal_spark.sql.ogrsql import execute_ogr_sql, parse_ogr_sql
+from gdal_spark.sources.polygons import poly_fixture_pdf
+
+
+@pytest.fixture(scope="module")
+def layers(spark):
+    pdf = poly_fixture_pdf()
+    poly = spark.createDataFrame(pdf)
+    idlink = spark.createDataFrame(
+        pd.DataFrame({"eas_id": pdf["eas_id"],
+                      "name": [f"name{e}" for e in pdf["eas_id"]]})
+    )
+    return {"poly": poly, "idlink": idlink}
+
+
+def test_rfc28_1_arith_in_where(spark, layers):
+    """'WHERE 160+7 > eas_id' => 3 features (test_ogr_rfc28_1)."""
+    out = execute_ogr_sql(
+        spark, "SELECT * FROM poly WHERE 160+7 > eas_id", layers)
+    assert out.count() == 3
+
+
+def test_distinct_mode_desc(spark, layers):
+    """DISTINCT-list mode ordered DESC (ogr_shape.py:148-151)."""
+    out = execute_ogr_sql(
+        spark,
+        "SELECT DISTINCT eas_id FROM poly ORDER BY eas_id DESC",
+        layers,
+    )
+    got = [r.eas_id for r in out.collect()]
+    assert got == [179, 173, 172, 171, 170, 169, 168, 166, 165, 158]
+
+
+def test_summary_mode(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT MIN(eas_id) AS mn, MAX(eas_id) AS mx,"
+        " COUNT(eas_id) AS cnt, AVG(eas_id) AS av,"
+        " COUNT(DISTINCT prfedea) AS cd FROM poly",
+        layers,
+    )
+    r = out.collect()[0]
+    assert (r.mn, r.mx, r.cnt, r.cd) == (158, 179, 10, 10)
+    assert abs(r.av - 169.1) < 1e-9
+
+
+def test_special_field_area(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT eas_id, OGR_GEOM_AREA FROM poly"
+        " WHERE OGR_GEOM_AREA > 100 ORDER BY eas_id",
+        layers,
+    )
+    rows = out.collect()
+    # fid6 triangle (200 sq deg) -> 171, fid8 background rect -> 173,
+    # fid9 far-north rect -> 179
+    assert [r.eas_id for r in rows] == [171, 173, 179]
+
+
+def test_like_ilike(spark, layers):
+    n_like = execute_ogr_sql(
+        spark, "SELECT * FROM poly WHERE prfedea LIKE '35043141%'",
+        layers).count()
+    n_ilike_miss = execute_ogr_sql(
+        spark, "SELECT * FROM poly WHERE prfedea LIKE 'x%'",
+        layers).count()
+    assert n_like == 10 and n_ilike_miss == 0
+    # ILIKE case-insensitivity on a string column
+    df = spark.createDataFrame([("AbC",), ("xyz",)], ["s"])
+    got = execute_ogr_sql(spark, "SELECT * FROM t WHERE s ILIKE 'abc'",
+                          {"t": df})
+    assert got.count() == 1
+
+
+def test_join_and_left_join(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT eas_id, name FROM poly"
+        " JOIN idlink ON poly.eas_id = idlink.eas_id"
+        " WHERE poly.eas_id < 166 ORDER BY eas_id",
+        layers,
+    )
+    rows = out.collect()
+    assert [(r[0], r[1]) for r in rows] == [(158, "name158"),
+                                            (165, "name165")]
+
+
+def test_in_between_isnull(spark, layers):
+    assert execute_ogr_sql(
+        spark, "SELECT * FROM poly WHERE eas_id IN (158, 165, 9999)",
+        layers).count() == 2
+    assert execute_ogr_sql(
+        spark, "SELECT * FROM poly WHERE eas_id BETWEEN 165 AND 170",
+        layers).count() == 5
+    assert execute_ogr_sql(
+        spark, "SELECT * FROM poly WHERE prfedea IS NOT NULL",
+        layers).count() == 10
+    assert execute_ogr_sql(
+        spark, "SELECT * FROM poly WHERE eas_id NOT IN (158, 165)",
+        layers).count() == 8
+
+
+def test_limit_offset_union_all(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT eas_id FROM poly ORDER BY eas_id LIMIT 3 OFFSET 2",
+        layers,
+    )
+    assert [r.eas_id for r in out.collect()] == [166, 168, 169]
+    u = execute_ogr_sql(
+        spark,
+        "SELECT eas_id FROM poly WHERE eas_id < 160 UNION ALL"
+        " SELECT eas_id FROM poly WHERE eas_id > 175",
+        layers,
+    )
+    assert sorted(r.eas_id for r in u.collect()) == [158, 179]
+
+
+def test_concat_substr_cast(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT CONCAT(prfedea, '_x') AS c, SUBSTR(prfedea, 1, 5) AS s,"
+        " CAST(eas_id AS CHARACTER(10)) AS t FROM poly"
+        " WHERE eas_id = 158",
+        layers,
+    )
+    r = out.collect()[0]
+    assert r.c == "350431410_x"
+    assert r.s == "35043"
+    assert r.t == "158"
+
+
+def test_hstore_get_value(spark):
+    df = spark.createDataFrame([("a=>1,b=>2",)], ["props"])
+    out = execute_ogr_sql(
+        spark, "SELECT HSTORE_GET_VALUE(props, 'b') AS v FROM t",
+        {"t": df})
+    assert out.collect()[0].v == "2"
+
+
+def test_parse_rejects_group_by(spark, layers):
+    """OGR SQL has no GROUP BY (ogr/swq_parser.y); it must not parse."""
+    with pytest.raises(ValueError):
+        parse_ogr_sql("SELECT eas_id, COUNT(*) FROM poly GROUP BY eas_id")
