@@ -68,9 +68,9 @@ def tile_checksums(tiles: DataFrame) -> DataFrame:
             out = []
             for _, r in b.iterrows():
                 ts = int(r["tile_size"])
-                arr = np.frombuffer(
-                    r["data"], dtype=np.dtype(r["dtype"])
-                ).reshape(ts, ts)
+                from gdal_spark.operators.tiling import decode_tile
+
+                arr = decode_tile(r["data"], r["dtype"], ts)
                 out.append(checksum_array(arr))
             yield pd.DataFrame({
                 "zoom": b["zoom"], "tile_x": b["tile_x"],

@@ -371,9 +371,10 @@ def polygonize_tiles(
                 ts = int(b["tile_size"].iloc[i])
                 tx = int(b["tile_x"].iloc[i])
                 ty = int(b["tile_y"].iloc[i])
-                arr = np.frombuffer(
-                    b["data"].iloc[i], dtype=np.dtype(b["dtype"].iloc[i])
-                ).reshape(ts, ts)
+                from gdal_spark.operators.tiling import decode_tile
+
+                arr = decode_tile(b["data"].iloc[i],
+                                  b["dtype"].iloc[i], ts)
                 labels, _ = label_tile(arr, nodata, connectedness)
                 ls, ys, x0s, x1s = runs_of_labels(labels)
                 if len(ls) == 0:

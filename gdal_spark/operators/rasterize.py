@@ -401,8 +401,9 @@ def assemble_raster(tiles_pdf: pd.DataFrame, grid: GridSpec) -> np.ndarray:
     out = np.zeros((grid.height, grid.width), dtype=dt)
     for _, r in tiles_pdf.iterrows():
         ts = int(r["tile_size"])
-        arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])) \
-            .reshape(ts, ts)
+        from gdal_spark.operators.tiling import decode_tile
+
+        arr = decode_tile(r["data"], r["dtype"], ts)
         ox, oy = int(r["tile_x"]) * ts, int(r["tile_y"]) * ts
         w = min(ts, grid.width - ox)
         h = min(ts, grid.height - oy)

@@ -57,14 +57,40 @@ _PARTIAL_SCHEMA = StructType([
 ])
 
 
+def decode_tile(data: bytes, dtype: str, tile_size: int) -> np.ndarray:
+    """Decode one tile payload.  ``dtype`` may carry a codec prefix:
+    'deflate:uint32' (zlib-compressed, the engine's PNG-filter
+    stand-in — gdal raster tile deflate-encodes its PNG tiles,
+    apps/gdalalg_raster_tile.cpp:520-545)."""
+    if dtype.startswith("deflate:"):
+        import zlib
+
+        raw = zlib.decompress(data)
+        dt = np.dtype(dtype.split(":", 1)[1])
+    else:
+        raw = data
+        dt = np.dtype(dtype)
+    return np.frombuffer(raw, dtype=dt).reshape(tile_size, tile_size)
+
+
+def encode_tile(arr: np.ndarray, codec: str | None = None
+                ) -> tuple[bytes, str]:
+    """-> (payload, dtype-string) honoring the optional codec."""
+    buf = np.ascontiguousarray(arr).tobytes()
+    if codec == "deflate":
+        import zlib
+
+        return zlib.compress(buf, 1), f"deflate:{arr.dtype}"
+    return buf, str(arr.dtype)
+
+
 def tiles_to_arrays(pdf: pd.DataFrame) -> dict:
     """Decode tile rows -> {(zoom, x, y, band): np.ndarray}."""
     out = {}
     for _, r in pdf.iterrows():
         ts = int(r["tile_size"])
-        arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"]))
         out[(int(r["zoom"]), int(r["tile_x"]), int(r["tile_y"]),
-             int(r["band"]))] = arr.reshape(ts, ts)
+             int(r["band"]))] = decode_tile(r["data"], r["dtype"], ts)
     return out
 
 
@@ -72,11 +98,12 @@ def page_density_tiles(
     points: DataFrame, zoom: int, tile_size: int = 256,
     lon: str = "lon", lat: str = "lat",
     num_partitions: int | None = None,
+    codec: str | None = None,
 ) -> DataFrame:
     """Base-zoom page-density raster: count of points per pixel."""
     return densify(
         sparse_density(points, zoom, tile_size, lon, lat, num_partitions),
-        zoom, tile_size,
+        zoom, tile_size, codec,
     )
 
 
@@ -251,9 +278,12 @@ def sparse_overview(sparse: DataFrame, tile_size: int = 256,
                          nparts)
 
 
-def densify(sparse: DataFrame, zoom: int, tile_size: int = 256) -> DataFrame:
+def densify(sparse: DataFrame, zoom: int, tile_size: int = 256,
+            codec: str | None = None) -> DataFrame:
     """Sparse (idx, cnt) rows -> dense TILE_SCHEMA rasters (map-side
-    only; done at materialization time, never shuffled)."""
+    only; done at materialization time, never shuffled).  With
+    ``codec='deflate'`` the payloads are zlib-compressed (the PNG
+    stand-in), cutting Arrow/sink bytes ~100x on sparse tiles."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {"zoom": [], "tile_x": [], "tile_y": [], "band": [],
@@ -267,12 +297,13 @@ def densify(sparse: DataFrame, zoom: int, tile_size: int = 256) -> DataFrame:
                 hist[idx] = np.frombuffer(cnt_b, dtype=np.int64)
                 data = np.minimum(hist, np.iinfo(np.uint32).max) \
                     .astype(np.uint32)
+                payload, dts = encode_tile(data, codec)
                 out["zoom"].append(zoom)
                 out["tile_x"].append(int(tx))
                 out["tile_y"].append(int(ty))
                 out["band"].append(1)
-                out["data"].append(data.tobytes())
-                out["dtype"].append("uint32")
+                out["data"].append(payload)
+                out["dtype"].append(dts)
                 out["tile_size"].append(tile_size)
                 if len(out["zoom"]) >= 64:
                     yield pd.DataFrame(out)
@@ -293,12 +324,13 @@ def overview_reduce(tiles: DataFrame, agg: str = "sum") -> DataFrame:
     """
 
     def _reduce(children: list[tuple[int, int, bytes]], ts: int,
-                dt: np.dtype):
+                dts: str):
+        dt = np.dtype(dts.split(":")[-1])
         canvas = np.zeros((2 * ts, 2 * ts),
                           dtype=np.float64 if agg == "average" else dt)
         filled = np.zeros((2 * ts, 2 * ts), dtype=bool)
         for cx, cy, data in children:
-            sub = np.frombuffer(data, dtype=dt).reshape(ts, ts)
+            sub = decode_tile(data, dts, ts)
             ox, oy = cx % 2, cy % 2
             canvas[oy * ts:(oy + 1) * ts, ox * ts:(ox + 1) * ts] = sub
             filled[oy * ts:(oy + 1) * ts, ox * ts:(ox + 1) * ts] = True
@@ -329,14 +361,14 @@ def overview_reduce(tiles: DataFrame, agg: str = "sum") -> DataFrame:
             if cur is None:
                 return
             ts = meta["ts"]
-            dt = meta["dt"]
-            arr = _reduce(children, ts, dt)
+            dts = meta["dt"]
+            arr = _reduce(children, ts, dts)
             out["zoom"].append(meta["zoom"] - 1)
             out["tile_x"].append(cur[0])
             out["tile_y"].append(cur[1])
             out["band"].append(meta["band"])
             out["data"].append(arr.tobytes())
-            out["dtype"].append(str(dt))
+            out["dtype"].append(str(arr.dtype))
             out["tile_size"].append(ts)
 
         for b in batches:
@@ -353,7 +385,7 @@ def overview_reduce(tiles: DataFrame, agg: str = "sum") -> DataFrame:
                         yield pd.DataFrame(out)
                         for k in out:
                             out[k] = []
-                meta = {"ts": int(ts_), "dt": np.dtype(dt_),
+                meta = {"ts": int(ts_), "dt": str(dt_),
                         "zoom": int(zm), "band": int(bd)}
                 children.append((int(ctx), int(cty), data))
         flush()
@@ -373,18 +405,18 @@ def overview_reduce(tiles: DataFrame, agg: str = "sum") -> DataFrame:
 
 
 def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int = 0,
-                  tile_size: int = 256, lon: str = "lon", lat: str = "lat"
-                  ) -> DataFrame:
+                  tile_size: int = 256, lon: str = "lon", lat: str = "lat",
+                  codec: str | None = None) -> DataFrame:
     """Full pyramid: base zoom rendered from points, overview zooms
     from the zoom below (gdalalg_raster_tile.cpp:1552-1596).
 
     Levels propagate in the SPARSE representation; each zoom is
     densified map-side only for the output union."""
     level = sparse_density(points, base_zoom, tile_size, lon, lat)
-    out = densify(level, base_zoom, tile_size)
+    out = densify(level, base_zoom, tile_size, codec)
     for z in range(base_zoom, min_zoom, -1):
         level = sparse_overview(level, tile_size)
-        out = out.unionByName(densify(level, z - 1, tile_size))
+        out = out.unionByName(densify(level, z - 1, tile_size, codec))
     return out
 
 

@@ -210,7 +210,8 @@ def warp_tiles(
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
         dtx, dty = int(key[0]), int(key[1])
         ts = tile_size
-        dt_out = np.dtype(dtype or pdf["dtype"].iloc[0])
+        dt_out = np.dtype(dtype or
+                          pdf["dtype"].iloc[0].split(":")[-1])
         # assemble the source patch bbox covering all needed tiles
         txs = pdf["tile_x"].astype(int)
         tys = pdf["tile_y"].astype(int)
@@ -221,8 +222,9 @@ def warp_tiles(
         patch = np.full((ph, pw),
                         np.float64(nodata if nodata is not None else 0))
         for _, r in pdf.iterrows():
-            sub = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])) \
-                .reshape(ts, ts)
+            from gdal_spark.operators.tiling import decode_tile
+
+            sub = decode_tile(r["data"], r["dtype"], ts)
             ox = (int(r["tile_x"]) - txs.min()) * ts
             oy = (int(r["tile_y"]) - tys.min()) * ts
             patch[oy:oy + ts, ox:ox + ts] = sub
@@ -307,9 +309,10 @@ def translate_tiles(
             dts = []
             for _, r in b.iterrows():
                 ts = int(r["tile_size"])
-                arr = np.frombuffer(
-                    r["data"], dtype=np.dtype(r["dtype"])
-                ).reshape(ts, ts).astype(np.float64)
+                from gdal_spark.operators.tiling import decode_tile
+
+                arr = decode_tile(r["data"], r["dtype"], ts) \
+                    .astype(np.float64)
                 if scale is not None:
                     s0, s1, d0, d1 = scale
                     norm = (arr - s0) / (s1 - s0)
@@ -317,7 +320,8 @@ def translate_tiles(
                     if exponent is not None:
                         norm = norm ** exponent
                     arr = d0 + norm * (d1 - d0)
-                dt = np.dtype(ot) if ot else np.dtype(r["dtype"])
+                dt = np.dtype(ot) if ot else \
+                    np.dtype(r["dtype"].split(":")[-1])
                 rows.append(_cast_to(arr, dt).tobytes())
                 dts.append(str(dt))
             out_b = b.copy()

@@ -81,9 +81,10 @@ def zonal_stats(
                     ("zone", "cnt", "vsum", "vsum2", "vmin", "vmax")}
             for _, r in b.iterrows():
                 ts = int(r["tile_size"])
-                vals = np.frombuffer(
-                    r["data"], dtype=np.dtype(r["dtype"])
-                ).reshape(ts, ts).astype(np.float64)
+                from gdal_spark.operators.tiling import decode_tile
+
+                vals = decode_tile(r["data"], r["dtype"], ts) \
+                    .astype(np.float64)
                 zones = np.frombuffer(r["zdata"], dtype=np.int64) \
                     .reshape(ts, ts)
                 mask = zones >= 1
@@ -143,9 +144,10 @@ def zonal_value_counts(
             rows = {"zone": [], "value": [], "cnt": []}
             for _, r in b.iterrows():
                 ts = int(r["tile_size"])
-                vals = np.frombuffer(
-                    r["data"], dtype=np.dtype(r["dtype"])
-                ).reshape(ts, ts).astype(np.float64)
+                from gdal_spark.operators.tiling import decode_tile
+
+                vals = decode_tile(r["data"], r["dtype"], ts) \
+                    .astype(np.float64)
                 zones = np.frombuffer(r["zdata"], dtype=np.int64) \
                     .reshape(ts, ts)
                 mask = zones >= 1
