@@ -529,6 +529,81 @@ def q25_warp_density(spark, sf_dir):
     return tile_checksums(out).orderBy("tile_x", "tile_y")
 
 
+def q26_ogr_sql_dialect(spark, sf_dir):
+    """OGR SQL dialect layer end-to-end (summary mode + LIKE +
+    BETWEEN through the swq-grammar parser)."""
+    from gdal_spark.sql.ogrsql import execute_ogr_sql
+
+    return execute_ogr_sql(
+        spark,
+        "SELECT COUNT(o_orderkey) AS n,"
+        " MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,"
+        " COUNT(DISTINCT o_orderpriority) AS n_prio"
+        " FROM orders WHERE o_totalprice BETWEEN 1000 AND 50000"
+        " AND o_orderpriority LIKE '%URGENT'",
+        {"orders": _load(spark, sf_dir, "orders")},
+    )
+
+
+def q27_sample_density_at_cities(spark, sf_dir):
+    """Point lookup into the z=6 density raster at city locations
+    (interpolate-at-point, alg/gdal_interpolateatpoint.cpp): the
+    sampled value equals the count of points sharing the city's
+    pixel."""
+    from gdal_spark.operators.grid import sample_at_points
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import page_density_tiles
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=6)
+    res = geo.tile_span(6) / 256
+    n_px = 64 * 256
+    grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
+    cities = spark.createDataFrame(pd.DataFrame({
+        "k": np.arange(len(CITIES), dtype=np.int64),
+        "lon": [c[0] for c in CITIES],
+        "lat": [c[1] for c in CITIES],
+    }))
+    # city merc coords shifted by the engine's +1e-3 pixel epsilon so
+    # the sampled pixel is exactly the assignment pixel
+    cpts = cities.select(
+        "k",
+        (geo.merc_x("lon") + F.lit(1e-3 * res)).alias("x"),
+        (geo.merc_y("lat") - F.lit(1e-3 * res)).alias("y"),
+    )
+    out = sample_at_points(tiles, grid, cpts, "near", nodata=0.0)
+    return out.select(
+        F.col("k").alias("city_id"),
+        F.col("sample").cast("long").alias("n_pages"),
+    ).orderBy("city_id")
+
+
+def q28_pipeline(spark, sf_dir):
+    """gdal-style vector pipeline (read ! filter ! sql)."""
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+
+    return run_vector_pipeline(
+        spark,
+        "read orders ! filter \"o_orderpriority = '1-URGENT'\""
+        " ! sql \"SELECT COUNT(o_orderkey) AS n,"
+        " AVG(o_totalprice) AS avg_price FROM input\"",
+        layers={"orders": _load(spark, sf_dir, "orders")},
+    ).select("n", F.round("avg_price", 4).alias("avg_price"))
+
+
+def q29_dem_hillshade(spark, sf_dir):
+    """Hillshade over the density raster (rows-only: Horn stencil
+    verified against the single-array oracle in pytest)."""
+    from gdal_spark.operators.dem import focal_tiles
+    from gdal_spark.operators.checksum import tile_checksums
+    from gdal_spark.operators.tiling import page_density_tiles
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=4)
+    shade = focal_tiles(tiles, "hillshade")
+    return tile_checksums(shade).orderBy("tile_x", "tile_y")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_join": q02_revenue_join,
@@ -555,6 +630,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_rasterize_checksum": q23_rasterize_checksum,
     "q24_polygonize_roundtrip": q24_polygonize_roundtrip,
     "q25_warp_density": q25_warp_density,
+    "q26_ogr_sql_dialect": q26_ogr_sql_dialect,
+    "q27_sample_density_at_cities": q27_sample_density_at_cities,
+    "q28_pipeline": q28_pipeline,
+    "q29_dem_hillshade": q29_dem_hillshade,
 }
 
 
@@ -589,6 +668,33 @@ def _pyramid_oracle() -> str:
         f" pix AS (SELECT {px} AS px, {py} AS py FROM pts) "
         + " UNION ALL ".join(parts)
         + " ORDER BY zoom"
+    )
+
+
+def _city_sample_oracle() -> str:
+    """Each city's sampled density == count of points in its z=6
+    pixel."""
+    px, py = _pixel6_sql()
+    res = geo.tile_span(6) / 256
+    parts = []
+    for cid, (clon, clat) in enumerate(CITIES):
+        cx = geo.merc_x_sql(f"CAST({clon!r} AS DOUBLE)")
+        cy = geo.merc_y_sql(f"CAST({clat!r} AS DOUBLE)")
+        maxpx = 64 * 256 - 1
+        cpx = (f"LEAST(GREATEST(CAST(FLOOR((({cx}) - (-{geo.ORIGIN!r}))"
+               f" / {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+        cpy = (f"LEAST(GREATEST(CAST(FLOOR(({geo.ORIGIN!r} - ({cy}))"
+               f" / {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+        parts.append(
+            f"SELECT {cid} AS city_id,"
+            f" (SELECT COUNT(*) FROM pix WHERE px = ({cpx})"
+            f" AND py = ({cpy})) AS n_pages"
+        )
+    return (
+        f"WITH pts AS ({_POINTS_SQL}),"
+        f" pix AS (SELECT {px} AS px, {py} AS py FROM pts) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY city_id"
     )
 
 
@@ -861,6 +967,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q21_density_pyramid": _pyramid_oracle(),
         "q22_zonal_density": _zonal_oracle(),
+        "q26_ogr_sql_dialect": """
+            SELECT COUNT(o_orderkey) AS n,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   COUNT(DISTINCT o_orderpriority) AS n_prio
+            FROM orders WHERE o_totalprice BETWEEN 1000 AND 50000
+            AND o_orderpriority LIKE '%URGENT'
+        """,
+        "q27_sample_density_at_cities": _city_sample_oracle(),
+        "q28_pipeline": """
+            SELECT COUNT(o_orderkey) AS n,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
         # q19/q20 (minhash/simhash signatures), q23 (checksums),
         # q24 (polygonize rings), q25 (warp resampling) are not
         # SQL-expressible -> driver records rows-only checks; their

@@ -38,21 +38,42 @@ from gdal_spark.geometry.pip import points_in_rings
 from gdal_spark.geometry.wkb import parse_wkb
 
 
+def _is_axis_rect(g) -> bool:
+    """Rectangle detection (the fast-accept path of
+    ogrlayer.cpp:3922): single 5-point ring, axis-aligned edges."""
+    rings = g.rings()
+    if len(rings) != 1 or len(rings[0]) != 5:
+        return False
+    r = rings[0]
+    for i in range(4):
+        dx = r[i + 1, 0] - r[i, 0]
+        dy = r[i + 1, 1] - r[i, 1]
+        if dx != 0.0 and dy != 0.0:
+            return False
+    return True
+
+
 def polygon_cell_cover_pdf(polys_pdf: pd.DataFrame, res: int,
                            fid_col: str = "fid",
                            geom_col: str = "geometry") -> pd.DataFrame:
-    """(cell, fid) cover of each polygon's bbox at resolution *res*.
+    """(cell, fid, bbox..., is_rect) cover of each polygon's bbox at
+    resolution *res*.
 
     Uses the same GetTileIndices math as point->cell assignment
     (apps/gdalalg_raster_tile.cpp:457-480), so floor monotonicity
-    guarantees the cover is a superset of matching cells.
+    guarantees the cover is a superset of matching cells.  The bbox
+    columns enable the JVM-side envelope reject, and ``is_rect``
+    marks polygons whose bbox IS the geometry (fast accept, no exact
+    kernel needed — ogrlayer.cpp:3922).
     """
     n = 1 << res
     span = geo.tile_span(res)
-    cells, fids = [], []
+    rows = {"cell": [], "fid": [], "minx": [], "miny": [],
+            "maxx": [], "maxy": [], "is_rect": []}
     for fid, wkb in zip(polys_pdf[fid_col], polys_pdf[geom_col]):
         g = parse_wkb(bytes(wkb))
         minx, miny, maxx, maxy = g.bbox()
+        rect = _is_axis_rect(g)
         mx0, mx1 = _merc_x(minx), _merc_x(maxx)
         my0, my1 = _merc_y(miny), _merc_y(maxy)
         tx0 = int(np.clip(np.floor((mx0 + geo.ORIGIN) / span + 1e-3), 0, n - 1))
@@ -61,10 +82,20 @@ def polygon_cell_cover_pdf(polys_pdf: pd.DataFrame, res: int,
         ty1 = int(np.clip(np.floor((geo.ORIGIN - my0) / span + 1e-3), 0, n - 1))
         for tx in range(tx0, tx1 + 1):
             for ty in range(ty0, ty1 + 1):
-                cells.append(tx * n + ty)
-                fids.append(fid)
-    return pd.DataFrame({"cell": np.array(cells, dtype=np.int64),
-                         "fid": np.array(fids, dtype=np.int64)})
+                rows["cell"].append(tx * n + ty)
+                rows["fid"].append(int(fid))
+                rows["minx"].append(minx)
+                rows["miny"].append(miny)
+                rows["maxx"].append(maxx)
+                rows["maxy"].append(maxy)
+                rows["is_rect"].append(rect)
+    return pd.DataFrame({
+        "cell": np.array(rows["cell"], dtype=np.int64),
+        "fid": np.array(rows["fid"], dtype=np.int64),
+        "minx": rows["minx"], "miny": rows["miny"],
+        "maxx": rows["maxx"], "maxy": rows["maxy"],
+        "is_rect": rows["is_rect"],
+    })
 
 
 def _merc_x(lon: float) -> float:
@@ -92,15 +123,34 @@ def spatial_join_points_in_polygons(
     """
     cover = spark.createDataFrame(polygon_cell_cover_pdf(polys_pdf, res))
     pts = points.withColumn("cell", geo.cell_id(lon, lat, res))
-    cand = pts.join(F.broadcast(cover), "cell", "inner").drop("cell")
+    # stage 1 (bbox reject) entirely JVM-side: cell equi-join + the
+    # envelope predicate (ogrlayer.cpp:4004 envelope pretest)
+    in_bbox = (
+        (F.col(lon) > F.col("minx")) & (F.col(lon) < F.col("maxx"))
+        & (F.col(lat) > F.col("miny")) & (F.col(lat) < F.col("maxy"))
+    )
+    cand = (
+        pts.join(F.broadcast(cover), "cell", "inner")
+        .filter(in_bbox)
+        .drop("cell", "minx", "miny", "maxx", "maxy")
+    )
+    out_cols = [c for c in cand.columns if c != "is_rect"]
+    # stage 2 (rectangle fast accept, ogrlayer.cpp:3922): bbox IS the
+    # geometry -> accepted without touching Python
+    rect_hits = cand.filter(F.col("is_rect")).select(*out_cols)
+    # stage 3: exact ray-cast kernel for the rest only
+    nonrect = cand.filter(~F.col("is_rect")).select(*out_cols)
 
     rings_by_fid = {
         int(fid): [np.ascontiguousarray(r) for r in
                    parse_wkb(bytes(wkb)).rings()]
         for fid, wkb in zip(polys_pdf["fid"], polys_pdf["geometry"])
+        if not _is_axis_rect(parse_wkb(bytes(wkb)))
     }
+    if not rings_by_fid:
+        return rect_hits
     bc = spark.sparkContext.broadcast(rings_by_fid)
-    schema = cand.schema
+    schema = nonrect.schema
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         polys = bc.value
@@ -118,7 +168,7 @@ def spatial_join_points_in_polygons(
             if len(out):
                 yield out
 
-    return cand.mapInPandas(exact, schema)
+    return rect_hits.unionByName(nonrect.mapInPandas(exact, schema))
 
 
 def brute_force_join_pdf(points_pdf: pd.DataFrame, polys_pdf: pd.DataFrame,

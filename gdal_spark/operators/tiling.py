@@ -191,49 +191,71 @@ def _merge_sparse(partials: DataFrame, nparts: int) -> DataFrame:
     SPARSE: one (idx, cnt) row per tile."""
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur: tuple[int, int] | None = None
-        idx_acc: list[np.ndarray] = []
-        cnt_acc: list[np.ndarray] = []
-        out = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
+        # vectorized per batch: decode every partial, combine into one
+        # (tile, pix) key array, unique-reduce, re-slice per tile.  A
+        # tile split across batch boundaries is carried forward.
+        carry: pd.DataFrame | None = None
 
-        def flush():
-            if cur is None:
-                return
-            if len(idx_acc) == 1:
-                idx, cnt = idx_acc[0], cnt_acc[0]
-            else:
-                alli = np.concatenate(idx_acc)
-                allc = np.concatenate(cnt_acc)
-                order = np.argsort(alli, kind="stable")
-                alli, allc = alli[order], allc[order]
-                idx, starts = np.unique(alli, return_index=True)
-                cnt = np.add.reduceat(allc, starts)
-            out["tile_x"].append(cur[0])
-            out["tile_y"].append(cur[1])
-            out["idx"].append(np.ascontiguousarray(idx, np.int32).tobytes())
-            out["cnt"].append(np.ascontiguousarray(cnt, np.int64).tobytes())
+        def reduce_frame(b: pd.DataFrame) -> pd.DataFrame:
+            idx_list = [np.frombuffer(v, dtype=np.int32)
+                        for v in b["idx"]]
+            cnt_list = [np.frombuffer(v, dtype=np.int64)
+                        for v in b["cnt"]]
+            lens = np.fromiter((len(a) for a in idx_list), dtype=np.int64,
+                               count=len(idx_list))
+            tile_key = (b["tile_x"].to_numpy(np.int64) * (1 << 32)
+                        + b["tile_y"].to_numpy(np.int64))
+            # per-batch tile ordinals keep the combined key in int64
+            # for any zoom (rows arrive tile-sorted, so ordinal order
+            # == tile order)
+            uniq_tiles, tile_ord = np.unique(tile_key,
+                                             return_inverse=True)
+            tiles_rep = np.repeat(tile_ord.astype(np.int64), lens)
+            alli = (np.concatenate(idx_list) if idx_list
+                    else np.zeros(0, np.int32))
+            allc = (np.concatenate(cnt_list) if cnt_list
+                    else np.zeros(0, np.int64))
+            key = tiles_rep * (1 << 18) + alli
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            uk = ks[starts]
+            csum = np.add.reduceat(allc[order], starts) if len(ks) else \
+                np.zeros(0, np.int64)
+            tile = uniq_tiles[(uk >> 18)]
+            pix = (uk & ((1 << 18) - 1)).astype(np.int32)
+            tstarts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+            tends = np.r_[tstarts[1:], len(tile)]
+            rows = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
+            csum64 = csum.astype(np.int64)
+            for s, e in zip(tstarts, tends):
+                t = int(tile[s])
+                rows["tile_x"].append(t >> 32)
+                rows["tile_y"].append(t & 0xFFFFFFFF)
+                rows["idx"].append(pix[s:e].tobytes())
+                rows["cnt"].append(csum64[s:e].tobytes())
+            return pd.DataFrame(rows)
 
         for b in batches:
-            for tx, ty, idx_b, cnt_b in zip(
-                b["tile_x"], b["tile_y"], b["idx"], b["cnt"]
-            ):
-                t = (int(tx), int(ty))
-                if t != cur:
-                    flush()
-                    cur = t
-                    idx_acc, cnt_acc = [], []
-                    if len(out["tile_x"]) >= 1024:
-                        yield pd.DataFrame(out)
-                        for k in out:
-                            out[k] = []
-                idx_acc.append(np.frombuffer(idx_b, dtype=np.int32))
-                cnt_acc.append(np.frombuffer(cnt_b, dtype=np.int64))
-        flush()
-        if out["tile_x"]:
-            yield pd.DataFrame(out)
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+                carry = None
+            reduced = reduce_frame(b)
+            if len(reduced) > 1:
+                carry = reduced.iloc[-1:]
+                yield reduced.iloc[:-1]
+            else:
+                carry = reduced if len(reduced) else None
+        if carry is not None and len(carry):
+            yield carry
 
+    # hash repartition, not range: RangePartitioner runs a sampling
+    # job that recomputes the (expensive) partial stage twice; the
+    # merge only needs same-tile co-location + in-partition order.
+    # Sinks that want globally tile-ordered output (write_tiles) sort
+    # at write time.
     return (
-        partials.repartitionByRange(nparts, "tile_x", "tile_y")
+        partials.repartition(nparts, "tile_x", "tile_y")
         .sortWithinPartitions("tile_x", "tile_y")
         .mapInPandas(merge, _PARTIAL_SCHEMA)
     )
@@ -247,27 +269,41 @@ def sparse_overview(sparse: DataFrame, tile_size: int = 256,
 
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            if len(b) == 0:
+                continue
+            idx_list = [np.frombuffer(v, dtype=np.int32)
+                        for v in b["idx"]]
+            cnt_list = [np.frombuffer(v, dtype=np.int64)
+                        for v in b["cnt"]]
+            lens = np.fromiter((len(a) for a in idx_list),
+                               dtype=np.int64, count=len(b))
+            txs = b["tile_x"].to_numpy(np.int64)
+            tys = b["tile_y"].to_numpy(np.int64)
+            idx = np.concatenate(idx_list).astype(np.int64)
+            cnt = np.concatenate(cnt_list)
+            px = idx % tile_size + np.repeat(txs % 2, lens) * tile_size
+            py = idx // tile_size + np.repeat(tys % 2, lens) * tile_size
+            pidx = (py >> 1) * tile_size + (px >> 1)
+            ptile = np.repeat(txs // 2, lens) * (1 << 32) \
+                + np.repeat(tys // 2, lens)
+            uniq_tiles, tile_ord = np.unique(ptile, return_inverse=True)
+            key = tile_ord.astype(np.int64) * (1 << 18) + pidx
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            uk = ks[st]
+            csum = np.add.reduceat(cnt[order], st).astype(np.int64)
+            tile = uniq_tiles[(uk >> 18)]
+            pix = (uk & ((1 << 18) - 1)).astype(np.int32)
+            tst = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+            ten = np.r_[tst[1:], len(tile)]
             rows = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
-            for tx, ty, idx_b, cnt_b in zip(
-                b["tile_x"], b["tile_y"], b["idx"], b["cnt"]
-            ):
-                idx = np.frombuffer(idx_b, dtype=np.int32).astype(np.int64)
-                cnt = np.frombuffer(cnt_b, dtype=np.int64)
-                px = idx % tile_size
-                py = idx // tile_size
-                # parent-local pixel: offset by child parity, halved
-                ppx = (px + (int(tx) % 2) * tile_size) >> 1
-                ppy = (py + (int(ty) % 2) * tile_size) >> 1
-                pidx = ppy * tile_size + ppx
-                order = np.argsort(pidx, kind="stable")
-                ps = pidx[order]
-                st = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
-                uq = ps[st]
-                csum = np.add.reduceat(cnt[order], st)
-                rows["tile_x"].append(int(tx) // 2)
-                rows["tile_y"].append(int(ty) // 2)
-                rows["idx"].append(uq.astype(np.int32).tobytes())
-                rows["cnt"].append(csum.astype(np.int64).tobytes())
+            for s, e in zip(tst, ten):
+                t = int(tile[s])
+                rows["tile_x"].append(t >> 32)
+                rows["tile_y"].append(t & 0xFFFFFFFF)
+                rows["idx"].append(pix[s:e].tobytes())
+                rows["cnt"].append(csum[s:e].tobytes())
             if rows["tile_x"]:
                 yield pd.DataFrame(rows)
 
@@ -285,32 +321,36 @@ def densify(sparse: DataFrame, zoom: int, tile_size: int = 256,
     ``codec='deflate'`` the payloads are zlib-compressed (the PNG
     stand-in), cutting Arrow/sink bytes ~100x on sparse tiles."""
 
+    tsts = tile_size * tile_size
+    umax = np.iinfo(np.uint32).max
+    block = 256  # output rows per yielded frame
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = {"zoom": [], "tile_x": [], "tile_y": [], "band": [],
-               "data": [], "dtype": [], "tile_size": []}
         for b in batches:
-            for tx, ty, idx_b, cnt_b in zip(
-                b["tile_x"], b["tile_y"], b["idx"], b["cnt"]
-            ):
-                hist = np.zeros(tile_size * tile_size, dtype=np.int64)
-                idx = np.frombuffer(idx_b, dtype=np.int32)
-                hist[idx] = np.frombuffer(cnt_b, dtype=np.int64)
-                data = np.minimum(hist, np.iinfo(np.uint32).max) \
-                    .astype(np.uint32)
-                payload, dts = encode_tile(data, codec)
-                out["zoom"].append(zoom)
-                out["tile_x"].append(int(tx))
-                out["tile_y"].append(int(ty))
-                out["band"].append(1)
-                out["data"].append(payload)
-                out["dtype"].append(dts)
-                out["tile_size"].append(tile_size)
-                if len(out["zoom"]) >= 64:
-                    yield pd.DataFrame(out)
-                    for k in out:
-                        out[k] = []
-        if out["zoom"]:
-            yield pd.DataFrame(out)
+            n = len(b)
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                payloads, dts_s = [], []
+                for idx_b, cnt_b in zip(b["idx"].iloc[s:e],
+                                        b["cnt"].iloc[s:e]):
+                    hist = np.zeros(tsts, dtype=np.uint32)
+                    idx = np.frombuffer(idx_b, dtype=np.int32)
+                    hist[idx] = np.minimum(
+                        np.frombuffer(cnt_b, dtype=np.int64), umax
+                    ).astype(np.uint32)
+                    payload, dts = encode_tile(
+                        hist.reshape(tile_size, tile_size), codec)
+                    payloads.append(payload)
+                    dts_s.append(dts)
+                yield pd.DataFrame({
+                    "zoom": zoom,
+                    "tile_x": b["tile_x"].iloc[s:e].to_numpy(),
+                    "tile_y": b["tile_y"].iloc[s:e].to_numpy(),
+                    "band": 1,
+                    "data": payloads,
+                    "dtype": dts_s,
+                    "tile_size": tile_size,
+                })
 
     return sparse.mapInPandas(kernel, TILE_SCHEMA)
 

@@ -1,0 +1,75 @@
+"""Proximity / fillnodata / sieve vs single-array oracles."""
+
+import numpy as np
+
+from gdal_spark.operators.proximity import (
+    edt_squared, fillnodata_tiles, proximity_tiles, sieve_tiles,
+)
+from gdal_spark.operators.rasterize import GridSpec, assemble_raster
+from gdal_spark.operators.warp import tiles_from_array
+
+RNG = np.random.RandomState(31)
+
+
+def test_proximity_matches_global_edt(spark):
+    arr = np.zeros((64, 64), dtype=np.float64)
+    targets = RNG.rand(64, 64) < 0.01
+    arr[targets] = 7.0
+    tiles, w, h = tiles_from_array(spark, arr, tile_size=32)
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    out = proximity_tiles(tiles, [7.0], max_dist=12.0, nodata=-1.0)
+    got = assemble_raster(out.toPandas(), grid)
+    d2, _, _ = edt_squared(arr == 7.0)
+    dist = np.sqrt(d2)
+    want = np.where(dist <= 12.0, dist, -1.0)
+    np.testing.assert_allclose(got, want)
+
+
+def test_fillnodata_nearest(spark):
+    arr = RNG.uniform(1, 9, (64, 64))
+    holes = RNG.rand(64, 64) < 0.3
+    arr[holes] = -999.0
+    tiles, w, h = tiles_from_array(spark, arr, tile_size=32)
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    out = fillnodata_tiles(tiles, nodata=-999.0, max_dist=16.0)
+    got = assemble_raster(out.toPandas(), grid)
+    d2, sy, sx = edt_squared(arr != -999.0)
+    want = arr.copy()
+    take = holes & (np.sqrt(d2) <= 16.0)
+    want[take] = arr[sy[take], sx[take]]
+    np.testing.assert_allclose(got, want)
+    assert (got != -999.0).sum() > (arr != -999.0).sum()
+
+
+def test_sieve_removes_small_polygons(spark):
+    arr = np.zeros((32, 32), dtype=np.float64)
+    arr[4:20, 4:20] = 5.0        # big polygon (256 px)
+    arr[25:27, 25:27] = 9.0      # small polygon (4 px) inside zeros
+    arr[0, 31] = 3.0             # single pixel, corner
+    tiles, w, h = tiles_from_array(spark, arr, tile_size=16)
+    grid = GridSpec(0.0, 32.0, 1.0, 1.0, 32, 32)
+    out = sieve_tiles(tiles, threshold=10, gt=grid.gt)
+    got = assemble_raster(out.toPandas(), grid)
+    # small polygons absorbed into the background (their largest
+    # neighbor, value 0)
+    assert (got[25:27, 25:27] == 0.0).all()
+    assert got[0, 31] == 0.0
+    # big one survives
+    assert (got[4:20, 4:20] == 5.0).all()
+    # background unchanged
+    assert got[0, 0] == 0.0
+
+
+def test_sieve_spanning_component_not_removed(spark):
+    """A polygon split across 4 tiles whose TOTAL size exceeds the
+    threshold must survive (global labeling, not per-tile)."""
+    arr = np.zeros((32, 32), dtype=np.float64)
+    arr[14:18, 14:18] = 5.0      # 16 px crossing all 4 tile corners
+    tiles, w, h = tiles_from_array(spark, arr, tile_size=16)
+    grid = GridSpec(0.0, 32.0, 1.0, 1.0, 32, 32)
+    out = sieve_tiles(tiles, threshold=10, gt=grid.gt)
+    got = assemble_raster(out.toPandas(), grid)
+    assert (got[14:18, 14:18] == 5.0).all()
+    out2 = sieve_tiles(tiles, threshold=20, gt=grid.gt)
+    got2 = assemble_raster(out2.toPandas(), grid)
+    assert (got2[14:18, 14:18] == 0.0).all()
