@@ -604,6 +604,55 @@ def q29_dem_hillshade(spark, sf_dir):
     return tile_checksums(shade).orderBy("tile_x", "tile_y")
 
 
+def q30_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session per user
+    (lag + windowed cumulative sum) -> session stats."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts")
+                   - F.unix_timestamp("prev_ts") > 1800),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"),
+             F.round(F.sum("sum_value"), 2).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+def q31_json_props(spark, sf_dir):
+    """JSON property extraction (the HSTORE/JSON field subtype of
+    OGR, ogr/ogr_core.h:819) + rollup."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_join": q02_revenue_join,
@@ -634,6 +683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_sample_density_at_cities": q27_sample_density_at_cities,
     "q28_pipeline": q28_pipeline,
     "q29_dem_hillshade": q29_dem_hillshade,
+    "q30_sessionize": q30_sessionize,
+    "q31_json_props": q31_json_props,
 }
 
 
@@ -976,6 +1027,40 @@ def oracle_sql() -> dict[str, str]:
             AND o_orderpriority LIKE '%URGENT'
         """,
         "q27_sample_density_at_cities": _city_sample_oracle(),
+        "q30_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, value, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                            OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, event_id, value,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM flagged
+            ),
+            per_sess AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events,
+                       ROUND(SUM(value), 2) AS sum_value
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   MAX(n_events) AS max_session_events,
+                   ROUND(SUM(sum_value), 2) AS total_value
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "q31_json_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(props->>'k' AS INT)) AS sum_k,
+                   MIN(CAST(props->>'k' AS INT)) AS min_k,
+                   MAX(CAST(props->>'k' AS INT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "q28_pipeline": """
             SELECT COUNT(o_orderkey) AS n,
                    ROUND(AVG(o_totalprice), 4) AS avg_price

@@ -160,6 +160,15 @@ def rings_from_runs(ys: np.ndarray, x0s: np.ndarray, x1s: np.ndarray,
         by_row.setdefault(int(y), []).append((int(a), int(b)))
     for y in by_row:
         by_row[y].sort()
+        # coalesce intervals split at tile boundaries — a run cut in
+        # two by the tiling must not produce internal vertical edges
+        merged: list[tuple[int, int]] = []
+        for s, e in by_row[y]:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        by_row[y] = merged
     edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
 
     def add_edge(p, q):

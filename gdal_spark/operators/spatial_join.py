@@ -171,6 +171,121 @@ def spatial_join_points_in_polygons(
     return rect_hits.unionByName(nonrect.mapInPandas(exact, schema))
 
 
+def spatial_join_big_polygons(
+    spark: SparkSession,
+    points: DataFrame,
+    polys: DataFrame,
+    res: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+    fid_col: str = "fid",
+    geom_col: str = "geometry",
+) -> DataFrame:
+    """Two-stage spatial join for polygon layers TOO BIG to broadcast.
+
+    The distributed rendering of the same FilterGeometry plan:
+
+      stage 1 — the polygon layer is exploded into its cell cover
+        (an Arrow kernel computing the same bbox/tile math as
+        polygon_cell_cover_pdf, distributed), carrying bbox columns
+        and the WKB; the candidate join is a plain shuffle equi-join
+        on cell — Catalyst/AQE pick the strategy and split skewed
+        cells;
+      stage 2 — JVM envelope reject + rectangle fast accept;
+      stage 3 — exact PIP per (cell) cogroup: each task sees its
+        cell's points and its cell's polygons, so no polygon index
+        needs to fit in memory anywhere.
+
+    Output: points columns + fid (same rows as the broadcast path).
+    """
+    n = 1 << res
+    span = geo.tile_span(res)
+
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, DoubleType, LongType, StructField,
+        StructType,
+    )
+
+    cover_schema = StructType([
+        StructField("cell", LongType()), StructField(fid_col, LongType()),
+        StructField("minx", DoubleType()), StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()), StructField("maxy", DoubleType()),
+        StructField("is_rect", BooleanType()),
+        StructField(geom_col, BinaryType()),
+    ])
+
+    def cover_kernel(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {f.name: [] for f in cover_schema.fields}
+            for fid, wkb in zip(b[fid_col], b[geom_col]):
+                g = parse_wkb(bytes(wkb))
+                minx, miny, maxx, maxy = g.bbox()
+                rect = _is_axis_rect(g)
+                mx0, mx1 = _merc_x(minx), _merc_x(maxx)
+                my0, my1 = _merc_y(miny), _merc_y(maxy)
+                tx0 = int(np.clip(np.floor((mx0 + geo.ORIGIN) / span
+                                           + 1e-3), 0, n - 1))
+                tx1 = int(np.clip(np.floor((mx1 + geo.ORIGIN) / span
+                                           + 1e-3), 0, n - 1))
+                ty0 = int(np.clip(np.floor((geo.ORIGIN - my1) / span
+                                           + 1e-3), 0, n - 1))
+                ty1 = int(np.clip(np.floor((geo.ORIGIN - my0) / span
+                                           + 1e-3), 0, n - 1))
+                for tx in range(tx0, tx1 + 1):
+                    for ty in range(ty0, ty1 + 1):
+                        rows["cell"].append(tx * n + ty)
+                        rows[fid_col].append(int(fid))
+                        rows["minx"].append(minx)
+                        rows["miny"].append(miny)
+                        rows["maxx"].append(maxx)
+                        rows["maxy"].append(maxy)
+                        rows["is_rect"].append(rect)
+                        rows[geom_col].append(bytes(wkb))
+            if rows["cell"]:
+                yield pd.DataFrame(rows)
+
+    cover = polys.select(fid_col, geom_col).mapInPandas(
+        cover_kernel, cover_schema)
+
+    pts = points.withColumn("cell", geo.cell_id(lon, lat, res))
+    in_bbox = (
+        (F.col(lon) > F.col("minx")) & (F.col(lon) < F.col("maxx"))
+        & (F.col(lat) > F.col("miny")) & (F.col(lat) < F.col("maxy"))
+    )
+    cand = (
+        pts.join(cover, "cell", "inner")
+        .filter(in_bbox)
+    )
+    out_cols = [c for c in points.columns] + [fid_col]
+    rect_hits = cand.filter(F.col("is_rect")).select(*out_cols)
+    nonrect = cand.filter(~F.col("is_rect")) \
+        .select(*(out_cols + [geom_col]))
+    schema = nonrect.drop(geom_col).schema
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring_cache: dict[int, list[np.ndarray]] = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            keep = np.zeros(len(b), dtype=bool)
+            px = b[lon].to_numpy(dtype=np.float64)
+            py = b[lat].to_numpy(dtype=np.float64)
+            for fid, idx in b.groupby(fid_col).indices.items():
+                rings = ring_cache.get(int(fid))
+                if rings is None:
+                    rings = parse_wkb(
+                        bytes(b[geom_col].iloc[idx[0]])).rings()
+                    if len(ring_cache) < 4096:
+                        ring_cache[int(fid)] = rings
+                keep[idx] = points_in_rings(px[idx], py[idx], rings)
+            out = b[keep].drop(columns=[geom_col])
+            if len(out):
+                yield out
+
+    return rect_hits.unionByName(nonrect.mapInPandas(exact, schema))
+
+
 def brute_force_join_pdf(points_pdf: pd.DataFrame, polys_pdf: pd.DataFrame,
                          lon: str = "lon", lat: str = "lat") -> pd.DataFrame:
     """Driver-side oracle: every point x every polygon, exact PIP."""
