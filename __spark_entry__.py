@@ -393,8 +393,7 @@ def q20_simhash(spark, sf_dir):
 def q21_density_pyramid(spark, sf_dir):
     """Tile pyramid stats: tiles and total mass per zoom (sparse
     density + overview reduce; mass conservation is the invariant)."""
-    from gdal_spark.operators.tiling import build_pyramid, tiles_to_arrays
-    from gdal_spark.operators.checksum import tile_checksums  # noqa: F401
+    from gdal_spark.operators.tiling import build_pyramid
     from typing import Iterator
     from pyspark.sql.types import (
         IntegerType, LongType, StructField, StructType

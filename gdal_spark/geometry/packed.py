@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from gdal_spark.geometry.wkb import Geom, POLYGON, MULTIPOLYGON, LINESTRING
+from gdal_spark.geometry.wkb import Geom, MULTIPOLYGON, POLYGON
 
 
 def ring_signed_area(ring: np.ndarray) -> float:

@@ -22,8 +22,6 @@ the same rule as the reference's marching squares.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F

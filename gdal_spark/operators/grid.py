@@ -18,14 +18,10 @@ interpolate-at-point API (alg/gdal_interpolateatpoint.cpp:165/415):
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType
-)
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from gdal_spark.operators.rasterize import GridSpec
 from gdal_spark.operators.tiling import TILE_SCHEMA, encode_tile

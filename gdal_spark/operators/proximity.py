@@ -250,7 +250,8 @@ def fillnodata_tiles(tiles: DataFrame, nodata: float,
     )
 
 
-def sieve_tiles(tiles: DataFrame, threshold: int, gt: list[float],
+def sieve_tiles(tiles: DataFrame, threshold: int,
+                gt: list[float] | None = None,
                 nodata: float | None = None,
                 connectedness: int = 4) -> DataFrame:
     """Sieve filter: polygons smaller than ``threshold`` pixels merge

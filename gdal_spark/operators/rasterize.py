@@ -30,7 +30,6 @@ gdalrasterize.cpp:840-870) rendered as a Spark shuffle.
 from __future__ import annotations
 
 import math
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -454,7 +454,6 @@ def _register_geom_udfs(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _UDFS_READY:
         return
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType, StringType
 
