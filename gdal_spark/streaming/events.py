@@ -49,6 +49,82 @@ def windowed_counts(stream: DataFrame, ts_col: str = "ts",
     )
 
 
+def sessionize_stream(
+    stream: DataFrame, gap_seconds: int = 1800,
+    ts_col: str = "ts", user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows
+    with a gap timeout, via applyInPandasWithState (the engine's
+    example of state beyond built-in windows — GDAL has no streaming
+    at all, SURVEY §2.6).
+
+    Emits one row per CLOSED session: (user_id, session_start,
+    session_end, n_events).  Sessions close when the event-time gap
+    exceeds ``gap_seconds`` or the state times out.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType([]) \
+        .add("user_id", "long").add("session_start", "timestamp") \
+        .add("session_end", "timestamp").add("n_events", "long")
+    state_schema = StructType([]) \
+        .add("start", "double").add("end", "double").add("n", "long")
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        ts = []
+        for pdf in pdfs:
+            ts.extend(pdf[ts_col].astype("int64").to_numpy() / 1e9)
+        ts.sort()
+        closed = []
+        if state.exists:
+            s0, e0, n0 = state.get
+        else:
+            s0 = e0 = None
+            n0 = 0
+        for t in ts:
+            if s0 is None:
+                s0, e0, n0 = t, t, 1
+            elif t - e0 > gap_seconds:
+                closed.append((key[0], s0, e0, n0))
+                s0, e0, n0 = t, t, 1
+            else:
+                e0 = t
+                n0 += 1
+        if state.hasTimedOut:
+            if s0 is not None:
+                closed.append((key[0], s0, e0, n0))
+            state.remove()
+        else:
+            state.update((s0, e0, n0))
+            state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            # emit microsecond precision: Spark timestamps are us and
+            # Arrow refuses a lossy ns -> us cast
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="s"
+                    ).floor("us"),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="s"
+                    ).floor("us"),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def spatial_join_stream(
     stream: DataFrame, polys_pdf: pd.DataFrame, out_path: str,
     checkpoint: str, res: int = 6, lon: str = "lon", lat: str = "lat",

@@ -75,3 +75,56 @@ def test_windowed_counts_matches_batch(spark, tmp_path, sf_dir):
     j = got.join(w, ["w_start", "event_type"], "left")
     assert j.filter("want_n IS NULL OR want_n <> n").count() == 0
     assert got.count() > 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path, sf_dir):
+    """applyInPandasWithState sessionization: closed sessions match
+    the batch lag/cumsum sessionization for users whose sessions are
+    definitely closed."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.streaming.events import sessionize_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "sess_in")
+    # single file -> one micro-batch; only sessions closed WITHIN the
+    # batch are emitted (the final open session per user stays in
+    # state), matching batch sessionization minus each user's last
+    ev.coalesce(1).write.parquet(src)
+    stream = stream_parquet_source(spark, src, ev.schema,
+                                   max_files_per_trigger=10)
+    sess = sessionize_stream(stream, gap_seconds=1800)
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    q = (
+        sess.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet").option("path", out).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+    # batch oracle: sessions per user via lag/cumsum
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn("new_s", F.when(
+            F.col("prev").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800),
+            1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid").agg(F.count("*").alias("n_events"))
+        .groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_total"))
+        .toPandas().set_index("user_id")
+    )
+    got_per_user = got.groupby("user_id").agg(
+        n_closed=("n_events", "size"), n_ev=("n_events", "sum"))
+    for uid, row in got_per_user.iterrows():
+        # closed sessions = all sessions minus the one still open
+        assert row["n_closed"] == batch.loc[uid, "n_sessions"] - 1

@@ -93,12 +93,15 @@ def main() -> None:
             f"| metric | local[{N_BASE}] | local[{4*N_BASE}] |"
             " efficiency (4N/N)/4 |\n|---|---|---|---|\n"
         )
+        hw_eff = (hw[4 * N_BASE] / hw[N_BASE]) / 4.0
         for label, t8, t32, eff in metrics:
             f.write(f"| {label} | {t8:,.1f} | {t32:,.1f} |"
-                    f" {eff:.3f} |\n")
+                    f" {eff:.3f} ({eff / hw_eff:.2f} of the hardware"
+                    f" ceiling) |\n")
         f.write(
             f"| full suite wall-clock (sec) | {r8['value']} |"
-            f" {r32['value']} | {total_eff:.3f} |\n\n"
+            f" {r32['value']} | {total_eff:.3f}"
+            f" ({total_eff / hw_eff:.2f} of the hardware ceiling) |\n\n"
             "Per-query seconds:\n\n"
             f"| query | local[{N_BASE}] | local[{4*N_BASE}] |"
             " speedup |\n|---|---|---|---|\n"
