@@ -267,26 +267,63 @@ def line_all_touched(
                 y += step_y
 
 
+def burn_points(grid: np.ndarray, coords: np.ndarray, burn: float,
+                merge_add: bool = False,
+                visited: np.ndarray | None = None) -> None:
+    """GDALdllImagePoint: burn the pixel containing each point
+    (llrasterize.cpp GDALdllImagePoint, floor semantics)."""
+    h, w = grid.shape
+    dt = grid.dtype
+    ix = np.floor(coords[:, 0]).astype(np.int64)
+    iy = np.floor(coords[:, 1]).astype(np.int64)
+    ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    for x, y in zip(ix[ok], iy[ok]):
+        if visited is not None:
+            if visited[y, x]:
+                continue
+            visited[y, x] = True
+        if merge_add:
+            grid[y, x] = _copy_word(float(grid[y, x]) + burn, dt)
+        else:
+            grid[y, x] = _copy_word(burn, dt)
+
+
 def rasterize_chunk(
     shape: tuple[int, int],
-    geoms_px: list[tuple[list[np.ndarray], float]],
+    geoms_px: list[tuple[list[np.ndarray], float]] |
+    list[tuple[list[np.ndarray], float, int]],
     dtype: str = "float64",
     all_touched: bool = False,
     merge_alg: str = "replace",
     init: float = 0.0,
 ) -> np.ndarray:
-    """Rasterize pixel-space (rings, burn) geoms into one chunk."""
+    """Rasterize pixel-space geoms into one chunk.
+
+    Entries are (parts, burn) or (parts, burn, wkb_kind): polygons
+    scanline-fill (+ALL_TOUCHED outline), linestrings burn the
+    pixel-stepping walk, points burn their containing pixel."""
+    from gdal_spark.geometry import wkb as wkbmod
+
     grid = np.full(shape, init, dtype=np.dtype(dtype))
     merge_add = merge_alg.lower() == "add"
-    for rings, burn in geoms_px:
+    for entry in geoms_px:
+        rings, burn = entry[0], entry[1]
+        kind = entry[2] if len(entry) > 2 else wkbmod.POLYGON
         visited = (
             np.zeros(shape, dtype=bool) if (merge_add or all_touched)
             else None
         )
-        fill_polygon_scanline(grid, rings, burn, merge_add, visited)
-        if all_touched:
-            for ring in rings:
-                line_all_touched(grid, ring, burn, merge_add, visited)
+        if kind in (wkbmod.POINT, wkbmod.MULTIPOINT):
+            for part in rings:
+                burn_points(grid, part, burn, merge_add, visited)
+        elif kind in (wkbmod.LINESTRING, wkbmod.MULTILINESTRING):
+            for part in rings:
+                line_all_touched(grid, part, burn, merge_add, visited)
+        else:
+            fill_polygon_scanline(grid, rings, burn, merge_add, visited)
+            if all_touched:
+                for ring in rings:
+                    line_all_touched(grid, ring, burn, merge_add, visited)
     return grid
 
 
@@ -344,7 +381,7 @@ def rasterize(
         rings_px = [grid.to_px(ring) for ring in g.rings()]
         burn = float(r[burn_col]) if burn_col else float(burn_value)
         gid = int(r[fid_col])
-        geoms[gid] = (rings_px, burn)
+        geoms[gid] = (rings_px, burn, g.kind)
         order_keys[gid] = order
         allc = np.vstack(rings_px)
         tx0 = max(int(allc[:, 0].min() // tile_size), 0)
@@ -372,9 +409,9 @@ def rasterize(
         gids = sorted(pdf["gid"].unique(), key=lambda g: order_[g])
         local = []
         for gid in gids:
-            rings_px, burn = geoms_[gid]
+            rings_px, burn, kind = geoms_[gid]
             local.append(([r - np.array([[ox, oy]]) for r in rings_px],
-                          burn))
+                          burn, kind))
         arr = rasterize_chunk((h, w), local, dtype, all_touched, merge_alg)
         if (h, w) != (tile_size, tile_size):
             full = np.zeros((tile_size, tile_size), dtype=arr.dtype)

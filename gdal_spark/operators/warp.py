@@ -113,30 +113,90 @@ def resample_patch(
                 wsum += np.where(ok, wgt, 0.0)
         res = np.where(wsum > 0, out / np.where(wsum == 0, 1, wsum), fill)
         return res
-    if resample == "average":
-        # box average: integrate source pixels whose centers fall in
-        # the dst pixel's source-space footprint, estimated from the
-        # local spacing of the inverse-mapped grid
-        dx = np.gradient(lx, axis=1)
-        dy = np.gradient(ly, axis=0)
-        out = np.full(lx.shape, np.float64(fill))
-        for j in range(lx.shape[0]):
-            for i in range(lx.shape[1]):
-                x0 = int(np.floor(lx[j, i] - abs(dx[j, i]) / 2))
-                x1 = int(np.ceil(lx[j, i] + abs(dx[j, i]) / 2))
-                y0 = int(np.floor(ly[j, i] - abs(dy[j, i]) / 2))
-                y1 = int(np.ceil(ly[j, i] + abs(dy[j, i]) / 2))
-                x0, x1 = max(x0, 0), min(x1, w)
-                y0, y1 = max(y0, 0), min(y1, h)
-                if x1 <= x0 or y1 <= y0:
-                    continue
-                block = patch[y0:y1, x0:x1]
+    if resample == "cubic":
+        # cubic convolution, a = -0.5 (the GDALResampleAlg GRA_Cubic
+        # kernel of alg/gdalwarpkernel.cpp — Catmull-Rom family)
+        def wcub(t):
+            at = np.abs(t)
+            a = -0.5
+            return np.where(
+                at <= 1.0,
+                (a + 2) * at ** 3 - (a + 3) * at ** 2 + 1,
+                np.where(at < 2.0,
+                         a * at ** 3 - 5 * a * at ** 2 + 8 * a * at
+                         - 4 * a, 0.0),
+            )
+
+        fx = lx - 0.5
+        fy = ly - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        out = np.zeros(lx.shape, dtype=np.float64)
+        wsum = np.zeros(lx.shape, dtype=np.float64)
+        for dy in (-1, 0, 1, 2):
+            for dx in (-1, 0, 1, 2):
+                xx = x0 + dx
+                yy = y0 + dy
+                wgt = wcub(fx - xx) * wcub(fy - yy)
+                ok = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+                v = patch[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
                 if nodata is not None:
-                    block = block[block != nodata]
-                if block.size:
-                    out[j, i] = block.mean()
-        return out
+                    ok &= v != nodata
+                out += np.where(ok, wgt * v, 0.0)
+                wsum += np.where(ok, wgt, 0.0)
+        return np.where(wsum != 0, out / np.where(wsum == 0, 1, wsum),
+                        fill)
+    if resample in ("min", "max", "med", "q1", "q3", "sum", "rms",
+                    "mode", "average"):
+        return _footprint_stat(patch, lx, ly, resample, nodata, fill)
     raise ValueError(f"unsupported resample {resample}")
+
+
+def _footprint_stat(patch, lx, ly, stat, nodata, fill):
+    """Box-footprint statistical kernels (GDALResampleAlg
+    GRA_Average/Min/Max/Med/Q1/Q3/Sum/RMS/Mode,
+    alg/gdalwarper.h:34-68): aggregate source pixels whose centers
+    fall in each dst pixel's source footprint."""
+    h, w = patch.shape
+    dx = np.gradient(lx, axis=1)
+    dy = np.gradient(ly, axis=0)
+    out = np.full(lx.shape, np.float64(fill))
+    for j in range(lx.shape[0]):
+        for i in range(lx.shape[1]):
+            x0 = int(np.floor(lx[j, i] - abs(dx[j, i]) / 2))
+            x1 = int(np.ceil(lx[j, i] + abs(dx[j, i]) / 2))
+            y0 = int(np.floor(ly[j, i] - abs(dy[j, i]) / 2))
+            y1 = int(np.ceil(ly[j, i] + abs(dy[j, i]) / 2))
+            x0, x1 = max(x0, 0), min(x1, w)
+            y0, y1 = max(y0, 0), min(y1, h)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            block = patch[y0:y1, x0:x1].ravel()
+            if nodata is not None:
+                block = block[block != nodata]
+            if not block.size:
+                continue
+            if stat == "average":
+                out[j, i] = block.mean()
+            elif stat == "min":
+                out[j, i] = block.min()
+            elif stat == "max":
+                out[j, i] = block.max()
+            elif stat == "sum":
+                out[j, i] = block.sum()
+            elif stat == "med":
+                out[j, i] = np.median(block)
+            elif stat == "q1":
+                out[j, i] = np.percentile(block, 25)
+            elif stat == "q3":
+                out[j, i] = np.percentile(block, 75)
+            elif stat == "rms":
+                out[j, i] = np.sqrt((block.astype(np.float64) ** 2)
+                                    .mean())
+            elif stat == "mode":
+                vals, cnts = np.unique(block, return_counts=True)
+                out[j, i] = vals[np.argmax(cnts)]
+    return out
 
 
 def _avg_fast_integer(patch, factor_x, factor_y):

@@ -175,3 +175,48 @@ def test_tile_checksums_runs(spark):
     cs = tile_checksums(tiles).collect()
     arr = assemble_raster(tiles.toPandas(), grid)
     assert cs[0].checksum == checksum_array(arr)
+
+
+def test_point_and_line_rasterize():
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.operators.rasterize import rasterize_chunk
+
+    pts = np.array([(2.3, 3.7), (7.9, 0.1), (-1.0, 5.0)])
+    grid = rasterize_chunk((8, 8), [([pts], 9.0, W.MULTIPOINT)], "uint8")
+    assert grid[3, 2] == 9 and grid[0, 7] == 9
+    assert grid.sum() == 18  # out-of-grid point dropped
+    line = np.array([(0.5, 0.5), (7.5, 7.5)])
+    gl = rasterize_chunk((8, 8), [([line], 1.0, W.LINESTRING)], "uint8")
+    # the diagonal walk touches every pixel on the diagonal
+    assert all(gl[i, i] == 1 for i in range(8))
+
+
+def test_cubic_resample_interpolates():
+    from gdal_spark.operators.warp import resample_patch
+
+    # linear ramp: cubic convolution reproduces linear data exactly
+    patch = np.tile(np.arange(16, dtype=np.float64), (16, 1))
+    jj, ii = np.mgrid[0:8, 0:8]
+    sx = 4.0 + ii * 0.5 + 0.25
+    sy = 4.0 + jj * 0.5 + 0.25
+    out = resample_patch(patch, 0, 0, sx, sy, "cubic")
+    want = sx - 0.5  # value(x) = x at pixel centers (i+0.5 -> i)
+    np.testing.assert_allclose(out, want, rtol=1e-12)
+
+
+def test_stat_resample_kernels():
+    from gdal_spark.operators.warp import resample_patch
+
+    patch = np.arange(64, dtype=np.float64).reshape(8, 8)
+    jj, ii = np.mgrid[0:4, 0:4]
+    # 2x downscale: each dst pixel covers a 2x2 block
+    sx = ii * 2.0 + 1.0
+    sy = jj * 2.0 + 1.0
+    blocks = patch.reshape(4, 2, 4, 2).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+    for stat, fn in [("min", np.min), ("max", np.max), ("sum", np.sum),
+                     ("med", np.median), ("average", np.mean)]:
+        out = resample_patch(patch, 0, 0, sx, sy, stat)
+        want = fn(blocks, axis=2)
+        np.testing.assert_allclose(out, want, err_msg=stat)
+    rms = resample_patch(patch, 0, 0, sx, sy, "rms")
+    np.testing.assert_allclose(rms, np.sqrt((blocks ** 2).mean(axis=2)))
