@@ -119,6 +119,25 @@ def _isect(p: np.ndarray, q: np.ndarray, axis: int, bound: float) -> np.ndarray:
     return p + t * (q - p)
 
 
+def segmentize(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Densify: insert vertices so no segment exceeds ``max_len``
+    (OGRGeometry::segmentize semantics used by ogr2ogr -segmentize,
+    apps/ogr2ogr_lib.cpp LayerTranslator)."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 2:
+        return c
+    out = [c[:1]]
+    for i in range(1, len(c)):
+        seg = c[i] - c[i - 1]
+        length = float(np.hypot(*seg))
+        n = int(np.ceil(length / max_len)) if length > max_len else 1
+        if n > 1:
+            t = np.arange(1, n)[:, None] / n
+            out.append(c[i - 1] + t * seg)
+        out.append(c[i:i + 1])
+    return np.vstack(out)
+
+
 def point_segment_dist(px: np.ndarray, py: np.ndarray,
                        seg: np.ndarray) -> np.ndarray:
     """Min distance from points to a polyline (vectorized over both)."""

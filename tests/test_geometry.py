@@ -145,3 +145,17 @@ def test_hilbert_matches_classic_algorithm():
     want = np.array([xy2d(1 << 16, int(x), int(y)) for x, y in zip(xs, ys)],
                     dtype=np.uint32)
     assert (got == want).all()
+
+
+def test_segmentize():
+    from gdal_spark.geometry.ops import segmentize
+
+    line = np.array([(0, 0), (10, 0), (10, 3)], dtype=float)
+    out = segmentize(line, 2.5)
+    d = np.hypot(*(np.diff(out, axis=0).T))
+    assert (d <= 2.5 + 1e-12).all()
+    # original vertices preserved in order
+    for v in line:
+        assert (np.abs(out - v).sum(axis=1) < 1e-12).any()
+    # no-op below threshold
+    np.testing.assert_array_equal(segmentize(line, 100.0), line)

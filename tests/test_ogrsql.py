@@ -149,3 +149,42 @@ def test_parse_rejects_group_by(spark, layers):
     """OGR SQL has no GROUP BY (ogr/swq_parser.y); it must not parse."""
     with pytest.raises(ValueError):
         parse_ogr_sql("SELECT eas_id, COUNT(*) FROM poly GROUP BY eas_id")
+
+
+def test_rfc28_arith_select_list(spark, layers):
+    """Expressions in the select list with aliases (rfc28)."""
+    out = execute_ogr_sql(
+        spark,
+        "SELECT eas_id, eas_id + 1000 AS shifted, eas_id % 7 AS m"
+        " FROM poly WHERE eas_id = 158",
+        layers,
+    )
+    r = out.collect()[0]
+    assert (r.shifted, r.m) == (1158, 158 % 7)
+
+
+def test_not_like_and_string_in(spark, layers):
+    n = execute_ogr_sql(
+        spark,
+        "SELECT * FROM poly WHERE prfedea NOT LIKE '%1410'",
+        layers).count()
+    assert n == 9
+    n2 = execute_ogr_sql(
+        spark,
+        "SELECT * FROM poly WHERE prfedea IN ('350431410', '350431419')",
+        layers).count()
+    assert n2 == 2
+
+
+def test_left_join_keeps_unmatched(spark, layers):
+    small = spark.createDataFrame(
+        [(158, "x")], ["eas_id", "tag"])
+    out = execute_ogr_sql(
+        spark,
+        "SELECT poly.eas_id, tag FROM poly"
+        " LEFT JOIN t ON poly.eas_id = t.eas_id ORDER BY poly.eas_id",
+        {"poly": layers["poly"], "t": small},
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert rows[0].tag == "x" and rows[1].tag is None
