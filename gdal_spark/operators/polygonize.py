@@ -12,10 +12,13 @@ union-find merge, alg/polygonize_polygonizer.cpp ring assembly):
   labels touching a tile border are a tiny fraction of all labels;
 * polygons are assembled from each global component's pixel *runs*
   (y, x0, x1) grouped by final label: boundary edges are stitched
-  into closed rings with a turn rule matching the connectivity
-  (right-turn for 4-connected so corner-touching diagonals stay
-  separate rings, left-turn for 8-connected), then georeferenced via
-  the geotransform.
+  into closed rings; at vertex pinches (boundaries meeting at a
+  pixel corner) the walk always takes the tightest turn — because
+  hole boundaries run with opposite orientation to outer boundaries,
+  this single rule keeps corner-touching holes as separate rings
+  (the reference's test_polygonize_5 golden) while carrying an
+  8-connected label's outer boundary through its own diagonal
+  self-touches; then georeferenced via the geotransform.
 
 Output: (value:double, geometry:binary WKB polygon, n_pixels:long).
 Ring equality with the reference is up to rotation/orientation; tests
@@ -223,7 +226,7 @@ def rings_from_runs(ys: np.ndarray, x0s: np.ndarray, x1s: np.ndarray,
             dot = din[0] * dout[0] + din[1] * dout[1]
             return np.arctan2(cross, dot)
 
-        cands.sort(key=angle, reverse=(connectedness == 4))
+        cands.sort(key=angle)
         return cands[0]
 
     edge_pool: dict[tuple[int, int], list[tuple[int, int]]] = {
@@ -253,8 +256,7 @@ def rings_from_runs(ys: np.ndarray, x0s: np.ndarray, x1s: np.ndarray,
                         dot = din[0] * dout[0] + din[1] * dout[1]
                         return float(np.arctan2(cross, dot))
 
-                    outs.sort(key=angle,
-                              reverse=(connectedness == 4))
+                    outs.sort(key=angle)
                     nxt = outs.pop(0)
                 ring.append(nxt)
                 din = (nxt[0] - cur[0], nxt[1] - cur[1])

@@ -137,3 +137,50 @@ def test_distributed_polygonize_spanning_polygon(spark):
     g = parse_wkb(bytes(got["geometry"].iloc[0]))
     assert geom_area(g) == 16.0
     assert got["n_pixels"].iloc[0] == 16
+
+
+def test_polygonize_5_corner_touching_holes():
+    """autotest/alg/polygonize.py::test_polygonize_5: 4x4 grid of 1s
+    with two diagonally-touching 0 pixels, 4-connected, no mask ->
+    exactly 3 features: two 1-px DN=0 polygons and one DN=1 polygon
+    with TWO holes that touch at a corner (the rings must stay
+    separate under the 4-connected turn rule)."""
+    grid = np.array([
+        [1, 1, 1, 1],
+        [1, 0, 1, 1],
+        [1, 1, 0, 1],
+        [1, 1, 1, 1],
+    ], dtype=np.int32)
+    gt = [0.0, 1.0, 0.0, 4.0, 0.0, -1.0]
+    out = polygonize_array(grid, gt, nodata=None, connectedness=4)
+    assert len(out) == 3
+    assert sorted(out["value"].astype(int)) == [0, 0, 1]
+    one = [parse_wkb(bytes(b)) for v, b in zip(out["value"],
+                                               out["geometry"]) if v == 1]
+    assert len(one) == 1 and len(one[0].rings()) == 3  # outer + 2 holes
+    ring_sets = [set(map(tuple, r[:-1].astype(int)))
+                 for r in one[0].rings()]
+    # documented golden rings (vertex sets)
+    assert {(0, 4), (0, 0), (4, 0), (4, 4)} in ring_sets
+    assert {(1, 3), (2, 3), (2, 2), (1, 2)} in ring_sets
+    assert {(2, 2), (3, 2), (3, 1), (2, 1)} in ring_sets
+    zero_polys = [parse_wkb(bytes(b)) for v, b in
+                  zip(out["value"], out["geometry"]) if v == 0]
+    assert all(geom_area(g) == 1.0 for g in zero_polys)
+
+
+def test_polygonize_5_8connected_merges_holes():
+    """8-connected: the two diagonal 0 pixels merge into ONE polygon,
+    and the DN=1 region keeps a single merged hole region."""
+    grid = np.array([
+        [1, 1, 1, 1],
+        [1, 0, 1, 1],
+        [1, 1, 0, 1],
+        [1, 1, 1, 1],
+    ], dtype=np.int32)
+    gt = [0.0, 1.0, 0.0, 4.0, 0.0, -1.0]
+    out = polygonize_array(grid, gt, nodata=None, connectedness=8)
+    zeros = out[out["value"] == 0]
+    assert len(zeros) == 1
+    g0 = parse_wkb(bytes(zeros["geometry"].iloc[0]))
+    assert geom_area(g0) == 2.0
