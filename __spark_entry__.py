@@ -819,8 +819,8 @@ def _rect_oracle() -> str:
     for fid, (x0, y0, x1, y1) in enumerate(RECTS):
         parts.append(
             f"SELECT {fid} AS fid, COUNT(*) AS n FROM pts "
-            f"WHERE lon > {x0} AND lon < {x1} "
-            f"AND lat > {y0} AND lat < {y1}"
+            f"WHERE lon >= {x0} AND lon < {x1} "
+            f"AND lat >= {y0} AND lat < {y1}"
         )
     return (
         f"WITH pts AS ({_POINTS_SQL}) "

@@ -125,19 +125,26 @@ def spatial_join_points_in_polygons(
     pts = points.withColumn("cell", geo.cell_id(lon, lat, res))
     # stage 1 (bbox reject) entirely JVM-side: cell equi-join + the
     # envelope predicate (ogrlayer.cpp:4004 envelope pretest)
+    # envelope pretest must be a SUPERSET of ray-cast-inside: a point
+    # exactly on the leftmost/bottom edge IS strictly-inside by the
+    # crossing rule (the 0-distance crossing is not counted, the far
+    # one is), so the reject uses inclusive bounds
     in_bbox = (
-        (F.col(lon) > F.col("minx")) & (F.col(lon) < F.col("maxx"))
-        & (F.col(lat) > F.col("miny")) & (F.col(lat) < F.col("maxy"))
+        (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
+        & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy"))
     )
-    cand = (
-        pts.join(F.broadcast(cover), "cell", "inner")
-        .filter(in_bbox)
-        .drop("cell", "minx", "miny", "maxx", "maxy")
-    )
-    out_cols = [c for c in cand.columns if c != "is_rect"]
+    cand = pts.join(F.broadcast(cover), "cell", "inner").filter(in_bbox)
+    out_cols = [c for c in points.columns if c != "cell"] + ["fid"]
     # stage 2 (rectangle fast accept, ogrlayer.cpp:3922): bbox IS the
-    # geometry -> accepted without touching Python
-    rect_hits = cand.filter(F.col("is_rect")).select(*out_cols)
+    # geometry -> accepted without touching Python.  Ray casting a
+    # rectangle admits exactly [x0, x1) x [y0, y1) (left/bottom edges
+    # in, right/top out) — the JVM predicate replicates that
+    rect_in = (
+        (F.col(lon) >= F.col("minx")) & (F.col(lon) < F.col("maxx"))
+        & (F.col(lat) >= F.col("miny")) & (F.col(lat) < F.col("maxy"))
+    )
+    rect_hits = cand.filter(F.col("is_rect") & rect_in) \
+        .select(*out_cols)
     # stage 3: exact ray-cast kernel for the rest only
     nonrect = cand.filter(~F.col("is_rect")).select(*out_cols)
 
@@ -249,16 +256,24 @@ def spatial_join_big_polygons(
         cover_kernel, cover_schema)
 
     pts = points.withColumn("cell", geo.cell_id(lon, lat, res))
+    # envelope pretest must be a SUPERSET of ray-cast-inside: a point
+    # exactly on the leftmost/bottom edge IS strictly-inside by the
+    # crossing rule (the 0-distance crossing is not counted, the far
+    # one is), so the reject uses inclusive bounds
     in_bbox = (
-        (F.col(lon) > F.col("minx")) & (F.col(lon) < F.col("maxx"))
-        & (F.col(lat) > F.col("miny")) & (F.col(lat) < F.col("maxy"))
+        (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
+        & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy"))
     )
     cand = (
         pts.join(cover, "cell", "inner")
         .filter(in_bbox)
     )
     out_cols = [c for c in points.columns] + [fid_col]
-    rect_hits = cand.filter(F.col("is_rect")).select(*out_cols)
+    rect_in = (
+        (F.col(lon) >= F.col("minx")) & (F.col(lon) < F.col("maxx"))
+        & (F.col(lat) >= F.col("miny")) & (F.col(lat) < F.col("maxy"))
+    )
+    rect_hits = cand.filter(F.col("is_rect") & rect_in).select(*out_cols)
     nonrect = cand.filter(~F.col("is_rect")) \
         .select(*(out_cols + [geom_col]))
     schema = nonrect.drop(geom_col).schema
