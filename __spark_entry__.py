@@ -652,6 +652,54 @@ def q31_json_props(spark, sf_dir):
     )
 
 
+def q32_bigjoin_rect(spark, sf_dir):
+    """Rectangle containment via the NON-broadcast (shuffle) spatial
+    join — must produce identical counts to q13's broadcast path, so
+    it shares q13's oracle."""
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_big_polygons,
+    )
+
+    pts = _points_from_orders(spark, sf_dir)
+    polys = spark.createDataFrame(_rect_polys_pdf())
+    joined = spatial_join_big_polygons(spark, pts, polys, res=6)
+    return _count_all_fids(spark, joined, len(RECTS))
+
+
+def q33_proximity(spark, sf_dir):
+    """Distance-to-target raster over rasterized triangles
+    (rows-only: EDT is validated against brute force in pytest)."""
+    from gdal_spark.operators.checksum import tile_checksums
+    from gdal_spark.operators.proximity import proximity_tiles
+    from gdal_spark.operators.rasterize import GridSpec, rasterize
+
+    grid = GridSpec(-180.0, 85.0, 1.0, 1.0, 360, 170)
+    tris = _tri_polys_pdf()
+    tiles = rasterize(spark, tris, grid, burn_value=1.0, dtype="uint8",
+                      tile_size=128)
+    prox = proximity_tiles(tiles, [1.0], max_dist=10.0)
+    return tile_checksums(prox).orderBy("tile_x", "tile_y")
+
+
+def q34_contour(spark, sf_dir):
+    """Contour segments of the z=5 density raster (rows-only:
+    marching-squares parity is asserted in pytest)."""
+    from gdal_spark.operators.contour import contour_tiles
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import page_density_tiles
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=5)
+    n_px = 32 * 256
+    res = 2 * geo.ORIGIN / n_px
+    grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
+    segs = contour_tiles(tiles, [0.5], grid.gt)
+    return (
+        segs.groupBy("level").agg(F.count("*").alias("n_segments"))
+        .orderBy("level")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_join": q02_revenue_join,
@@ -684,6 +732,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_dem_hillshade": q29_dem_hillshade,
     "q30_sessionize": q30_sessionize,
     "q31_json_props": q31_json_props,
+    "q32_bigjoin_rect": q32_bigjoin_rect,
+    "q33_proximity": q33_proximity,
+    "q34_contour": q34_contour,
 }
 
 
@@ -973,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pts GROUP BY 1
         """,
         "q13_pip_rect": _rect_oracle(),
+        "q32_bigjoin_rect": _rect_oracle(),
         "q14_pip_triangle": _tri_oracle(),
         "q15_knn_city": _knn_oracle(),
         "q16_token_stats": f"""

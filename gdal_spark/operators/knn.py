@@ -175,6 +175,29 @@ def knn_cells(
         for b in batches:
             if len(b) == 0:
                 continue
+            if n_t <= 64:
+                # tiny target set: the (batch x targets) distance
+                # matrix beats any ring logic — one vectorized pass
+                # (the degenerate case of the expanding search where
+                # ring 0 already holds every target)
+                px = b[lon].to_numpy(dtype=np.float64)
+                py = b[lat].to_numpy(dtype=np.float64)
+                d = _haversine_np(px[:, None], py[:, None],
+                                  lons[None, :], lats[None, :])
+                ord2 = np.lexsort(
+                    (np.broadcast_to(ids, d.shape), d), axis=1)[:, :kk]
+                rowi = np.arange(len(b))[:, None]
+                sel_d = d[rowi, ord2]
+                sel_id = ids[ord2]
+                keys = b[point_key].to_numpy()
+                yield pd.DataFrame({
+                    point_key: np.repeat(keys, kk),
+                    target_id: sel_id.ravel(),
+                    "dist_m": sel_d.ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                    len(b)),
+                })
+                continue
             px = b[lon].to_numpy(dtype=np.float64)
             py = b[lat].to_numpy(dtype=np.float64)
             tx, ty = _cells_of(px, py, res_)

@@ -45,3 +45,22 @@ def test_knn_k5_matches_bruteforce(spark):
     )
     assert len(want) == 1500
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_small_target_fast_path(spark):
+    """<=64 targets takes the direct distance-matrix path; results
+    must still match brute force exactly (k=1 and k=3)."""
+    small = TARGETS.iloc[:12].reset_index(drop=True)
+    pts = pages_df(spark, 500, partitions=4).select("i", "lon", "lat")
+    for k in (1, 3):
+        got = (
+            knn_cells(pts, small, k=k, res=4)
+            .select("i", "rank", "target_id").toPandas()
+            .sort_values(["i", "rank"]).reset_index(drop=True)
+        )
+        want = (
+            knn_bruteforce(pts, small, k=k)
+            .select("i", "rank", "target_id").toPandas()
+            .sort_values(["i", "rank"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
