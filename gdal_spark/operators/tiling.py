@@ -460,6 +460,59 @@ def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int = 0,
     return out
 
 
+def tiles_as_features(tiles: DataFrame, gt: list[float] | None = None,
+                      skip_value: float | None = None) -> DataFrame:
+    """Explode tiles into per-pixel feature rows — the engine's UDTF
+    analog of ``gdal raster as-features``
+    (apps/gdalalg_raster_as_features.cpp): one row per pixel with its
+    global pixel coords, georeferenced center, and value.
+
+    ``skip_value`` drops pixels of that value (e.g. 0 background) so
+    sparse rasters don't explode into mostly-empty rows.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField
+
+    out_schema = StructType([
+        StructField("zoom", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("px", LongType()),
+        StructField("py", LongType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("value", DoubleType()),
+    ])
+    gt_ = gt
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                arr = decode_tile(r["data"], r["dtype"], ts) \
+                    .astype(np.float64)
+                jj, ii = np.mgrid[0:ts, 0:ts]
+                keep = np.ones((ts, ts), dtype=bool)
+                if skip_value is not None:
+                    keep = arr != skip_value
+                gx = int(r["tile_x"]) * ts + ii[keep]
+                gy = int(r["tile_y"]) * ts + jj[keep]
+                if gt_ is not None:
+                    wx = gt_[0] + (gx + 0.5) * gt_[1] + (gy + 0.5) * gt_[2]
+                    wy = gt_[3] + (gx + 0.5) * gt_[4] + (gy + 0.5) * gt_[5]
+                else:
+                    wx = gx + 0.5
+                    wy = gy + 0.5
+                yield pd.DataFrame({
+                    "zoom": int(r["zoom"]), "band": int(r["band"]),
+                    "px": gx.astype(np.int64),
+                    "py": gy.astype(np.int64),
+                    "x": wx.astype(np.float64),
+                    "y": wy.astype(np.float64),
+                    "value": arr[keep],
+                })
+
+    return tiles.mapInPandas(kernel, out_schema)
+
+
 def tile_y_file(tiles: DataFrame, convention: str = "xyz") -> DataFrame:
     """Apply the XYZ/TMS file-name convention
     (gdalalg_raster_tile.cpp:509-514 GetFileY)."""

@@ -64,3 +64,28 @@ def test_knn_small_target_fast_path(spark):
             .sort_values(["i", "rank"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_antimeridian_wrap(spark):
+    """A point near the dateline whose true nearest target lies on
+    the other side of +-180 — the ring search must not certify early
+    (the wrap lower bound forces expansion / full scan)."""
+    targets = pd.DataFrame({
+        "target_id": np.array([0, 1], dtype=np.int64),
+        "t_lon": [179.5, -120.0],
+        "t_lat": [10.0, 10.0],
+    })
+    pts = spark.createDataFrame(
+        pd.DataFrame({"i": np.array([0], dtype=np.int64),
+                      "lon": [-179.5], "lat": [10.0]}))
+    # force the ring path (>64 targets not needed: pad with far decoys)
+    pad = pd.DataFrame({
+        "target_id": np.arange(2, 72, dtype=np.int64),
+        "t_lon": np.linspace(-60, 60, 70),
+        "t_lat": np.full(70, -80.0),
+    })
+    tgts = pd.concat([targets, pad], ignore_index=True)
+    got = knn_cells(pts, tgts, k=1, res=4).collect()[0]
+    want = knn_bruteforce(pts, tgts, k=1).collect()[0]
+    assert got.target_id == want.target_id == 0  # wraps the dateline
+    assert abs(got.dist_m - want.dist_m) < 1e-6

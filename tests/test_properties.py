@@ -1,0 +1,106 @@
+"""Hypothesis property tests for the numerical kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from gdal_spark.geometry.pip import points_in_rings
+from gdal_spark.operators.checksum import checksum_array
+from gdal_spark.operators.proximity import edt_squared
+from gdal_spark.operators.rasterize import rasterize_chunk
+from gdal_spark.functions.hilbert import hilbert_code_u16
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(3, 8), st.integers(0, 10_000))
+def test_pip_convex_polygon_property(n_vert, seed):
+    """For convex polygons, ray-cast inside == all-edges-left-of."""
+    rng = np.random.RandomState(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n_vert))
+    if len(np.unique(np.round(ang, 6))) < 3:
+        return
+    r = rng.uniform(2, 8)
+    ring = np.column_stack([10 + r * np.cos(ang), 10 + r * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    px = rng.uniform(0, 20, 200)
+    py = rng.uniform(0, 20, 200)
+    got = points_in_rings(px, py, [ring])
+    # half-plane test (CCW ring): strictly inside iff left of every edge
+    inside = np.ones(200, dtype=bool)
+    for i in range(len(ring) - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        inside &= cross > 0
+    # points exactly on an edge are ambiguous: skip them
+    on_edge = np.zeros(200, dtype=bool)
+    for i in range(len(ring) - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        on_edge |= np.abs(cross) < 1e-9
+    ok = ~on_edge
+    assert (got[ok] == inside[ok]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10_000))
+def test_rasterize_area_property(seed):
+    """Scanline fill pixel count approximates polygon area within
+    perimeter error (digitization bound)."""
+    rng = np.random.RandomState(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 6))
+    if len(np.unique(np.round(ang, 6))) < 3:
+        return
+    r = rng.uniform(5, 14)
+    ring = np.column_stack([16 + r * np.cos(ang), 16 + r * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    grid = rasterize_chunk((32, 32), [([ring], 1.0)], "uint8")
+    x, y = ring[:, 0], ring[:, 1]
+    area = 0.5 * abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+    perim = np.hypot(*(np.diff(ring, axis=0).T)).sum()
+    assert abs(int(grid.sum()) - area) <= perim + 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 20))
+def test_edt_property(seed, n_targets):
+    rng = np.random.RandomState(seed)
+    mask = np.zeros((24, 31), dtype=bool)
+    ys = rng.randint(0, 24, n_targets)
+    xs = rng.randint(0, 31, n_targets)
+    mask[ys, xs] = True
+    d2, sy, sx = edt_squared(mask)
+    assert (d2[mask] == 0).all()
+    assert mask[sy, sx].all()
+    yy, xx = np.mgrid[0:24, 0:31]
+    np.testing.assert_array_equal(
+        (yy - sy) ** 2 + (xx - sx) ** 2, d2.astype(np.int64))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10_000))
+def test_checksum_permutation_sensitivity(seed):
+    """Swapping two unequal pixels in different prime slots must
+    change the checksum... not guaranteed in general — instead assert
+    determinism and the 16-bit range."""
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (13, 17)).astype(np.int32)
+    c1 = checksum_array(arr)
+    c2 = checksum_array(arr.copy())
+    assert c1 == c2
+    assert 0 <= c1 <= 0xFFFF
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+def test_hilbert_bijectivity_neighbors(x, y):
+    """Hilbert codes of distinct lattice points are distinct, and
+    lattice neighbors differ by bounded code distance only on one
+    axis step (locality sanity: codes of (x,y) and (x+1,y) differ)."""
+    c = hilbert_code_u16(np.array([x]), np.array([y]))[0]
+    if x + 1 < 2**16:
+        c2 = hilbert_code_u16(np.array([x + 1]), np.array([y]))[0]
+        assert c2 != c
+    if y + 1 < 2**16:
+        c3 = hilbert_code_u16(np.array([x]), np.array([y + 1]))[0]
+        assert c3 != c

@@ -108,3 +108,22 @@ def test_write_tiles_partitioned(spark, tmp_path):
     assert back.count() == pyr.count()
     assert set(r.zoom for r in back.select("zoom").distinct().collect()) \
         == {1, 2}
+
+
+def test_tiles_as_features(spark):
+    from gdal_spark.operators.tiling import tiles_as_features
+
+    pts = pages_df(spark, 500, partitions=2).select("lon", "lat")
+    tiles = page_density_tiles(pts, zoom=3, tile_size=32)
+    feats = tiles_as_features(tiles, skip_value=0.0)
+    pdf = feats.toPandas()
+    # total pixel mass == point count; every row is a nonzero pixel
+    assert pdf["value"].sum() == 500
+    assert (pdf["value"] > 0).all()
+    # pixel coords within the z=3 global raster
+    assert pdf["px"].between(0, 8 * 32 - 1).all()
+    # georeferenced variant maps pixel centers through the gt
+    gt = [0.0, 2.0, 0.0, 512.0, 0.0, -2.0]
+    g = tiles_as_features(tiles, gt=gt, skip_value=0.0).toPandas()
+    np.testing.assert_allclose(g["x"], (g["px"] + 0.5) * 2.0)
+    np.testing.assert_allclose(g["y"], 512.0 - (g["py"] + 0.5) * 2.0)
