@@ -168,9 +168,6 @@ def contour_tiles(tiles: DataFrame, levels: list[float], gt: list[float],
                 segs = segs[~np.isnan(segs).any(axis=1)]
             if not len(segs):
                 continue
-            # drop segments from cells involving NaN corners (they
-            # produced no crossings anyway since NaN>level is False;
-            # a NaN corner could still make a spurious case: filter)
             # pixel coords -> global pixel -> georef
             gx1 = gt[0] + (segs[:, 0] + tx * ts) * gt[1] \
                 + (segs[:, 1] + ty * ts) * gt[2]

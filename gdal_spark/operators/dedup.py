@@ -186,6 +186,70 @@ def minhash_lsh_dedup(
     return df.join(drop, key_col, "left_anti")
 
 
+def duplicate_clusters(pairs: DataFrame, key_a: str = "a",
+                       key_b: str = "b", max_iters: int = 20
+                       ) -> DataFrame:
+    """Connected components over verified duplicate pairs ->
+    (doc_id, cluster_id) with cluster_id = min doc_id in the
+    component.
+
+    Iterative min-label propagation as DataFrame joins (the classic
+    large-scale CC pattern — each round joins every node's label with
+    its neighbors' and keeps the minimum; converges in O(diameter)
+    rounds, which for dup clusters is tiny).  Only documents that
+    appear in a pair get a row; singletons are their own cluster.
+    """
+    edges = (
+        pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
+        .unionByName(
+            pairs.select(F.col(key_b).alias("u"),
+                         F.col(key_a).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("u").distinct() \
+        .withColumn("label", F.col("u"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"),
+                        F.coalesce("nlabel", F.col("label")))
+                .alias("label"),
+            )
+        )
+        # pointer jumping (path halving): follow label -> label(label)
+        # so convergence is O(log diameter), not O(diameter)
+        lab2 = new_labels.select(F.col("u").alias("label"),
+                                 F.col("label").alias("label2"))
+        new_labels = (
+            new_labels.join(lab2, "label", "left")
+            .select(
+                "u",
+                F.least(F.col("label"),
+                        F.coalesce("label2", F.col("label")))
+                .alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels.cache()
+        labels.count()
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 # --- simhash ---------------------------------------------------------
 
 

@@ -146,6 +146,50 @@ def resample_patch(
                 wsum += np.where(ok, wgt, 0.0)
         return np.where(wsum != 0, out / np.where(wsum == 0, 1, wsum),
                         fill)
+    if resample in ("lanczos", "cubicspline"):
+        # lanczos: windowed sinc, a=3 (GRA_Lanczos, 6x6 support);
+        # cubicspline: cubic B-spline weights (GRA_CubicSpline, 4x4)
+        if resample == "lanczos":
+            support = 3
+
+            def wfn(t):
+                at = np.abs(t)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    w_ = (3.0 * np.sin(np.pi * at)
+                          * np.sin(np.pi * at / 3.0)
+                          / (np.pi * np.pi * at * at))
+                return np.where(at < 1e-12, 1.0,
+                                np.where(at < 3.0, w_, 0.0))
+        else:
+            support = 2
+
+            def wfn(t):
+                at = np.abs(t)
+                return np.where(
+                    at <= 1.0,
+                    (4.0 - 6.0 * at ** 2 + 3.0 * at ** 3) / 6.0,
+                    np.where(at < 2.0, ((2.0 - at) ** 3) / 6.0, 0.0),
+                )
+
+        fx = lx - 0.5
+        fy = ly - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        out = np.zeros(lx.shape, dtype=np.float64)
+        wsum = np.zeros(lx.shape, dtype=np.float64)
+        for dy in range(-support + 1, support + 1):
+            for dx in range(-support + 1, support + 1):
+                xx = x0 + dx
+                yy = y0 + dy
+                wgt = wfn(fx - xx) * wfn(fy - yy)
+                ok = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+                v = patch[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
+                if nodata is not None:
+                    ok &= v != nodata
+                out += np.where(ok, wgt * v, 0.0)
+                wsum += np.where(ok, wgt, 0.0)
+        return np.where(wsum != 0, out / np.where(wsum == 0, 1, wsum),
+                        fill)
     if resample in ("min", "max", "med", "q1", "q3", "sum", "rms",
                     "mode", "average"):
         return _footprint_stat(patch, lx, ly, resample, nodata, fill)

@@ -127,3 +127,26 @@ def test_ann_lsh_recall(spark, emb):
     # top-1 self-match must survive LSH (identical vector, same buckets)
     top1 = approx[approx["rank"] == 1].sort_values("query_id")
     assert top1["vec_id"].tolist() == q["vec_id"].tolist()
+
+
+def test_duplicate_clusters(spark):
+    from gdal_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], ["a", "b"])
+    out = duplicate_clusters(pairs).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # components: {1,2,3,9} -> 1, {5,6} -> 5
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_duplicate_clusters_chain(spark):
+    """A long chain needs label propagation across many hops."""
+    from gdal_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["a", "b"])
+    out = duplicate_clusters(pairs).toPandas()
+    assert (out["cluster_id"] == 0).all()
+    assert len(out) == 31

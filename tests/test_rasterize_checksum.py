@@ -220,3 +220,24 @@ def test_stat_resample_kernels():
         np.testing.assert_allclose(out, want, err_msg=stat)
     rms = resample_patch(patch, 0, 0, sx, sy, "rms")
     np.testing.assert_allclose(rms, np.sqrt((blocks ** 2).mean(axis=2)))
+
+
+def test_lanczos_and_cubicspline_kernels():
+    from gdal_spark.operators.warp import resample_patch
+
+    # constant field: any normalized kernel reproduces it exactly
+    patch = np.full((20, 20), 7.0)
+    jj, ii = np.mgrid[0:8, 0:8]
+    sx = 6.0 + ii * 0.7
+    sy = 6.0 + jj * 0.7
+    for k in ("lanczos", "cubicspline"):
+        out = resample_patch(patch, 0, 0, sx, sy, k)
+        np.testing.assert_allclose(out, 7.0, rtol=1e-12, err_msg=k)
+    # linear ramp: lanczos (sinc) reproduces linear data in the
+    # interior; cubic B-spline smooths but stays within data range
+    ramp = np.tile(np.arange(20, dtype=np.float64), (20, 1))
+    lz = resample_patch(ramp, 0, 0, sx, sy, "lanczos")
+    np.testing.assert_allclose(lz, sx - 0.5, atol=1e-9)
+    cs = resample_patch(ramp, 0, 0, sx, sy, "cubicspline")
+    assert (cs >= 0).all() and (cs <= 19).all()
+    np.testing.assert_allclose(cs, sx - 0.5, atol=0.5)
