@@ -233,11 +233,12 @@ def test_lanczos_and_cubicspline_kernels():
     for k in ("lanczos", "cubicspline"):
         out = resample_patch(patch, 0, 0, sx, sy, k)
         np.testing.assert_allclose(out, 7.0, rtol=1e-12, err_msg=k)
-    # linear ramp: lanczos (sinc) reproduces linear data in the
-    # interior; cubic B-spline smooths but stays within data range
+    # linear ramp: lanczos approximates linear data closely (the
+    # windowed sinc is not exactly linear-reproducing); cubic
+    # B-spline smooths but stays within the data range
     ramp = np.tile(np.arange(20, dtype=np.float64), (20, 1))
     lz = resample_patch(ramp, 0, 0, sx, sy, "lanczos")
-    np.testing.assert_allclose(lz, sx - 0.5, atol=1e-9)
+    np.testing.assert_allclose(lz, sx - 0.5, atol=0.05)
     cs = resample_patch(ramp, 0, 0, sx, sy, "cubicspline")
     assert (cs >= 0).all() and (cs <= 19).all()
     np.testing.assert_allclose(cs, sx - 0.5, atol=0.5)
