@@ -474,11 +474,38 @@ def _register_geom_udfs(spark: SparkSession) -> None:
         return wkb.map(lambda b: names.get(parse_wkb(bytes(b)).kind)
                        if b is not None else None)
 
+    def _contains(wkb, x, y):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.geometry.pip import points_in_rings
+
+        out = []
+        px = x.to_numpy(dtype=float)
+        py = y.to_numpy(dtype=float)
+        for i, b in enumerate(wkb):
+            if b is None:
+                out.append(None)
+                continue
+            out.append(bool(points_in_rings(
+                np.array([px[i]]), np.array([py[i]]),
+                parse_wkb(bytes(b)).rings())[0]))
+        return pd.Series(out)
+
+    from pyspark.sql.types import BooleanType
+
     st_area = pandas_udf(_area, DoubleType())
     st_aswkt = pandas_udf(_wkt, StringType())
     st_geometrytype = pandas_udf(_gtype, StringType())
+    st_contains = pandas_udf(_contains, BooleanType())
 
     spark.udf.register("st_area", st_area)
     spark.udf.register("st_aswkt", st_aswkt)
     spark.udf.register("st_geometrytype", st_geometrytype)
+    # ST_Contains(geom, x, y) / ST_Intersects for points — the
+    # SQLITE-dialect spatial functions GDAL exposes
+    # (doc/source/user/sql_sqlite_dialect.rst); the ray-cast kernel
+    # behind the spatial join, usable directly in WHERE clauses
+    spark.udf.register("st_contains", st_contains)
+    spark.udf.register("st_intersects_point", st_contains)
     _UDFS_READY.add(key)

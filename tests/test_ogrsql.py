@@ -188,3 +188,23 @@ def test_left_join_keeps_unmatched(spark, layers):
     rows = out.collect()
     assert len(rows) == 10
     assert rows[0].tag == "x" and rows[1].tag is None
+
+
+def test_st_contains_in_where(spark, layers):
+    """SQLITE-dialect-style spatial predicate in the WHERE clause
+    (point-in-polygon through the ray-cast kernel)."""
+    # points table: Paris inside fid2's pentagon, plus one far away
+    pts = spark.createDataFrame(
+        [(0, 2.3522, 48.8566), (1, -50.0, -20.0), (2, 0.0, 0.0)],
+        ["pid", "x", "y"],
+    )
+    out = execute_ogr_sql(
+        spark,
+        "SELECT pid, eas_id FROM pts"
+        " JOIN poly ON ST_CONTAINS(geometry, x, y)"
+        " ORDER BY pid",
+        {"pts": pts, "poly": layers["poly"]},
+    )
+    rows = out.collect()
+    # Paris -> pentagon (eas 166); (-50,-20) -> triangle (eas 171)
+    assert [(r.pid, r.eas_id) for r in rows] == [(0, 166), (1, 171)]
