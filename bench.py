@@ -121,6 +121,45 @@ def main() -> None:
                  "q11_tile_assign", "q15_knn_city"):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
+    # 7b. raster ops: rasterize world polygons + zonal over density
+    from gdal_spark.operators.rasterize import GridSpec, rasterize
+    from gdal_spark.operators.zonal import zonal_stats
+    from gdal_spark.operators.tiling import page_density_tiles
+    from gdal_spark.sources.polygons import random_polygons_pdf
+
+    rast_grid = GridSpec(-180.0, 85.0, 0.05, 0.05, 7200, 3400)
+    polys_1k = random_polygons_pdf(1000)
+    timed("rasterize_1k_polys",
+          lambda: rasterize(spark, polys_1k, rast_grid, burn_col="fid",
+                            dtype="int32").count())
+
+    pts_z = pages_coords_df(spark, int(2_000_000 * sf * mult))
+    density = page_density_tiles(pts_z, zoom=6, codec="deflate").cache()
+    density.count()
+    from gdal_spark.functions import geo as _geo
+
+    zres = _geo.tile_span(6) / 256
+    zgrid = GridSpec(-_geo.ORIGIN, _geo.ORIGIN, zres, zres,
+                     64 * 256, 64 * 256)
+    # mercator-space zone rectangles
+    from gdal_spark.geometry.wkb import polygon_wkb
+
+    rng = np.random.RandomState(7)
+    zrows = []
+    for fid in range(200):
+        cx = rng.uniform(-0.9, 0.9) * _geo.ORIGIN
+        cy = rng.uniform(-0.9, 0.9) * _geo.ORIGIN
+        wdt = rng.uniform(0.01, 0.05) * _geo.ORIGIN
+        ring = np.array([
+            (cx - wdt, cy - wdt), (cx + wdt, cy - wdt),
+            (cx + wdt, cy + wdt), (cx - wdt, cy + wdt),
+            (cx - wdt, cy - wdt)])
+        zrows.append({"fid": fid, "geometry": polygon_wkb([ring])})
+    zones = pd.DataFrame(zrows)
+    timed("zonal_stats_200_zones",
+          lambda: zonal_stats(spark, density, zones, zgrid).count())
+    density.unpersist()
+
     # 8. minhash dedup over documents
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())

@@ -367,6 +367,7 @@ def rasterize(
     tile_size: int = 256,
     fid_col: str = "fid",
     geom_col: str = "geometry",
+    codec: str | None = None,
 ) -> DataFrame:
     """Distributed rasterize -> tile DataFrame (TILE_SCHEMA, zoom=-1
     marks a custom grid rather than WebMercatorQuad)."""
@@ -399,14 +400,12 @@ def rasterize(
     assign = spark.createDataFrame(pd.DataFrame(rows))
     bc = spark.sparkContext.broadcast((geoms, order_keys))
 
-    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        geoms_, order_ = bc.value
-        tx, ty = int(key[0]), int(key[1])
+    def render_tile(geoms_, order_, tx, ty, gids):
         ox, oy = tx * tile_size, ty * tile_size
         w = min(tile_size, grid.width - ox)
         h = min(tile_size, grid.height - oy)
         # feature order must match the sequential reference burn order
-        gids = sorted(pdf["gid"].unique(), key=lambda g: order_[g])
+        gids = sorted(set(gids), key=lambda g: order_[g])
         local = []
         for gid in gids:
             rings_px, burn, kind = geoms_[gid]
@@ -417,16 +416,55 @@ def rasterize(
             full = np.zeros((tile_size, tile_size), dtype=arr.dtype)
             full[:h, :w] = arr
             arr = full
-        return pd.DataFrame({
-            "zoom": [-1], "tile_x": [tx], "tile_y": [ty], "band": [1],
-            "data": [arr.tobytes()], "dtype": [dtype],
-            "tile_size": [tile_size],
-        })
+        from gdal_spark.operators.tiling import encode_tile
 
+        return encode_tile(arr, codec)
+
+    from typing import Iterator
+
+    def render_stream(batches: "Iterator[pd.DataFrame]"
+                      ) -> "Iterator[pd.DataFrame]":
+        # stream tiles in sorted order with cross-batch carry — avoids
+        # per-group applyInPandas overhead on thousands of small tiles
+        geoms_, order_ = bc.value
+        cur = None
+        gid_acc: list[int] = []
+        out = {f.name: [] for f in TILE_SCHEMA.fields}
+
+        def flush():
+            if cur is None:
+                return
+            payload, dts = render_tile(geoms_, order_, cur[0], cur[1],
+                                       gid_acc)
+            out["zoom"].append(-1)
+            out["tile_x"].append(cur[0])
+            out["tile_y"].append(cur[1])
+            out["band"].append(1)
+            out["data"].append(payload)
+            out["dtype"].append(dts)
+            out["tile_size"].append(tile_size)
+
+        for b in batches:
+            for tx, ty, gid in zip(b["tile_x"], b["tile_y"], b["gid"]):
+                t = (int(tx), int(ty))
+                if t != cur:
+                    flush()
+                    cur = t
+                    gid_acc = []
+                    if len(out["zoom"]) >= 64:
+                        yield pd.DataFrame(out)
+                        for k2 in out:
+                            out[k2] = []
+                gid_acc.append(int(gid))
+        flush()
+        if out["zoom"]:
+            yield pd.DataFrame(out)
+
+    nparts = spark.sparkContext.defaultParallelism * 2
     return (
-        assign.repartitionByRange("tile_x", "tile_y")
-        .groupBy("tile_x", "tile_y")
-        .applyInPandas(render, TILE_SCHEMA)
+        assign.repartition(nparts, "tile_x", "tile_y")
+        .sortWithinPartitions("tile_x", "tile_y")
+        .mapInPandas(render_stream, TILE_SCHEMA)
     )
 
 

@@ -48,9 +48,12 @@ def _joined_tiles(spark, value_tiles: DataFrame, zones_pdf: pd.DataFrame,
                   grid: GridSpec, tile_size: int, all_touched: bool):
     zones = zones_pdf.copy()
     zones["__burn"] = zones["fid"].astype(np.int64) + 1  # 0 = outside
+    # zone rasters are near-constant: deflate them so the tile join
+    # shuffles kilobytes, not dense 512KB int64 buffers
     zone_tiles = rasterize(
         spark, zones, grid, burn_col="__burn", dtype="int64",
         all_touched=all_touched, merge_alg="replace", tile_size=tile_size,
+        codec="deflate",
     ).select(
         "tile_x", "tile_y",
         F.col("data").alias("zdata"),
@@ -85,8 +88,7 @@ def zonal_stats(
 
                 vals = decode_tile(r["data"], r["dtype"], ts) \
                     .astype(np.float64)
-                zones = np.frombuffer(r["zdata"], dtype=np.int64) \
-                    .reshape(ts, ts)
+                zones = decode_tile(r["zdata"], "deflate:int64", ts)
                 mask = zones >= 1
                 if nodata is not None:
                     mask &= vals != nodata
@@ -148,8 +150,7 @@ def zonal_value_counts(
 
                 vals = decode_tile(r["data"], r["dtype"], ts) \
                     .astype(np.float64)
-                zones = np.frombuffer(r["zdata"], dtype=np.int64) \
-                    .reshape(ts, ts)
+                zones = decode_tile(r["zdata"], "deflate:int64", ts)
                 mask = zones >= 1
                 if nodata is not None:
                     mask &= vals != nodata
