@@ -50,6 +50,7 @@ TILE_SCHEMA = StructType([
 ])
 
 _PARTIAL_SCHEMA = StructType([
+    StructField("zoom", IntegerType()),
     StructField("tile_x", LongType()),
     StructField("tile_y", LongType()),
     StructField("idx", BinaryType()),    # int32 flat pixel indices
@@ -166,9 +167,11 @@ def sparse_density(
         pix = (uk & ((1 << pix_bits) - 1)).astype(np.int32)
         tstarts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
         tends = np.r_[tstarts[1:], len(tile)]
-        rows = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
+        rows = {"zoom": [], "tile_x": [], "tile_y": [], "idx": [],
+                "cnt": []}
         for s, e in zip(tstarts, tends):
             t = int(tile[s])
+            rows["zoom"].append(zoom)
             rows["tile_x"].append(t // n)
             rows["tile_y"].append(t % n)
             rows["idx"].append(pix[s:e].tobytes())
@@ -203,7 +206,8 @@ def _merge_sparse(partials: DataFrame, nparts: int) -> DataFrame:
                         for v in b["cnt"]]
             lens = np.fromiter((len(a) for a in idx_list), dtype=np.int64,
                                count=len(idx_list))
-            tile_key = (b["tile_x"].to_numpy(np.int64) * (1 << 32)
+            tile_key = ((b["zoom"].to_numpy(np.int64) << 58)
+                        + (b["tile_x"].to_numpy(np.int64) << 29)
                         + b["tile_y"].to_numpy(np.int64))
             # per-batch tile ordinals keep the combined key in int64
             # for any zoom (rows arrive tile-sorted, so ordinal order
@@ -226,12 +230,14 @@ def _merge_sparse(partials: DataFrame, nparts: int) -> DataFrame:
             pix = (uk & ((1 << 18) - 1)).astype(np.int32)
             tstarts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
             tends = np.r_[tstarts[1:], len(tile)]
-            rows = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
+            rows = {"zoom": [], "tile_x": [], "tile_y": [], "idx": [],
+                    "cnt": []}
             csum64 = csum.astype(np.int64)
             for s, e in zip(tstarts, tends):
                 t = int(tile[s])
-                rows["tile_x"].append(t >> 32)
-                rows["tile_y"].append(t & 0xFFFFFFFF)
+                rows["zoom"].append(t >> 58)
+                rows["tile_x"].append((t >> 29) & ((1 << 29) - 1))
+                rows["tile_y"].append(t & ((1 << 29) - 1))
                 rows["idx"].append(pix[s:e].tobytes())
                 rows["cnt"].append(csum64[s:e].tobytes())
             return pd.DataFrame(rows)
@@ -255,8 +261,8 @@ def _merge_sparse(partials: DataFrame, nparts: int) -> DataFrame:
     # Sinks that want globally tile-ordered output (write_tiles) sort
     # at write time.
     return (
-        partials.repartition(nparts, "tile_x", "tile_y")
-        .sortWithinPartitions("tile_x", "tile_y")
+        partials.repartition(nparts, "zoom", "tile_x", "tile_y")
+        .sortWithinPartitions("zoom", "tile_x", "tile_y")
         .mapInPandas(merge, _PARTIAL_SCHEMA)
     )
 
@@ -279,12 +285,14 @@ def sparse_overview(sparse: DataFrame, tile_size: int = 256,
                                dtype=np.int64, count=len(b))
             txs = b["tile_x"].to_numpy(np.int64)
             tys = b["tile_y"].to_numpy(np.int64)
+            zms = b["zoom"].to_numpy(np.int64)
             idx = np.concatenate(idx_list).astype(np.int64)
             cnt = np.concatenate(cnt_list)
             px = idx % tile_size + np.repeat(txs % 2, lens) * tile_size
             py = idx // tile_size + np.repeat(tys % 2, lens) * tile_size
             pidx = (py >> 1) * tile_size + (px >> 1)
-            ptile = np.repeat(txs // 2, lens) * (1 << 32) \
+            ptile = (np.repeat(zms - 1, lens) << 58) \
+                + (np.repeat(txs // 2, lens) << 29) \
                 + np.repeat(tys // 2, lens)
             uniq_tiles, tile_ord = np.unique(ptile, return_inverse=True)
             key = tile_ord.astype(np.int64) * (1 << 18) + pidx
@@ -297,14 +305,16 @@ def sparse_overview(sparse: DataFrame, tile_size: int = 256,
             pix = (uk & ((1 << 18) - 1)).astype(np.int32)
             tst = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
             ten = np.r_[tst[1:], len(tile)]
-            rows = {"tile_x": [], "tile_y": [], "idx": [], "cnt": []}
+            rows = {"zoom": [], "tile_x": [], "tile_y": [], "idx": [],
+                    "cnt": []}
             for s, e in zip(tst, ten):
                 t = int(tile[s])
-                rows["tile_x"].append(t >> 32)
-                rows["tile_y"].append(t & 0xFFFFFFFF)
+                rows["zoom"].append(t >> 58)
+                rows["tile_x"].append((t >> 29) & ((1 << 29) - 1))
+                rows["tile_y"].append(t & ((1 << 29) - 1))
                 rows["idx"].append(pix[s:e].tobytes())
                 rows["cnt"].append(csum[s:e].tobytes())
-            if rows["tile_x"]:
+            if rows["zoom"]:
                 yield pd.DataFrame(rows)
 
     nparts = num_partitions or (
@@ -343,7 +353,8 @@ def densify(sparse: DataFrame, zoom: int, tile_size: int = 256,
                     payloads.append(payload)
                     dts_s.append(dts)
                 yield pd.DataFrame({
-                    "zoom": zoom,
+                    "zoom": (b["zoom"].iloc[s:e].to_numpy()
+                             if "zoom" in b.columns else zoom),
                     "tile_x": b["tile_x"].iloc[s:e].to_numpy(),
                     "tile_y": b["tile_y"].iloc[s:e].to_numpy(),
                     "band": 1,
@@ -444,20 +455,96 @@ def overview_reduce(tiles: DataFrame, agg: str = "sum") -> DataFrame:
     )
 
 
+def sparse_pyramid(
+    points: DataFrame, base_zoom: int, min_zoom: int = 0,
+    tile_size: int = 256, lon: str = "lon", lat: str = "lat",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ALL pyramid levels in a single pass: phase 1 derives every
+    zoom's (tile, pixel) key from the base-zoom key by bit shifts
+    (parent pixel = child pixel >> 1), so the whole pyramid costs ONE
+    shuffle of sparse entries instead of one per level.
+
+    This is the engine's improvement over the reference's
+    level-by-level overview build (gdalalg_raster_tile.cpp:1552 — a
+    sequential dependency chain); the reduction is associative, so
+    all levels aggregate concurrently."""
+    res = geo.tile_span(base_zoom) / tile_size
+    n_base = (1 << base_zoom) * tile_size
+    px = F.floor(
+        (geo.merc_x(lon) + F.lit(geo.ORIGIN)) / F.lit(res) + F.lit(1e-3)
+    )
+    py = F.floor(
+        (F.lit(geo.ORIGIN) - geo.merc_y(lat)) / F.lit(res) + F.lit(1e-3)
+    )
+    px = F.least(F.greatest(px, F.lit(0)), F.lit(n_base - 1))
+    py = F.least(F.greatest(py, F.lit(0)), F.lit(n_base - 1))
+    staged = points.select(
+        (px.cast("long") * F.lit(n_base) + py.cast("long")).alias("key")
+    )
+    pix_bits = 2 * int(np.log2(tile_size))
+    log_nb = int(np.log2(n_base))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks: list[np.ndarray] = []
+        counts: list[np.ndarray] = []
+        for b in batches:
+            if len(b) == 0:
+                continue
+            k, c = np.unique(b["key"].to_numpy(), return_counts=True)
+            chunks.append(k)
+            counts.append(c)
+        if not chunks:
+            return
+        allk = np.concatenate(chunks)
+        allc = np.concatenate(counts)
+        base_px = allk >> log_nb
+        base_py = allk & (n_base - 1)
+        rows = {"zoom": [], "tile_x": [], "tile_y": [], "idx": [],
+                "cnt": []}
+        for z in range(min_zoom, base_zoom + 1):
+            shift = base_zoom - z
+            zpx = base_px >> shift
+            zpy = base_py >> shift
+            n = 1 << z
+            tkey = ((zpx // tile_size) * n + (zpy // tile_size)) \
+                * (1 << pix_bits) \
+                + (zpy % tile_size) * tile_size + (zpx % tile_size)
+            order = np.argsort(tkey, kind="stable")
+            ks = tkey[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            uk = ks[starts]
+            csum = np.add.reduceat(allc[order], starts)
+            tile = uk >> pix_bits
+            pix = (uk & ((1 << pix_bits) - 1)).astype(np.int32)
+            tst = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+            ten = np.r_[tst[1:], len(tile)]
+            for si, ei in zip(tst, ten):
+                t = int(tile[si])
+                rows["zoom"].append(z)
+                rows["tile_x"].append(t // n)
+                rows["tile_y"].append(t % n)
+                rows["idx"].append(pix[si:ei].tobytes())
+                rows["cnt"].append(
+                    csum[si:ei].astype(np.int64).tobytes())
+        yield pd.DataFrame(rows)
+
+    partials = staged.mapInPandas(partial, _PARTIAL_SCHEMA)
+    nparts = num_partitions or (
+        points.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    return _merge_sparse(partials, nparts)
+
+
 def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int = 0,
                   tile_size: int = 256, lon: str = "lon", lat: str = "lat",
                   codec: str | None = None) -> DataFrame:
     """Full pyramid: base zoom rendered from points, overview zooms
-    from the zoom below (gdalalg_raster_tile.cpp:1552-1596).
-
-    Levels propagate in the SPARSE representation; each zoom is
-    densified map-side only for the output union."""
-    level = sparse_density(points, base_zoom, tile_size, lon, lat)
-    out = densify(level, base_zoom, tile_size, codec)
-    for z in range(base_zoom, min_zoom, -1):
-        level = sparse_overview(level, tile_size)
-        out = out.unionByName(densify(level, z - 1, tile_size, codec))
-    return out
+    aggregated concurrently in the same single-shuffle pass
+    (see sparse_pyramid); densified map-side for output."""
+    level = sparse_pyramid(points, base_zoom, min_zoom, tile_size,
+                           lon, lat)
+    return densify(level, base_zoom, tile_size, codec)
 
 
 def tiles_as_features(tiles: DataFrame, gt: list[float] | None = None,
