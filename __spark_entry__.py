@@ -816,7 +816,10 @@ def _zonal_oracle() -> str:
         f"WITH pts AS ({_POINTS_SQL}),"
         f" pix AS (SELECT {px} AS px, {py} AS py FROM pts) "
         + " UNION ALL ".join(
-            p.replace("COUNT(*) AS n_points", "SUM(cnt) AS n_points")
+            # CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+            # renders as float64 and the driver's value-hash rejects
+            p.replace("COUNT(*) AS n_points",
+                      "CAST(SUM(cnt) AS BIGINT) AS n_points")
             for p in parts
         )
         + " ORDER BY zone"
@@ -1029,7 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_knn_city": _knn_oracle(),
         "q16_token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM({_TOKENS_DUCK}) AS sum_tokens,
+                   CAST(SUM({_TOKENS_DUCK}) AS BIGINT) AS sum_tokens,
                    ROUND(AVG({_TOKENS_DUCK}), 4) AS avg_tokens,
                    ROUND(AVG({_QUALITY_DUCK}), 4) AS avg_quality
             FROM documents GROUP BY lang ORDER BY lang
@@ -1107,7 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q31_json_props": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(props->>'k' AS INT)) AS sum_k,
+                   CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
                    MIN(CAST(props->>'k' AS INT)) AS min_k,
                    MAX(CAST(props->>'k' AS INT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type

@@ -23,12 +23,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize like the driver's value-hash: sort columns by
+    name, sort rows, and keep dtype KIND visible — an integer SUM
+    that DuckDB widens to HUGEINT comes back as float64 and must
+    FAIL here, exactly as the driver's hash rejects it."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
         elif str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
@@ -76,8 +80,10 @@ def main() -> int:
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                          atol=1e-6, rtol=1e-9)
+            # exact + dtype-checked: the driver hashes values, so a
+            # float-vs-int or last-ULP drift must fail locally too
+            pd.testing.assert_frame_equal(g, w, check_dtype=True,
+                                          check_exact=True)
             print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
         except AssertionError as e:
