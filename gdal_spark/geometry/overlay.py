@@ -1,0 +1,505 @@
+"""General polygon overlay: boolean ops between arbitrary SIMPLE
+polygons (concave allowed, holes via set-level decomposition).
+
+Re-creates the GEOS-backed layer-algebra verbs of the reference
+(OGRGeometry::Intersection ogr/ogrgeometry.cpp:4895, ::Union :4990,
+::Difference :5043, ::SymDifference :5096; layer ops
+ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385/:5803/:7537/:7846) without
+GEOS: a pure-NumPy Greiner-Hormann clipper.
+
+Algorithm (Greiner & Hormann 1998, public):
+  1. build circular doubly-linked vertex lists for subject and clip;
+  2. insert pairwise edge intersections into both lists (sorted by
+     the parametric position along each edge);
+  3. mark every intersection entry/exit by point-in-polygon parity
+     of the list head, flipping parity at each intersection; the op
+     (intersection / union / difference) only changes the initial
+     parity of each list;
+  4. trace result rings: walk forward from entries / backward from
+     exits, switching lists at each intersection.
+
+Degenerate configurations (vertex on vertex, vertex on edge,
+collinear overlapping edges) are detected exactly and resolved by a
+deterministic micro-perturbation of the clip polygon (relative 1e-9
+of the bbox diagonal) — areas move by O(eps * perimeter), far below
+any rounding used by callers.  This mirrors GEOS's snap-and-retry
+fallback in OverlayNG rather than its exact noding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_spark.geometry.packed import ring_signed_area
+from gdal_spark.geometry.pip import points_in_rings
+
+__all__ = [
+    "ring_op", "poly_op", "polygons_intersect", "ring_contains_ring",
+    "Degenerate",
+]
+
+
+class Degenerate(Exception):
+    """Raised when an intersection configuration is not generic."""
+
+
+class _V:
+    __slots__ = ("x", "y", "nxt", "prv", "neighbour", "intersect",
+                 "entry", "alpha", "visited")
+
+    def __init__(self, x: float, y: float, alpha: float = 0.0,
+                 intersect: bool = False):
+        self.x = x
+        self.y = y
+        self.nxt = None
+        self.prv = None
+        self.neighbour = None
+        self.intersect = intersect
+        self.entry = True
+        self.alpha = alpha
+        self.visited = False
+
+
+def _build(ring: np.ndarray) -> _V:
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError("ring needs >= 3 distinct vertices")
+    head = None
+    prev = None
+    for x, y in pts:
+        v = _V(float(x), float(y))
+        if head is None:
+            head = v
+            prev = v
+        else:
+            prev.nxt = v
+            v.prv = prev
+            prev = v
+    prev.nxt = head
+    head.prv = prev
+    return head
+
+
+def _iter_ring(head: _V):
+    v = head
+    while True:
+        yield v
+        v = v.nxt
+        if v is head:
+            return
+
+
+def _edges(head: _V):
+    """Original-polygon edges: (vertex, next original vertex)."""
+    v = head
+    while True:
+        n = v.nxt
+        while n.intersect:
+            n = n.nxt
+        yield v, n
+        v = n
+        if v is head:
+            return
+
+
+_EPS = 1e-12
+
+
+def _isect(p1, p2, q1, q2):
+    """Generic segment intersection.  Returns (t, u) in the OPEN unit
+    interval, None when disjoint, raises Degenerate on touching or
+    collinear configurations."""
+    rx, ry = p2[0] - p1[0], p2[1] - p1[1]
+    sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+    denom = rx * sy - ry * sx
+    qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
+    cross_qp_s = qpx * sy - qpy * sx
+    cross_qp_r = qpx * ry - qpy * rx
+    scale = max(abs(rx), abs(ry), abs(sx), abs(sy), 1.0)
+    if abs(denom) <= _EPS * scale * scale:
+        if abs(cross_qp_r) <= _EPS * scale * scale:
+            # collinear: overlapping only if projections intersect
+            rr = rx * rx + ry * ry
+            t0 = (qpx * rx + qpy * ry) / rr
+            t1 = t0 + (sx * rx + sy * ry) / rr
+            lo, hi = min(t0, t1), max(t0, t1)
+            if hi >= -_EPS and lo <= 1 + _EPS:
+                raise Degenerate("collinear overlap")
+        return None
+    t = cross_qp_s / denom
+    u = cross_qp_r / denom
+    if t < -_EPS or t > 1 + _EPS or u < -_EPS or u > 1 + _EPS:
+        return None
+    tol = 1e-9
+    if t < tol or t > 1 - tol or u < tol or u > 1 - tol:
+        raise Degenerate("intersection at segment endpoint")
+    return t, u
+
+
+def _ring_array(head: _V) -> np.ndarray:
+    return np.array([(v.x, v.y) for v in _iter_ring(head)],
+                    dtype=np.float64)
+
+
+def _point_in(head_arr: np.ndarray, x: float, y: float) -> bool:
+    ring = np.vstack([head_arr, head_arr[:1]])
+    return bool(points_in_rings(np.array([x]), np.array([y]),
+                                [ring])[0])
+
+
+def _insert_sorted(start: _V, end_orig: _V, v: _V) -> None:
+    """Insert intersection vertex between start and the next ORIGINAL
+    vertex, keeping alphas ascending."""
+    cur = start
+    while cur.nxt is not end_orig and cur.nxt.intersect \
+            and cur.nxt.alpha < v.alpha:
+        cur = cur.nxt
+    if cur.nxt.intersect and abs(cur.nxt.alpha - v.alpha) < 1e-12:
+        raise Degenerate("coincident intersections")
+    nxt = cur.nxt
+    cur.nxt = v
+    v.prv = cur
+    v.nxt = nxt
+    nxt.prv = v
+
+
+def _gh_rings(subj: np.ndarray, clip: np.ndarray, op: str
+              ) -> list[np.ndarray] | None:
+    """Core Greiner-Hormann.  Returns result rings (open, CCW/CW as
+    traced) or None when the polygons do not cross (caller resolves
+    containment / disjoint cases)."""
+    s_head = _build(subj)
+    c_head = _build(clip)
+
+    # phase 1: pairwise edge intersections
+    n_isect = 0
+    for sv, sn in list(_edges(s_head)):
+        for cv, cn in list(_edges(c_head)):
+            got = _isect((sv.x, sv.y), (sn.x, sn.y),
+                         (cv.x, cv.y), (cn.x, cn.y))
+            if got is None:
+                continue
+            t, u = got
+            x = sv.x + t * (sn.x - sv.x)
+            y = sv.y + t * (sn.y - sv.y)
+            a = _V(x, y, t, True)
+            b = _V(x, y, u, True)
+            a.neighbour = b
+            b.neighbour = a
+            _insert_sorted(sv, sn, a)
+            _insert_sorted(cv, cn, b)
+            n_isect += 1
+    if n_isect == 0:
+        return None
+    if n_isect % 2 == 1:
+        raise Degenerate("odd intersection count")
+
+    # phase 2: entry/exit flags (initial parity encodes the op)
+    subj_arr = np.asarray(subj, dtype=np.float64)
+    clip_arr = np.asarray(clip, dtype=np.float64)
+    if np.array_equal(subj_arr[0], subj_arr[-1]):
+        subj_arr = subj_arr[:-1]
+    if np.array_equal(clip_arr[0], clip_arr[-1]):
+        clip_arr = clip_arr[:-1]
+    s_entry_flip, c_entry_flip = {
+        "intersection": (False, False),
+        "union": (True, True),
+        "difference": (True, False),
+    }[op]
+    status = not _point_in(clip_arr, s_head.x, s_head.y)
+    status ^= s_entry_flip
+    for v in _iter_ring(s_head):
+        if v.intersect:
+            v.entry = status
+            status = not status
+    status = not _point_in(subj_arr, c_head.x, c_head.y)
+    status ^= c_entry_flip
+    for v in _iter_ring(c_head):
+        if v.intersect:
+            v.entry = status
+            status = not status
+
+    # phase 3: trace result rings
+    out: list[np.ndarray] = []
+    while True:
+        start = None
+        for v in _iter_ring(s_head):
+            if v.intersect and not v.visited:
+                start = v
+                break
+        if start is None:
+            break
+        ring = [(start.x, start.y)]
+        cur = start
+        guard = 0
+        while True:
+            guard += 1
+            if guard > 100000:
+                raise Degenerate("trace did not close")
+            cur.visited = True
+            if cur.neighbour is not None:
+                cur.neighbour.visited = True
+            if cur.entry:
+                while True:
+                    cur = cur.nxt
+                    ring.append((cur.x, cur.y))
+                    if cur.intersect:
+                        break
+            else:
+                while True:
+                    cur = cur.prv
+                    ring.append((cur.x, cur.y))
+                    if cur.intersect:
+                        break
+            cur = cur.neighbour
+            if cur is start or (cur.neighbour is start):
+                break
+            if cur.visited:
+                break
+        arr = np.array(ring, dtype=np.float64)
+        # drop consecutive duplicates, close the ring
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = np.any(np.abs(np.diff(arr, axis=0)) > 1e-12, axis=1)
+        arr = arr[keep]
+        if len(arr) >= 3:
+            if not np.array_equal(arr[0], arr[-1]):
+                arr = np.vstack([arr, arr[:1]])
+            out.append(arr)
+    return out
+
+
+def _close(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, dtype=np.float64)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def _orient(r: np.ndarray, ccw: bool) -> np.ndarray:
+    a = ring_signed_area(r)
+    if (a > 0) != ccw:
+        return r[::-1].copy()
+    return r
+
+
+def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """True when every vertex of ``inner`` lies inside ``outer``
+    (sufficient for non-crossing rings)."""
+    inn = _close(inner)
+    return bool(points_in_rings(inn[:-1, 0], inn[:-1, 1],
+                                [_close(outer)]).all())
+
+
+def _perturb(ring: np.ndarray, seed: int) -> np.ndarray:
+    r = _close(np.asarray(ring, dtype=np.float64))
+    span = max(r[:, 0].ptp(), r[:, 1].ptp(), 1.0)
+    rng = np.random.RandomState(seed)
+    noise = (rng.rand(len(r) - 1, 2) - 0.5) * span * 2e-9
+    out = r[:-1] + noise
+    return np.vstack([out, out[:1]])
+
+
+def ring_op(subj: np.ndarray, clip: np.ndarray, op: str
+            ) -> list[list[np.ndarray]]:
+    """Boolean op between two simple rings.
+
+    Returns a list of polygons, each ``[outer, holes...]`` with outer
+    CCW and holes CW.  ``op`` in {intersection, union, difference}.
+    """
+    subj = _close(subj)
+    clip = _close(clip)
+    rings = None
+    try:
+        rings = _gh_rings(subj, clip, op)
+    except Degenerate:
+        for seed in (7, 101, 9173):
+            try:
+                rings = _gh_rings(subj, _perturb(clip, seed), op)
+                break
+            except Degenerate:
+                continue
+        else:
+            raise
+    if rings is None:
+        # no crossings: containment or disjoint
+        s_in_c = ring_contains_ring(clip, subj)
+        c_in_s = ring_contains_ring(subj, clip)
+        if op == "intersection":
+            if s_in_c:
+                return [[_orient(subj, True)]]
+            if c_in_s:
+                return [[_orient(clip, True)]]
+            return []
+        if op == "union":
+            if s_in_c:
+                return [[_orient(clip, True)]]
+            if c_in_s:
+                return [[_orient(subj, True)]]
+            return [[_orient(subj, True)], [_orient(clip, True)]]
+        # difference
+        if s_in_c:
+            return []
+        if c_in_s:
+            return [[_orient(subj, True), _orient(clip, False)]]
+        return [[_orient(subj, True)]]
+
+    # classify traced rings into outers and holes by nesting parity
+    closed = [_close(r) for r in rings if abs(ring_signed_area(r)) > 0]
+    outers: list[int] = []
+    holes: list[int] = []
+    for i, r in enumerate(closed):
+        depth = 0
+        # a strictly-interior probe: average of a convex corner and
+        # ring interior test; vertex sampling is enough because traced
+        # rings never cross each other
+        px, py = r[:-1, 0].mean(), r[:-1, 1].mean()
+        probe_in_self = _point_in(r[:-1], px, py)
+        for j, other in enumerate(closed):
+            if i == j:
+                continue
+            if probe_in_self:
+                inside = _point_in(other[:-1], px, py)
+            else:
+                inside = ring_contains_ring(other, r)
+            if inside:
+                depth += 1
+        (holes if depth % 2 else outers).append(i)
+    polys: list[list[np.ndarray]] = []
+    owner: dict[int, int] = {}
+    for oi in outers:
+        polys.append([_orient(closed[oi], True)])
+        owner[oi] = len(polys) - 1
+    for hi in holes:
+        best, best_area = None, np.inf
+        for oi in outers:
+            if ring_contains_ring(closed[oi], closed[hi]):
+                a = abs(ring_signed_area(closed[oi]))
+                if a < best_area:
+                    best, best_area = oi, a
+        if best is None:
+            polys.append([_orient(closed[hi], True)])
+        else:
+            polys[owner[best]].append(_orient(closed[hi], False))
+    return polys
+
+
+def poly_op(subj_rings: list[np.ndarray], clip_rings: list[np.ndarray],
+            op: str) -> list[list[np.ndarray]]:
+    """Boolean op between polygons WITH holes (first ring outer, rest
+    holes).  Holes are folded in by set algebra on the hole-free
+    results:
+
+      (A - a_holes) op (B - b_holes)
+        intersection: (A n B) - a_holes - b_holes
+        difference:   (A - B) - a_holes  [+ A n b_holes]
+        union:        hole-free inputs only (reference parity gap,
+                      documented) — holes raise ValueError.
+    """
+    a_out, a_holes = subj_rings[0], list(subj_rings[1:])
+    b_out, b_holes = clip_rings[0], list(clip_rings[1:])
+    if op == "union" and (a_holes or b_holes):
+        raise ValueError("union with holes is out of scope")
+    if op == "intersection":
+        pieces = ring_op(a_out, b_out, "intersection")
+        for h in a_holes + b_holes:
+            pieces = _subtract_ring(pieces, h)
+        return pieces
+    if op == "union":
+        return ring_op(a_out, b_out, "union")
+    if op == "difference":
+        pieces = ring_op(a_out, b_out, "difference")
+        for h in a_holes:
+            pieces = _subtract_ring(pieces, h)
+        # parts of A's outer covered by B's holes survive A - B
+        for h in b_holes:
+            back = ring_op(a_out, h, "intersection")
+            for ah in a_holes:
+                back = _subtract_ring(back, ah)
+            pieces = pieces + back
+        return pieces
+    raise ValueError(f"unknown op {op!r}")
+
+
+def _subtract_ring(pieces: list[list[np.ndarray]], hole: np.ndarray
+                   ) -> list[list[np.ndarray]]:
+    out: list[list[np.ndarray]] = []
+    for rings in pieces:
+        sub = ring_op(rings[0], hole, "difference")
+        if len(rings) == 1:
+            out.extend(sub)
+            continue
+        # re-attach existing holes to whichever piece contains them
+        for piece in sub:
+            for h in rings[1:]:
+                if ring_contains_ring(piece[0], h):
+                    piece.append(h)
+            out.append(piece)
+    return out
+
+
+# --------------------------------------------------------------------
+# predicates (FilterGeometry semantics, ogrlayer.cpp:4004-4076)
+# --------------------------------------------------------------------
+
+
+def _segments(ring: np.ndarray) -> np.ndarray:
+    r = _close(ring)
+    return np.stack([r[:-1], r[1:]], axis=1)  # (n, 2, 2)
+
+
+def _seg_cross_any(a: np.ndarray, b: np.ndarray) -> bool:
+    """Vectorized proper-or-touching segment intersection between two
+    segment sets (n,2,2) x (m,2,2)."""
+    p = a[:, None, 0]      # (n,1,2)
+    r = a[:, None, 1] - p
+    q = b[None, :, 0]      # (1,m,2)
+    s = b[None, :, 1] - q
+    pq = q - p
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    cross_pq_s = pq[..., 0] * s[..., 1] - pq[..., 1] * s[..., 0]
+    cross_pq_r = pq[..., 0] * r[..., 1] - pq[..., 1] * r[..., 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = cross_pq_s / denom
+        u = cross_pq_r / denom
+    generic = (np.abs(denom) > 0) & (t >= -1e-12) & (t <= 1 + 1e-12) \
+        & (u >= -1e-12) & (u <= 1 + 1e-12)
+    if bool(generic.any()):
+        return True
+    # collinear overlap: denom == 0 and pq x r == 0 and ranges overlap
+    coll = (denom == 0) & (np.abs(cross_pq_r) <= 1e-12)
+    if not bool(coll.any()):
+        return False
+    rr = np.sum(r * r, axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0 = np.sum(pq * r, axis=-1) / rr
+        t1 = t0 + np.sum(s * r, axis=-1) / rr
+    lo = np.minimum(t0, t1)
+    hi = np.maximum(t0, t1)
+    return bool((coll & (hi >= -1e-12) & (lo <= 1 + 1e-12)).any())
+
+
+def polygons_intersect(a_rings: list[np.ndarray],
+                       b_rings: list[np.ndarray]) -> bool:
+    """ST_Intersects for two polygons with holes: boundaries cross,
+    or one's exterior vertex lies in the other's interior."""
+    ax = np.concatenate([_close(r) for r in a_rings])
+    bx = np.concatenate([_close(r) for r in b_rings])
+    if ax[:, 0].min() > bx[:, 0].max() or bx[:, 0].min() > ax[:, 0].max() \
+            or ax[:, 1].min() > bx[:, 1].max() \
+            or bx[:, 1].min() > ax[:, 1].max():
+        return False
+    sa = np.concatenate([_segments(r) for r in a_rings])
+    sb = np.concatenate([_segments(r) for r in b_rings])
+    if _seg_cross_any(sa, sb):
+        return True
+    a_closed = [_close(r) for r in a_rings]
+    b_closed = [_close(r) for r in b_rings]
+    pa = a_closed[0][0]
+    pb = b_closed[0][0]
+    if points_in_rings(np.array([pa[0]]), np.array([pa[1]]),
+                       b_closed).sum() % 2 == 1:
+        return True
+    return points_in_rings(np.array([pb[0]]), np.array([pb[1]]),
+                           a_closed).sum() % 2 == 1

@@ -236,14 +236,17 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a",
                 .alias("label"),
             )
         )
+        # localCheckpoint truncates the logical plan: labels feeds
+        # three joins per round, so carrying lineage across rounds
+        # grows the plan tree exponentially
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1).count()
         )
-        labels = new_labels.cache()
-        labels.count()
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"),

@@ -8,8 +8,9 @@ union-find merge, alg/polygonize_polygonizer.cpp ring assembly):
   (4- or 8-connected; nodata masked), via row-run union-find — the
   same run-merge structure as the reference's ProcessLine;
 * cross-tile merge: a label-adjacency graph over shared tile edges,
-  reduced by a driver-side union-find (the distributed-CCL pattern);
-  labels touching a tile border are a tiny fraction of all labels;
+  reduced by distributed min-label propagation with pointer jumping
+  (dedup.duplicate_clusters) — border-pair count grows with total
+  polygon perimeter, so nothing is ever collected to the driver;
 * polygons are assembled from each global component's pixel *runs*
   (y, x0, x1) grouped by final label: boundary edges are stitched
   into closed rings; at vertex pinches (boundaries meeting at a
@@ -286,10 +287,12 @@ def _ring_signed_area(r: np.ndarray) -> float:
 
 
 def assemble_polygons(ys, x0s, x1s, gt: list[float],
-                      connectedness: int = 4) -> list[list[np.ndarray]]:
-    """Runs -> list of polygons [outer, holes...] in georef coords."""
-    rings = rings_from_runs(np.asarray(ys), np.asarray(x0s),
-                            np.asarray(x1s), connectedness)
+                      connectedness: int = 4
+                      ) -> list[tuple[list[np.ndarray], int]]:
+    """Runs -> list of (polygon rings [outer, holes...] in georef
+    coords, pixel count attributed to that polygon)."""
+    ys, x0s, x1s = np.asarray(ys), np.asarray(x0s), np.asarray(x1s)
+    rings = rings_from_runs(ys, x0s, x1s, connectedness)
     geo_rings = []
     for r in rings:
         gx = gt[0] + r[:, 0] * gt[1] + r[:, 1] * gt[2]
@@ -322,9 +325,11 @@ def assemble_polygons(ys, x0s, x1s, gt: list[float],
         else:
             outers.append(i)
     polys: list[list[np.ndarray]] = []
+    poly_px_outer: list[int] = []
     owner: dict[int, int] = {}
     for oi in outers:
         polys.append([geo_rings[oi][0]])
+        poly_px_outer.append(oi)
         owner[oi] = len(polys) - 1
     for hi in holes:
         # assign hole to the smallest containing outer
@@ -341,7 +346,29 @@ def assemble_polygons(ys, x0s, x1s, gt: list[float],
             polys[owner[best]].append(geo_rings[hi][0])
         else:
             polys.append([geo_rings[hi][0]])
-    return polys
+            poly_px_outer.append(hi)
+    # per-polygon pixel counts: attribute each run to the smallest
+    # containing outer ring (the usual case is one polygon per label,
+    # which skips the PIP work entirely)
+    lens = x1s - x0s
+    if len(polys) == 1:
+        npix = [int(lens.sum())]
+    else:
+        npix = [0] * len(polys)
+        cx = x0s.astype(np.float64) + 0.5
+        cy = ys.astype(np.float64) + 0.5
+        assigned = np.zeros(len(cx), dtype=bool)
+        order = sorted(
+            range(len(polys)),
+            key=lambda p: abs(_ring_signed_area(px_rings[poly_px_outer[p]])))
+        for p in order:
+            inside = points_in_rings(cx, cy, [px_rings[poly_px_outer[p]]])
+            take = inside & ~assigned
+            npix[p] = int(lens[take].sum())
+            assigned |= take
+        if not assigned.all():
+            npix[order[-1]] += int(lens[~assigned].sum())
+    return list(zip(polys, npix))
 
 
 # --------------------------------------------------------------------
@@ -363,17 +390,14 @@ POLY_SCHEMA = StructType([
 ])
 
 
-def polygonize_tiles(
-    tiles: DataFrame, gt: list[float], nodata: float | None = None,
+def global_label_runs(
+    tiles: DataFrame, nodata: float | None = None,
     connectedness: int = 4,
-) -> DataFrame:
-    """Distributed polygonize over a tile DataFrame (TILE_SCHEMA).
+) -> tuple[DataFrame, int]:
+    """Stages 1+2 of polygonize, shared with sieve: per-tile CCL ->
+    labeled runs, then distributed cross-tile label merge.
 
-    Stage 1: per-tile CCL -> labeled runs (label namespaced by tile).
-    Stage 2: border adjacency -> driver union-find -> broadcast remap.
-    Stage 3: groupBy(global label) -> ring assembly kernel.
-    """
-    spark = tiles.sparkSession
+    Returns (runs with globally-merged labels, tile_size)."""
 
     def tile_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -447,52 +471,87 @@ def polygonize_tiles(
         )
         .select(F.col("l.label").alias("a"), F.col("r.label").alias("b"))
     )
-    all_pairs = pairs.unionByName(vpairs).distinct().collect()
+    # distributed cross-tile merge: min-label propagation with pointer
+    # jumping (the same large-scale CC pattern as dedup.duplicate_
+    # clusters) — border-pair count grows with total polygon perimeter,
+    # so it must never be collected to the driver.
+    from gdal_spark.operators.dedup import duplicate_clusters
 
-    # driver-side union-find over border labels (small)
-    parent: dict[int, int] = {}
+    all_pairs = pairs.unionByName(vpairs)
+    mapping = duplicate_clusters(all_pairs, "a", "b") \
+        .withColumnRenamed("doc_id", "label")
+    global_runs = (
+        runs.join(mapping, "label", "left")
+        .select(
+            F.coalesce("cluster_id", F.col("label")).alias("label"),
+            "value", "y", "x0", "x1",
+        )
+    )
+    return global_runs, tile_size
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
 
-    for r in all_pairs:
-        ra, rb = find(int(r.a)), find(int(r.b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    remap = {k: find(k) for k in list(parent)}
-    bc = spark.sparkContext.broadcast(remap)
+def polygonize_tiles(
+    tiles: DataFrame, gt: list[float], nodata: float | None = None,
+    connectedness: int = 4,
+) -> DataFrame:
+    """Distributed polygonize over a tile DataFrame (TILE_SCHEMA).
 
-    def apply_remap(batches: Iterator[pd.DataFrame]
-                    ) -> Iterator[pd.DataFrame]:
-        m = bc.value
-        for b in batches:
-            if m:
-                b = b.copy()
-                b["label"] = b["label"].map(lambda v: m.get(int(v), int(v)))
-            yield b
-
-    global_runs = runs.mapInPandas(apply_remap, RUNS_SCHEMA)
+    Stage 1: per-tile CCL -> labeled runs (label namespaced by tile).
+    Stage 2: border adjacency -> distributed min-label propagation.
+    Stage 3: label-sorted mapInPandas stream -> ring assembly kernel.
+    """
+    spark = tiles.sparkSession
+    global_runs, _ = global_label_runs(tiles, nodata, connectedness)
 
     # --- stage 3: assemble polygons per global label ---
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = assemble_polygons(
-            pdf["y"].to_numpy(), pdf["x0"].to_numpy(),
-            pdf["x1"].to_numpy(), gt, connectedness)
-        n_pix = int((pdf["x1"] - pdf["x0"]).sum())
+    # hash repartition + sortWithinPartitions + mapInPandas stream
+    # (groupBy().applyInPandas pays ~ms per group; label counts are
+    # typically tens of thousands)
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "value": pd.Series(dtype=np.float64),
+            "geometry": pd.Series(dtype=object),
+            "n_pixels": pd.Series(dtype=np.int64),
+        })
+
+    def assemble_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {"value": [], "geometry": [], "n_pixels": []}
-        for rings in polys:
-            rows["value"].append(float(pdf["value"].iloc[0]))
-            rows["geometry"].append(polygon_wkb(rings))
-            rows["n_pixels"].append(n_pix if len(polys) == 1 else -1)
-        return pd.DataFrame(rows)
+        for _, g in pdf.groupby("label", sort=False):
+            for rings, npix in assemble_polygons(
+                    g["y"].to_numpy(), g["x0"].to_numpy(),
+                    g["x1"].to_numpy(), gt, connectedness):
+                rows["value"].append(float(g["value"].iloc[0]))
+                rows["geometry"].append(polygon_wkb(rings))
+                rows["n_pixels"].append(npix)
+        out = pd.DataFrame(rows)
+        return out if len(out) else _empty()
+
+    def build_stream(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for b in batches:
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+                carry = None
+            if len(b) == 0:
+                continue
+            # the last label may continue in the next batch of this
+            # (label-sorted) partition — hold it back
+            labs = b["label"].to_numpy()
+            cut = int(np.searchsorted(labs, labs[-1], side="left"))
+            carry = b.iloc[cut:]
+            done = b.iloc[:cut]
+            if len(done):
+                yield assemble_frame(done)
+        if carry is not None and len(carry):
+            yield assemble_frame(carry)
 
     return (
-        global_runs.repartitionByRange("label")
-        .groupBy("label")
-        .applyInPandas(build, POLY_SCHEMA)
+        global_runs.repartition(nparts, "label")
+        .sortWithinPartitions("label", "y", "x0")
+        .mapInPandas(build_stream, POLY_SCHEMA)
     )
 
 
@@ -505,12 +564,11 @@ def polygonize_array(arr: np.ndarray, gt: list[float],
     rows = {"value": [], "geometry": [], "n_pixels": []}
     for lab in pd.unique(ls):
         sel = ls == lab
-        polys = assemble_polygons(ys[sel], x0s[sel], x1s[sel], gt,
-                                  connectedness)
         val = float(arr[ys[sel][0], x0s[sel][0]])
-        npix = int((x1s[sel] - x0s[sel]).sum())
-        for rings in polys:
+        for rings, npix in assemble_polygons(ys[sel], x0s[sel],
+                                             x1s[sel], gt,
+                                             connectedness):
             rows["value"].append(val)
             rows["geometry"].append(polygon_wkb(rings))
-            rows["n_pixels"].append(npix if len(polys) == 1 else -1)
+            rows["n_pixels"].append(npix)
     return pd.DataFrame(rows)

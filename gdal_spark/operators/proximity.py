@@ -258,18 +258,27 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
     into their largest neighbor (alg/gdalsievefilter.cpp), on the
     polygonize run/label machinery.
 
+    The merge is fully distributed: per round, every undersized
+    component points at its largest neighboring component (ties to
+    the smaller label id); only pointers that strictly increase the
+    (size, -id) key are applied — this breaks mutual-pair cycles and
+    converges because each kept pointer moves mass up a total order.
+    Mergers cascade across rounds exactly as the reference's
+    iterative small-into-largest loop does; the one deviation is tie
+    resolution between two mutually-small polygons, where the
+    reference follows raster scan order and this picks the larger
+    (then lower-id) side — a resolution the reference itself leaves
+    scan-order-dependent.
+
     Returns new tiles with small-polygon values rewritten."""
-    spark = tiles.sparkSession
-
     # stage 1+2 of polygonize: global labels on runs
-    # (reuse by calling the internal pieces)
-    runs, _bc, tile_size = _global_runs(tiles, nodata, connectedness)
+    runs, tile_size = _global_runs(tiles, nodata, connectedness)
+    runs = runs.cache()
 
-    # sizes per label + adjacency with overlap lengths
     sizes = runs.groupBy("label").agg(
         F.sum(F.col("x1") - F.col("x0")).alias("n_pix"),
         F.first("value").alias("value"),
-    )
+    ).cache()
     top = runs.alias("t")
     bot = runs.alias("b")
     adj = (
@@ -280,11 +289,7 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
             & (F.col("b.x0") < F.col("t.x1"))
             & (F.col("t.label") != F.col("b.label")),
         )
-        .select(
-            F.col("t.label").alias("a"), F.col("b.label").alias("b"),
-            (F.least("t.x1", "b.x1")
-             - F.greatest("t.x0", "b.x0")).alias("olap"),
-        )
+        .select(F.col("t.label").alias("a"), F.col("b.label").alias("b"))
     )
     # horizontal adjacency within a row
     hadj = (
@@ -294,59 +299,67 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
             & (F.col("t.x1") == F.col("b.x0"))
             & (F.col("t.label") != F.col("b.label")),
         )
-        .select(F.col("t.label").alias("a"),
-                F.col("b.label").alias("b"), F.lit(1).alias("olap"))
+        .select(F.col("t.label").alias("a"), F.col("b.label").alias("b"))
     )
-    edges = adj.unionByName(hadj).groupBy("a", "b") \
-        .agg(F.sum("olap").alias("olap")).collect()
-    size_rows = sizes.collect()
-    size_map = {int(r.label): int(r.n_pix) for r in size_rows}
-    value_map = {int(r.label): float(r.value) for r in size_rows}
-    neigh: dict[int, dict[int, int]] = {}
-    for r in edges:
-        a, b = int(r.a), int(r.b)
-        neigh.setdefault(a, {})[b] = neigh.get(a, {}).get(b, 0) + int(r.olap)
-        neigh.setdefault(b, {})[a] = neigh.get(b, {}).get(a, 0) + int(r.olap)
+    half = adj.unionByName(hadj)
+    edges = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().cache()
 
-    # iterative small-into-largest-neighbor merge (driver side; the
-    # label graph is orders of magnitude smaller than the raster)
-    final = {lab: lab for lab in size_map}
+    # iterative distributed merge over component roots
+    roots = sizes.select("label", F.col("label").alias("root")).cache()
+    for _ in range(20):
+        eff = roots.join(sizes, "label").groupBy("root") \
+            .agg(F.sum("n_pix").alias("eff"))
+        redges = (
+            edges
+            .join(roots.select(F.col("label").alias("a"),
+                               F.col("root").alias("ra")), "a")
+            .join(roots.select(F.col("label").alias("b"),
+                               F.col("root").alias("rb")), "b")
+            .filter(F.col("ra") != F.col("rb"))
+            .select("ra", "rb").distinct()
+        )
+        cand = (
+            redges
+            .join(eff.select(F.col("root").alias("ra"),
+                             F.col("eff").alias("eff_a")), "ra")
+            .join(eff.select(F.col("root").alias("rb"),
+                             F.col("eff").alias("eff_b")), "rb")
+            .filter(F.col("eff_a") < F.lit(int(threshold)))
+            .groupBy("ra", "eff_a")
+            .agg(F.max(F.struct(
+                F.col("eff_b").alias("eff"),
+                (-F.col("rb")).alias("negid"))).alias("tk"))
+        )
+        moved = cand.filter(
+            (F.col("tk.eff") > F.col("eff_a"))
+            | ((F.col("tk.eff") == F.col("eff_a"))
+               & ((-F.col("tk.negid")) < F.col("ra")))
+        ).select(F.col("ra").alias("root"),
+                 (-F.col("tk.negid")).alias("tgt")).cache()
+        if moved.limit(1).count() == 0:
+            break
+        stepped = roots.join(moved, "root", "left").select(
+            "label", F.coalesce("tgt", F.col("root")).alias("root"))
+        # pointer jump so chains of merges contract in O(log) rounds
+        jump = stepped.select(F.col("label").alias("root"),
+                              F.col("root").alias("root2"))
+        # localCheckpoint: roots feeds 5 joins per round, so carrying
+        # the logical plan across rounds blows up exponentially
+        roots = stepped.join(jump, "root", "left").select(
+            "label", F.coalesce("root2", F.col("root")).alias("root")
+        ).localCheckpoint()
 
-    def root(x):
-        while final[x] != x:
-            final[x] = final[final[x]]
-            x = final[x]
-        return x
+    final = roots.join(
+        sizes.select(F.col("label").alias("root"),
+                     F.col("value").alias("new_value")), "root")
+    runs = runs.join(final.select("label", "new_value"), "label", "left") \
+        .withColumn("value", F.coalesce("new_value", "value")) \
+        .drop("new_value")
 
-    changed = True
-    while changed:
-        changed = False
-        # recompute effective sizes
-        eff_size: dict[int, int] = {}
-        for lab, sz in size_map.items():
-            eff_size[root(lab)] = eff_size.get(root(lab), 0) + sz
-        for lab in sorted(size_map):
-            rl = root(lab)
-            if eff_size.get(rl, 0) >= threshold:
-                continue
-            # largest neighboring component
-            best, best_sz = None, -1
-            for nb in neigh.get(lab, {}):
-                rn = root(nb)
-                if rn == rl:
-                    continue
-                if eff_size.get(rn, 0) > best_sz:
-                    best, best_sz = rn, eff_size.get(rn, 0)
-            if best is not None:
-                final[rl] = best
-                changed = True
-    label_value = {lab: value_map[root(lab)] for lab in size_map
-                   if root(lab) != lab}
-    bc = spark.sparkContext.broadcast(label_value)
-
-    # rewrite tiles: runs with remapped labels get the new value
+    # rewrite tiles from the (possibly revalued) runs
     def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        m = bc.value
         ts = tile_size
         tx, ty = int(key[0]), int(key[1])
         grid_arr = np.full((ts, ts), np.nan if nodata is None else nodata,
@@ -355,8 +368,7 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
             y = int(r["y"]) - ty * ts
             x0 = int(r["x0"]) - tx * ts
             x1 = int(r["x1"]) - tx * ts
-            val = m.get(int(r["label"]), float(r["value"]))
-            grid_arr[y, x0:x1] = val
+            grid_arr[y, x0:x1] = float(r["value"])
         payload, dts = encode_tile(grid_arr, None)
         return pd.DataFrame({
             "zoom": [-1], "tile_x": [tx], "tile_y": [ty], "band": [1],
@@ -375,79 +387,7 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
 
 def _global_runs(tiles: DataFrame, nodata, connectedness):
     """Labeled runs with globally-merged labels (polygonize stages
-    1+2, shared)."""
+    1+2, shared — fully distributed, no driver-side union-find)."""
     from gdal_spark.operators import polygonize as pz
 
-    spark = tiles.sparkSession
-    ts_row = tiles.select("tile_size").first()
-    tile_size = int(ts_row[0]) if ts_row else 256
-
-    def tile_runs(batches):
-        for b in batches:
-            rows = {"label": [], "value": [], "y": [], "x0": [], "x1": []}
-            for i in range(len(b)):
-                ts = int(b["tile_size"].iloc[i])
-                tx = int(b["tile_x"].iloc[i])
-                ty = int(b["tile_y"].iloc[i])
-                arr = decode_tile(b["data"].iloc[i], b["dtype"].iloc[i],
-                                  ts)
-                labels, _ = pz.label_tile(arr, nodata, connectedness)
-                ls, ys, x0s, x1s = pz.runs_of_labels(labels)
-                if len(ls) == 0:
-                    continue
-                tile_key = (tx * (1 << 20) + ty) << 24
-                rows["label"].append(tile_key + ls)
-                rows["value"].append(arr[ys, x0s].astype(np.float64))
-                rows["y"].append(ys + ty * ts)
-                rows["x0"].append(x0s + tx * ts)
-                rows["x1"].append(x1s + tx * ts)
-            if rows["label"]:
-                yield pd.DataFrame({k: np.concatenate(v)
-                                    for k, v in rows.items()})
-
-    runs = tiles.mapInPandas(tile_runs, pz.RUNS_SCHEMA).cache()
-    # border merge identical to polygonize
-    top = runs.filter(F.col("y") % tile_size == 0).alias("t")
-    bot = runs.filter((F.col("y") + 1) % tile_size == 0).alias("b")
-    pairs = top.join(
-        bot,
-        (F.col("t.y") == F.col("b.y") + 1)
-        & (F.col("t.value") == F.col("b.value"))
-        & (F.col("t.x0") < F.col("b.x1"))
-        & (F.col("b.x0") < F.col("t.x1")),
-    ).select(F.col("t.label").alias("a"), F.col("b.label").alias("b"))
-    left = runs.filter(F.col("x0") % tile_size == 0).alias("l")
-    right = runs.filter(F.col("x1") % tile_size == 0).alias("r")
-    vpairs = right.join(
-        left,
-        (F.col("l.x0") == F.col("r.x1"))
-        & (F.col("l.value") == F.col("r.value"))
-        & (F.col("l.y") == F.col("r.y")),
-    ).select(F.col("l.label").alias("a"), F.col("r.label").alias("b"))
-    all_pairs = pairs.unionByName(vpairs).distinct().collect()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in all_pairs:
-        ra, rb = find(int(r.a)), find(int(r.b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    remap = {k: find(k) for k in list(parent)}
-    spark_bc = spark.sparkContext.broadcast(remap)
-
-    def apply_remap(batches):
-        m = spark_bc.value
-        for b in batches:
-            if m:
-                b = b.copy()
-                b["label"] = b["label"].map(
-                    lambda v: m.get(int(v), int(v)))
-            yield b
-
-    return (runs.mapInPandas(apply_remap, pz.RUNS_SCHEMA), spark_bc,
-            tile_size)
+    return pz.global_label_runs(tiles, nodata, connectedness)

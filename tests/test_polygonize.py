@@ -184,3 +184,22 @@ def test_polygonize_5_8connected_merges_holes():
     assert len(zeros) == 1
     g0 = parse_wkb(bytes(zeros["geometry"].iloc[0]))
     assert geom_area(g0) == 2.0
+
+
+def test_global_merge_many_border_pairs(spark):
+    """~129k cross-tile border pairs (2048 full-width row components
+    x 63 vertical tile borders) — the merge must stay distributed;
+    every row component must reassemble to exactly n pixels."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.polygonize import global_label_runs
+    from gdal_spark.operators.warp import tiles_from_array
+
+    n = 2048
+    arr = np.repeat(np.arange(n, dtype=np.float64)[:, None], n, axis=1)
+    tiles, _w, _h = tiles_from_array(spark, arr, tile_size=32)
+    runs, _ts = global_label_runs(tiles, nodata=None, connectedness=4)
+    agg = runs.groupBy("label").agg(
+        F.sum(F.col("x1") - F.col("x0")).alias("npix")).toPandas()
+    assert len(agg) == n
+    assert (agg["npix"] == n).all()
