@@ -700,6 +700,149 @@ def q34_contour(spark, sf_dir):
     )
 
 
+# general-overlay fixture: method rectangles with non-half decimals so
+# no input edge (at *.5 offsets) can ever be collinear with a method
+# edge — every GH intersection is generic
+_OVERLAY_METHODS = [
+    (-20.123, -15.789, 10.456, 12.321),
+    (5.321, -40.123, 45.654, -5.987),
+    (-45.987, 20.123, -0.789, 41.456),
+]
+
+
+def _overlay_rects_df(spark, sf_dir):
+    """Deterministic input rectangles from orders keys (k % 11 == 0):
+    x0 = k%97 - 48.5, y0 = k%83 - 41.5, w = 1 + k%7, h = 1 + k%5."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    o = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 11 == 0)
+    r = o.select(
+        F.col("o_orderkey").alias("fid"),
+        (F.col("o_orderkey") % 97 - 48.5).cast("double").alias("x0"),
+        (F.col("o_orderkey") % 83 - 41.5).cast("double").alias("y0"),
+        (F.col("o_orderkey") % 97 - 48.5 + 1
+         + F.col("o_orderkey") % 7).cast("double").alias("x1"),
+        (F.col("o_orderkey") % 83 - 41.5 + 1
+         + F.col("o_orderkey") % 5).cast("double").alias("y1"),
+    )
+    schema = StructType([StructField("fid", LongType()),
+                         StructField("geometry", BinaryType())])
+
+    def to_wkb(batches):
+        from gdal_spark.geometry.wkb import polygon_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            geoms = [
+                polygon_wkb([np.array(
+                    [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)],
+                    dtype=np.float64)])
+                for x0, y0, x1, y1 in zip(b["x0"], b["y0"],
+                                          b["x1"], b["y1"])
+            ]
+            yield pd.DataFrame({"fid": b["fid"].to_numpy(np.int64),
+                                "geometry": geoms})
+
+    return r.mapInPandas(to_wkb, schema)
+
+
+def _overlay_method_pdf():
+    from gdal_spark.geometry.wkb import polygon_wkb
+
+    rows = []
+    for fid, (x0, y0, x1, y1) in enumerate(_OVERLAY_METHODS):
+        ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)], dtype=np.float64)
+        rows.append({"fid": fid, "geometry": polygon_wkb([ring])})
+    return pd.DataFrame(rows)
+
+
+def q35_overlay_area(spark, sf_dir):
+    """General polygon overlay (Greiner-Hormann layer Intersection,
+    ogrlayer.cpp:5385) — per-method pair count and summed
+    intersection area, oracle-checked with rectangle arithmetic."""
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    rects = _overlay_rects_df(spark, sf_dir)
+    out = overlay_general(spark, rects, _overlay_method_pdf(),
+                          "intersection")
+    return (
+        out.groupBy("method_fid")
+        .agg(F.count("*").alias("n_pairs"),
+             F.round(F.sum("area"), 4).alias("sum_area"))
+        .orderBy("method_fid")
+    )
+
+
+def q36_polygon_join(spark, sf_dir):
+    """polygon x polygon ST_Intersects join (FilterGeometry for any
+    geometry pair, ogrlayer.cpp:4004) — count per method feature."""
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_polygons_intersect,
+    )
+
+    rects = _overlay_rects_df(spark, sf_dir)
+    joined = spatial_join_polygons_intersect(spark, rects,
+                                             _overlay_method_pdf())
+    return (
+        joined.groupBy("method_fid")
+        .agg(F.count("*").alias("n"))
+        .orderBy("method_fid")
+    )
+
+
+def _overlay_rects_sql() -> str:
+    return """
+        SELECT o_orderkey AS k,
+               CAST((o_orderkey % 97) - 48.5 AS DOUBLE) AS x0,
+               CAST((o_orderkey % 83) - 41.5 AS DOUBLE) AS y0,
+               CAST((o_orderkey % 97) - 48.5 + 1 + (o_orderkey % 7)
+                    AS DOUBLE) AS x1,
+               CAST((o_orderkey % 83) - 41.5 + 1 + (o_orderkey % 5)
+                    AS DOUBLE) AS y1
+        FROM orders WHERE o_orderkey % 11 = 0
+    """
+
+
+def _overlay_methods_sql() -> str:
+    vals = ", ".join(
+        f"({fid}, CAST({x0!r} AS DOUBLE), CAST({y0!r} AS DOUBLE),"
+        f" CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE))"
+        for fid, (x0, y0, x1, y1) in enumerate(_OVERLAY_METHODS))
+    return (f"m(method_fid, mx0, my0, mx1, my1) AS (VALUES {vals})")
+
+
+def _overlay_oracle() -> str:
+    return f"""
+        WITH r AS ({_overlay_rects_sql()}),
+        {_overlay_methods_sql()}
+        SELECT method_fid, COUNT(*) AS n_pairs,
+               ROUND(SUM((LEAST(x1, mx1) - GREATEST(x0, mx0))
+                         * (LEAST(y1, my1) - GREATEST(y0, my0))), 4)
+                   AS sum_area
+        FROM r JOIN m
+          ON GREATEST(x0, mx0) < LEAST(x1, mx1)
+         AND GREATEST(y0, my0) < LEAST(y1, my1)
+        GROUP BY method_fid ORDER BY method_fid
+    """
+
+
+def _polygon_join_oracle() -> str:
+    return f"""
+        WITH r AS ({_overlay_rects_sql()}),
+        {_overlay_methods_sql()}
+        SELECT method_fid, COUNT(*) AS n
+        FROM r JOIN m
+          ON GREATEST(x0, mx0) < LEAST(x1, mx1)
+         AND GREATEST(y0, my0) < LEAST(y1, my1)
+        GROUP BY method_fid ORDER BY method_fid
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_join": q02_revenue_join,
@@ -735,6 +878,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_bigjoin_rect": q32_bigjoin_rect,
     "q33_proximity": q33_proximity,
     "q34_contour": q34_contour,
+    "q35_overlay_area": q35_overlay_area,
+    "q36_polygon_join": q36_polygon_join,
 }
 
 
@@ -1081,6 +1226,8 @@ def oracle_sql() -> dict[str, str]:
             AND o_orderpriority LIKE '%URGENT'
         """,
         "q27_sample_density_at_cities": _city_sample_oracle(),
+        "q35_overlay_area": _overlay_oracle(),
+        "q36_polygon_join": _polygon_join_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -132,7 +132,10 @@ def _isect(p1, p2, q1, q2):
     u = cross_qp_r / denom
     if t < -_EPS or t > 1 + _EPS or u < -_EPS or u > 1 + _EPS:
         return None
-    tol = 1e-9
+    # detection threshold only: true endpoint hits compute to within
+    # fp error (~1e-15); the perturbation retry moves them to ~1e-9,
+    # which must then count as a genuine crossing
+    tol = 1e-11
     if t < tol or t > 1 - tol or u < tol or u > 1 - tol:
         raise Degenerate("intersection at segment endpoint")
     return t, u
@@ -501,5 +504,20 @@ def polygons_intersect(a_rings: list[np.ndarray],
     if points_in_rings(np.array([pa[0]]), np.array([pa[1]]),
                        b_closed).sum() % 2 == 1:
         return True
+    return points_in_rings(np.array([pb[0]]), np.array([pb[1]]),
+                           a_closed).sum() % 2 == 1
+
+
+def polygon_contains_polygon(a_rings: list[np.ndarray],
+                             b_rings: list[np.ndarray]) -> bool:
+    """ST_Contains (strict variant): b's boundary never crosses a's
+    and b lies in a's interior.  Boundary-touching containment (which
+    GEOS allows) reports False — documented parity gap."""
+    sa = np.concatenate([_segments(r) for r in a_rings])
+    sb = np.concatenate([_segments(r) for r in b_rings])
+    if _seg_cross_any(sa, sb):
+        return False
+    a_closed = [_close(r) for r in a_rings]
+    pb = _close(b_rings[0])[0]
     return points_in_rings(np.array([pb[0]]), np.array([pb[1]]),
                            a_closed).sum() % 2 == 1

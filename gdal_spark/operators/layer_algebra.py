@@ -202,3 +202,206 @@ def erase_rect(spark: SparkSession, input_df: DataFrame,
                 yield pd.DataFrame(rows)
 
     return input_df.mapInPandas(kernel, OVERLAY_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# general (concave/holed) overlay — Greiner-Hormann backed
+# --------------------------------------------------------------------
+
+
+def _method_index(method_pdf: pd.DataFrame, geom_col: str = "geometry"):
+    """Broadcastable method-layer index: fid -> (rings, bbox)."""
+    idx = []
+    for _, r in method_pdf.iterrows():
+        g = parse_wkb(bytes(r[geom_col]))
+        rings = [np.ascontiguousarray(x, dtype=np.float64)
+                 for x in g.rings()]
+        idx.append((int(r["fid"]), rings, g.bbox()))
+    return idx
+
+
+def overlay_general(spark: SparkSession, input_df: DataFrame,
+                    method_pdf: pd.DataFrame, op: str,
+                    geom_col: str = "geometry") -> DataFrame:
+    """Layer algebra between ARBITRARY simple polygons (concave and
+    holed), the general path the convex kernels above cannot express.
+
+    Reference semantics (ogr/ogrsf_frmts/generic/ogrlayer.cpp):
+      Intersection :5385 — one row per crossing (fid, method_fid) pair
+      Clip         :7537 — same geometry as Intersection, input fields
+      Erase        :7846 — input minus ALL crossing method features
+      Identity     :6770 — Intersection + uncovered input remainder
+      Union        :5803 — Identity + uncovered method remainder
+      SymDifference:6340 — both remainders, no intersections
+
+    The method layer is broadcast (the reference iterates it per input
+    feature with a prepared-geometry cache — same asymmetry).  The
+    input layer is map-only for every op except the method remainder
+    of Union, which groups candidate pairs by method fid (a small
+    shuffle bounded by |method| x avg overlap).
+    """
+    from gdal_spark.geometry.overlay import poly_op
+
+    if op not in {"intersection", "clip", "erase", "identity", "union",
+                  "symdifference"}:
+        raise ValueError(f"unknown overlay op {op!r}")
+    idx = _method_index(method_pdf, geom_col)
+    bc = spark.sparkContext.broadcast(idx)
+
+    want_isect = op in {"intersection", "clip", "identity", "union"}
+    want_leftover = op in {"erase", "identity", "union", "symdifference"}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meth = bc.value
+        for b in batches:
+            rows = {"fid": [], "method_fid": [], "geometry": [],
+                    "area": []}
+
+            def emit(fid, mfid, pieces):
+                pieces = [p for p in pieces if p]
+                if not pieces:
+                    return
+                wkb = multipolygon_wkb(pieces)
+                area = geom_area(parse_wkb(wkb))
+                if area <= 0:
+                    return
+                rows["fid"].append(fid)
+                rows["method_fid"].append(mfid)
+                rows["geometry"].append(wkb)
+                rows["area"].append(area)
+
+            for fid, wkb in zip(b["fid"], b[geom_col]):
+                g = parse_wkb(bytes(wkb))
+                gx0, gy0, gx1, gy1 = g.bbox()
+                in_rings = [np.ascontiguousarray(r, dtype=np.float64)
+                            for r in g.rings()]
+                remain = [list(in_rings)]
+                for mfid, mrings, (mx0, my0, mx1, my1) in meth:
+                    if not (gx0 <= mx1 and mx0 <= gx1
+                            and gy0 <= my1 and my0 <= gy1):
+                        continue
+                    if want_isect:
+                        pieces = poly_op(in_rings, mrings,
+                                         "intersection")
+                        emit(int(fid), mfid, pieces)
+                    if want_leftover:
+                        nxt = []
+                        for piece in remain:
+                            nxt.extend(poly_op(piece, mrings,
+                                               "difference"))
+                        remain = nxt
+                        if not remain:
+                            break
+                if want_leftover:
+                    emit(int(fid), -1, remain)
+            if rows["fid"]:
+                yield pd.DataFrame(rows)
+
+    out = input_df.select("fid", geom_col).mapInPandas(
+        kernel, OVERLAY_SCHEMA)
+
+    if op not in {"union", "symdifference"}:
+        return out
+
+    # method remainder: each method feature minus every candidate
+    # input geometry — grouped by method fid (small: |method| groups)
+    def m_remainder(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mfid = int(key[0])
+        meth = {m: (rings, box) for m, rings, box in bc.value}
+        mrings, _ = meth[mfid]
+        remain = [mrings]
+        for wkb in pdf[geom_col]:
+            rings = parse_wkb(bytes(wkb)).rings()
+            nxt = []
+            for piece in remain:
+                nxt.extend(poly_op(piece, list(rings), "difference"))
+            remain = nxt
+            if not remain:
+                break
+        rows = {"fid": [], "method_fid": [], "geometry": [], "area": []}
+        remain = [p for p in remain if p]
+        if remain:
+            wkb = multipolygon_wkb(remain)
+            area = geom_area(parse_wkb(wkb))
+            if area > 0:
+                rows["fid"].append(-1)
+                rows["method_fid"].append(mfid)
+                rows["geometry"].append(wkb)
+                rows["area"].append(area)
+        return pd.DataFrame(rows) if rows["fid"] else pd.DataFrame({
+            "fid": pd.Series(dtype=np.int64),
+            "method_fid": pd.Series(dtype=np.int64),
+            "geometry": pd.Series(dtype=object),
+            "area": pd.Series(dtype=np.float64),
+        })
+
+    boxes = [(m, box) for m, _r, box in idx]
+    bboxes = spark.createDataFrame(
+        pd.DataFrame({
+            "method_fid": [m for m, _ in boxes],
+            "m_minx": [b[0] for _, b in boxes],
+            "m_miny": [b[1] for _, b in boxes],
+            "m_maxx": [b[2] for _, b in boxes],
+            "m_maxy": [b[3] for _, b in boxes],
+        }))
+
+    from gdal_spark.geometry.overlay import poly_op  # noqa: F811
+    from pyspark.sql.types import (
+        DoubleType as _D, LongType as _L, StructField as _SF,
+        StructType as _ST,
+    )
+    in_box_schema = _ST([
+        _SF("fid", _L()), _SF(geom_col, BinaryType()),
+        _SF("minx", _D()), _SF("miny", _D()),
+        _SF("maxx", _D()), _SF("maxy", _D()),
+    ])
+
+    def with_bbox(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            boxes_ = [parse_wkb(bytes(w)).bbox() for w in b[geom_col]]
+            yield pd.DataFrame({
+                "fid": b["fid"].to_numpy(np.int64),
+                geom_col: b[geom_col],
+                "minx": [x[0] for x in boxes_],
+                "miny": [x[1] for x in boxes_],
+                "maxx": [x[2] for x in boxes_],
+                "maxy": [x[3] for x in boxes_],
+            })
+
+    cand = (
+        input_df.select("fid", geom_col)
+        .mapInPandas(with_bbox, in_box_schema)
+        .join(F.broadcast(bboxes),
+              (F.col("minx") <= F.col("m_maxx"))
+              & (F.col("m_minx") <= F.col("maxx"))
+              & (F.col("miny") <= F.col("m_maxy"))
+              & (F.col("m_miny") <= F.col("maxy")))
+        .select("method_fid", geom_col)
+    )
+    m_rem = cand.groupBy("method_fid").applyInPandas(
+        m_remainder, OVERLAY_SCHEMA)
+    # method features with NO candidates pass through whole
+    matched = cand.select("method_fid").distinct()
+    untouched = (
+        bboxes.select("method_fid")
+        .join(matched, "method_fid", "left_anti")
+    )
+    meth_map = {m: rings for m, rings, _ in idx}
+
+    def whole(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"fid": [], "method_fid": [], "geometry": [],
+                    "area": []}
+            for mfid in b["method_fid"]:
+                wkb = multipolygon_wkb([meth_map[int(mfid)]])
+                rows["fid"].append(-1)
+                rows["method_fid"].append(int(mfid))
+                rows["geometry"].append(wkb)
+                rows["area"].append(geom_area(parse_wkb(wkb)))
+            if rows["fid"]:
+                yield pd.DataFrame(rows)
+
+    return out.unionByName(m_rem).unionByName(
+        untouched.mapInPandas(whole, OVERLAY_SCHEMA))

@@ -314,3 +314,59 @@ def brute_force_join_pdf(points_pdf: pd.DataFrame, polys_pdf: pd.DataFrame,
         out.append(sub)
     return (pd.concat(out, ignore_index=True) if out
             else points_pdf.iloc[:0].assign(fid=np.int64(0)))
+
+
+def spatial_join_polygons_intersect(
+    spark: SparkSession,
+    input_df: DataFrame,
+    polys_pdf: pd.DataFrame,
+    geom_col: str = "geometry",
+    fid_col: str = "fid",
+) -> DataFrame:
+    """polygon layer ⋈ polygon layer on ST_Intersects.
+
+    The general FilterGeometry pair the point-in-polygon join cannot
+    express (ogrlayer.cpp:4004-4076 handles any geometry pair): the
+    small method layer is broadcast with bboxes; the kernel runs the
+    JVM-free but Arrow-batched exact test — boundary cross (vectorized
+    segment orientation) or containment either way.
+
+    Output: input columns + ``method_fid`` (one row per intersecting
+    pair, like SetSpatialFilter + a join on the method fid).
+    """
+    from gdal_spark.geometry.overlay import polygons_intersect
+
+    idx = []
+    for _, r in polys_pdf.iterrows():
+        g = parse_wkb(bytes(r[geom_col]))
+        idx.append((int(r[fid_col]),
+                    [np.ascontiguousarray(x, dtype=np.float64)
+                     for x in g.rings()], g.bbox()))
+    bc = spark.sparkContext.broadcast(idx)
+    out_schema = input_df.withColumn(
+        "method_fid", F.lit(0).cast("long")).schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meth = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            out_rows = []
+            mfids = []
+            for i, wkb in enumerate(b[geom_col]):
+                g = parse_wkb(bytes(wkb))
+                rings = g.rings()
+                gx0, gy0, gx1, gy1 = g.bbox()
+                for mfid, mrings, (mx0, my0, mx1, my1) in meth:
+                    if not (gx0 <= mx1 and mx0 <= gx1
+                            and gy0 <= my1 and my0 <= gy1):
+                        continue
+                    if polygons_intersect(list(rings), mrings):
+                        out_rows.append(i)
+                        mfids.append(mfid)
+            if out_rows:
+                out = b.iloc[out_rows].copy()
+                out["method_fid"] = np.array(mfids, dtype=np.int64)
+                yield out
+
+    return input_df.mapInPandas(kernel, out_schema)

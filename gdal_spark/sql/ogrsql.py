@@ -492,6 +492,43 @@ def _register_geom_udfs(spark: SparkSession) -> None:
                 parse_wkb(bytes(b)).rings())[0]))
         return pd.Series(out)
 
+    def _geom_pair(fn):
+        def wrapped(wa, wb):
+            import pandas as pd
+
+            out = []
+            for a, b in zip(wa, wb):
+                if a is None or b is None:
+                    out.append(None)
+                    continue
+                out.append(fn(list(parse_wkb(bytes(a)).rings()),
+                              list(parse_wkb(bytes(b)).rings())))
+            return pd.Series(out)
+        return wrapped
+
+    def _isect_pred(ra, rb):
+        from gdal_spark.geometry.overlay import polygons_intersect
+
+        return bool(polygons_intersect(ra, rb))
+
+    def _contains_pred(ra, rb):
+        from gdal_spark.geometry.overlay import polygon_contains_polygon
+
+        return bool(polygon_contains_polygon(ra, rb))
+
+    def _within_pred(ra, rb):
+        from gdal_spark.geometry.overlay import polygon_contains_polygon
+
+        return bool(polygon_contains_polygon(rb, ra))
+
+    def _isect_area(ra, rb):
+        from gdal_spark.geometry.overlay import poly_op
+        from gdal_spark.geometry.packed import ring_signed_area
+
+        pieces = poly_op(ra, rb, "intersection")
+        return float(sum(ring_signed_area(r)
+                         for rings in pieces for r in rings))
+
     from pyspark.sql.types import BooleanType
 
     st_area = pandas_udf(_area, DoubleType())
@@ -508,4 +545,19 @@ def _register_geom_udfs(spark: SparkSession) -> None:
     # behind the spatial join, usable directly in WHERE clauses
     spark.udf.register("st_contains", st_contains)
     spark.udf.register("st_intersects_point", st_contains)
+    # geometry x geometry predicates + overlay area (the GEOS-backed
+    # pairs of the SQLITE dialect, ogr/ogrgeometry.cpp:575-6409),
+    # driven by the Greiner-Hormann kernel in geometry/overlay.py
+    spark.udf.register(
+        "st_intersects",
+        pandas_udf(_geom_pair(_isect_pred), BooleanType()))
+    spark.udf.register(
+        "st_contains_geom",
+        pandas_udf(_geom_pair(_contains_pred), BooleanType()))
+    spark.udf.register(
+        "st_within",
+        pandas_udf(_geom_pair(_within_pred), BooleanType()))
+    spark.udf.register(
+        "st_intersection_area",
+        pandas_udf(_geom_pair(_isect_area), DoubleType()))
     _UDFS_READY.add(key)

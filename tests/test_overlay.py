@@ -1,0 +1,168 @@
+"""General polygon overlay: Greiner-Hormann kernel + layer algebra
+mirroring the reference's suite (autotest/ogr/ogr_layer_algebra.py:
+A = 2 unit rects, B = 1 spanning rect; Intersection->2, Union->5,
+SymDifference->3, Identity->4, Clip->2, Erase->2 features)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.geometry.overlay import (
+    poly_op, polygons_intersect, ring_op,
+)
+from gdal_spark.geometry.packed import ring_signed_area
+from gdal_spark.geometry.wkb import polygon_wkb
+
+
+def sq(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)],
+                    dtype=np.float64)
+
+
+def area(polys):
+    return sum(ring_signed_area(r) for rings in polys for r in rings)
+
+
+# ---- ring_op kernel ------------------------------------------------
+
+
+def test_ring_op_basic_rects():
+    A, B = sq(0, 0, 10, 10), sq(5, 5, 15, 15)
+    assert area(ring_op(A, B, "intersection")) == pytest.approx(25)
+    assert area(ring_op(A, B, "union")) == pytest.approx(175)
+    assert area(ring_op(A, B, "difference")) == pytest.approx(75)
+
+
+def test_ring_op_disjoint_contained():
+    A, C, D = sq(0, 0, 10, 10), sq(20, 20, 30, 30), sq(2, 2, 4, 4)
+    assert ring_op(A, C, "intersection") == []
+    assert area(ring_op(A, C, "union")) == pytest.approx(200)
+    assert area(ring_op(A, D, "intersection")) == pytest.approx(4)
+    # containment difference -> polygon with hole
+    diff = ring_op(A, D, "difference")
+    assert len(diff) == 1 and len(diff[0]) == 2
+    assert area(diff) == pytest.approx(96)
+
+
+def test_ring_op_concave_multipiece():
+    U = np.array([(0, 0), (10, 0), (10, 10), (7, 10), (7, 3), (3, 3),
+                  (3, 10), (0, 10), (0, 0)], dtype=np.float64)
+    R = sq(-1, 4, 11, 6)
+    got = ring_op(U, R, "intersection")
+    assert len(got) == 2
+    assert area(got) == pytest.approx(12)
+
+
+def test_ring_op_degenerate_shared_edge():
+    A, E = sq(0, 0, 10, 10), sq(10, 0, 20, 10)
+    assert area(ring_op(A, E, "intersection")) == pytest.approx(0, abs=1e-6)
+    assert area(ring_op(A, E, "union")) == pytest.approx(200, abs=1e-4)
+    assert area(ring_op(A, E, "difference")) == pytest.approx(100, abs=1e-4)
+
+
+def test_ring_op_identical():
+    A = sq(0, 0, 10, 10)
+    assert area(ring_op(A, A.copy(), "intersection")) == pytest.approx(
+        100, abs=1e-4)
+    assert area(ring_op(A, A.copy(), "difference")) == pytest.approx(
+        0, abs=1e-4)
+
+
+def test_ring_op_concave_concave_invariants():
+    S1 = np.array([(0, 0), (10, 0), (5, 4), (10, 10), (0, 10), (5, 5),
+                   (0, 0)], dtype=np.float64)
+    S2 = sq(3, -2, 7, 12)
+    i = area(ring_op(S1, S2, "intersection"))
+    u = area(ring_op(S1, S2, "union"))
+    d = area(ring_op(S1, S2, "difference"))
+    a1, a2 = ring_signed_area(S1), ring_signed_area(S2)
+    assert i + d == pytest.approx(a1, abs=1e-6)
+    assert u == pytest.approx(a1 + a2 - i, abs=1e-6)
+
+
+def test_poly_op_holes():
+    Ah = [sq(0, 0, 10, 10), sq(3, 3, 7, 7)[::-1]]
+    B = [sq(5, 0, 15, 10)]
+    assert area(poly_op(Ah, B, "intersection")) == pytest.approx(42)
+    assert area(poly_op(Ah, B, "difference")) == pytest.approx(42)
+    # clip hole survives in the difference
+    Bh = [sq(5, 0, 15, 10), sq(8, 4, 12, 6)[::-1]]
+    assert area(poly_op([sq(0, 0, 10, 10)], Bh, "difference")) == \
+        pytest.approx(54)
+
+
+def test_polygons_intersect_predicate():
+    A = [sq(0, 0, 10, 10)]
+    assert polygons_intersect(A, [sq(5, 5, 15, 15)])
+    assert not polygons_intersect(A, [sq(20, 20, 30, 30)])
+    assert polygons_intersect(A, [sq(10, 0, 20, 10)])   # touch
+    assert polygons_intersect(A, [sq(2, 2, 4, 4)])      # contained
+    # hole makes the small square NOT intersect the interior ring
+    holed = [sq(0, 0, 10, 10), sq(2, 2, 8, 8)[::-1]]
+    inner = [sq(4, 4, 6, 6)]
+    assert not polygons_intersect(holed, inner)
+
+
+# ---- layer algebra (reference autotest counts) ---------------------
+
+
+A_WKB = [polygon_wkb([sq(1, 2, 3, 3)]), polygon_wkb([sq(5, 2, 7, 3)])]
+B_WKB = [polygon_wkb([sq(2, 1, 6, 4)])]
+
+
+def _a_df(spark):
+    return spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([1, 2], dtype=np.int64),
+        "geometry": A_WKB,
+    }))
+
+
+def _b_pdf():
+    return pd.DataFrame({"fid": np.array([1], dtype=np.int64),
+                         "geometry": B_WKB})
+
+
+def test_algebra_counts_and_areas(spark):
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    cases = {
+        "intersection": (2, 2.0),
+        # A remainders 1+1, intersections 1+1, B remainder 12-2=10
+        "union": (5, 2.0 + 2.0 + 10.0),
+        "symdifference": (3, 2.0 + 10.0),
+        "identity": (4, 2.0 + 2.0),
+        "clip": (2, 2.0),
+        "erase": (2, 2.0),
+    }
+    a = _a_df(spark)
+    for op, (n, total) in cases.items():
+        got = overlay_general(a.sparkSession, a, _b_pdf(), op).toPandas()
+        assert len(got) == n, f"{op}: {len(got)} rows"
+        assert got["area"].sum() == pytest.approx(total, abs=1e-4), op
+
+
+def test_algebra_intersection_geometries(spark):
+    """The two intersection rectangles from the reference golden:
+    (2 2, 3 3) and (5 2, 6 3)."""
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    a = _a_df(spark)
+    got = overlay_general(a.sparkSession, a, _b_pdf(), "intersection") \
+        .orderBy("fid").toPandas()
+    assert got["fid"].tolist() == [1, 2]
+    assert got["area"].tolist() == pytest.approx([1.0, 1.0])
+
+
+def test_spatial_join_polygons_intersect(spark):
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_polygons_intersect,
+    )
+
+    inp = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([1, 2, 3], dtype=np.int64),
+        "geometry": A_WKB + [polygon_wkb([sq(20, 20, 21, 21)])],
+    }))
+    got = spatial_join_polygons_intersect(spark, inp, _b_pdf()) \
+        .toPandas().sort_values("fid")
+    assert got["fid"].tolist() == [1, 2]
+    assert got["method_fid"].tolist() == [1, 1]
