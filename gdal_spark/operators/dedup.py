@@ -9,11 +9,13 @@
 Design notes (100 TB):
 - signatures are computed in one Arrow-batched pass over the corpus
   (numpy bit ops, no per-row Python);
-- LSH banding turns near-dup detection into an equi-join on
-  (band_id, band_hash) — a plain shuffle join Catalyst handles, with
-  AQE skew splitting for pathological buckets;
-- candidate pairs are verified with exact Jaccard before any row is
-  dropped, so false LSH collisions never delete data.
+- LSH banding turns near-dup detection into bucket grouping; each
+  bucket links members to its min-key representative (star pairing),
+  so a bucket holding a whole duplicate cluster costs O(k) pairs,
+  never the O(k^2) clique;
+- candidate pairs pass a cheap signature-estimate prefilter, then
+  are verified with EXACT n-gram Jaccard before any row is dropped,
+  so false LSH collisions never delete data.
 """
 
 from __future__ import annotations
@@ -53,31 +55,58 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 _MERSENNE = (1 << 61) - 1
 
 
+def _gram_stream(texts: pd.Series, n: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """All n-gram hashes of the batch in one flat array + per-doc
+    boundaries (starts, len n_docs+1).  One concatenated byte buffer,
+    one sliding-window hash pass — no per-doc numpy dispatch.
+
+    Short docs (< n bytes) hash their whole buffer with the same
+    polynomial (NOT Python hash(), which is salted per process and
+    would make signatures differ between executors)."""
+    mult = np.power(np.uint64(257), np.arange(n, dtype=np.uint64),
+                    dtype=np.uint64)
+    bufs = [(" ".join(str(t).lower().split())).encode("utf-8", "ignore")
+            for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                       count=len(bufs))
+    per_doc: list[np.ndarray | None] = [None] * len(bufs)
+    for i in np.flatnonzero(lens < n):
+        b = np.frombuffer(bufs[i] if bufs[i] else b" ", dtype=np.uint8)
+        m = np.power(np.uint64(257),
+                     np.arange(len(b), dtype=np.uint64),
+                     dtype=np.uint64)
+        per_doc[i] = np.array([(b.astype(np.uint64) * m)
+                               .sum(dtype=np.uint64)], dtype=np.uint64)
+    idxs = np.flatnonzero(lens >= n)
+    if len(idxs):
+        big = np.frombuffer(b"".join(bufs[i] for i in idxs),
+                            dtype=np.uint8)
+        ls = lens[idxs]
+        owner = np.repeat(np.arange(len(idxs), dtype=np.int64), ls)
+        win = np.lib.stride_tricks.sliding_window_view(big, n)
+        hashes = (win.astype(np.uint64) * mult[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        # a window is valid when it does not straddle a doc boundary
+        p_owner = owner[: len(hashes)]
+        valid = owner[np.arange(len(hashes)) + n - 1] == p_owner
+        h, d = hashes[valid], p_owner[valid]
+        parts = np.split(
+            h, np.cumsum(np.bincount(d, minlength=len(idxs)))[:-1])
+        for j, arr in enumerate(parts):
+            per_doc[idxs[j]] = arr
+    counts = np.fromiter((len(a) for a in per_doc), dtype=np.int64,
+                         count=len(per_doc))
+    flat = (np.concatenate(per_doc) if per_doc
+            else np.zeros(0, np.uint64))
+    return flat, np.r_[0, np.cumsum(counts)]
+
+
 def _shingle_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
-    """Character n-gram shingle hash sets per doc (vectorized-ish:
-    one pandas pass, numpy hashing)."""
-    out = []
-    for t in texts:
-        s = " ".join(str(t).lower().split())
-        if len(s) < n:
-            grams = np.array([hash(s) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
-        else:
-            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-            if len(b) < n:
-                grams = np.array([0], dtype=np.uint64)
-            else:
-                # polynomial rolling hash over byte n-grams, vectorized
-                win = np.lib.stride_tricks.sliding_window_view(b, n)
-                mult = np.power(
-                    np.uint64(257),
-                    np.arange(n, dtype=np.uint64),
-                    dtype=np.uint64,
-                )
-                grams = (win.astype(np.uint64) * mult[None, :]).sum(
-                    axis=1, dtype=np.uint64
-                )
-        out.append(np.unique(grams))
-    return out
+    """Sorted-unique n-gram hash SETS per doc (for exact Jaccard)."""
+    flat, bounds = _gram_stream(texts, n)
+    return [np.unique(flat[bounds[i]:bounds[i + 1]])
+            for i in range(len(bounds) - 1)]
 
 
 def minhash_signatures(
@@ -98,27 +127,47 @@ def minhash_signatures(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            shingles = _shingle_hashes(batch[text_col], shingle)
-            sigs = []
-            for grams in shingles:
-                # (H, G) permutation hashes -> min per hash
-                hv = (a[:, None] * grams[None, :] + b[:, None]) % _MERSENNE
-                sigs.append(hv.min(axis=1).astype(np.int64))
+            if len(batch) == 0:
+                continue
+            # ALL grams of the batch permuted per hash function, then
+            # per-doc mins via reduceat — duplicates in a doc's gram
+            # stream cannot change a min, so no per-doc unique needed;
+            # one flat pass per hash keeps memory at O(G), not O(H*G)
+            flat, bounds = _gram_stream(batch[text_col], shingle)
+            mins = np.empty((num_hashes, len(batch)), dtype=np.uint64)
+            for i in range(num_hashes):
+                hv = (a[i] * flat + b[i]) % _MERSENNE
+                mins[i] = np.minimum.reduceat(hv, bounds[:-1])
+            sig_rows = mins.astype(np.int64).T  # (n_docs, H)
             yield pd.DataFrame({
                 key_col: batch[key_col],
-                "sig": [s.tolist() for s in sigs],
+                "sig": [s.tolist() for s in sig_rows],
             })
 
-    return df.select(key_col, text_col).mapInPandas(kernel, schema)
+    src = df.select(key_col, text_col)
+    # small inputs arrive in a handful of parquet splits; spread the
+    # CPU-bound kernel (at 100-TB scale inputs already have thousands
+    # of partitions and this is a no-op)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(kernel, schema)
 
 
 def minhash_lsh_candidates(
     sigs: DataFrame, key_col: str = "doc_id",
     bands: int = 16, rows_per_band: int = 4,
+    pairing: str = "star",
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become a candidate
-    pair (a < b).  Pure DataFrame ops: explode -> equi-join."""
-    assert bands * rows_per_band <= 64 or True
+    """LSH banding candidates (a < b), pure DataFrame ops.
+
+    ``pairing="star"`` (default) pairs every bucket member with the
+    bucket's min key — a heavy-duplication corpus puts whole clusters
+    in one bucket, and the star keeps the bucket's connectivity with
+    O(k) pairs instead of the O(k^2) clique, which is the difference
+    between a bounded shuffle and a quadratic blowup at 100 TB.
+    ``pairing="all"`` emits the clique (exact single-link recall when
+    a bucket mixes docs that only chain pairwise)."""
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -132,6 +181,14 @@ def minhash_lsh_candidates(
         .select(key_col, F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
     )
+    if pairing == "star":
+        w = Window.partitionBy("band", "bucket")
+        return (
+            buckets.withColumn("rep", F.min(key_col).over(w))
+            .filter(F.col(key_col) != F.col("rep"))
+            .select(F.col("rep").alias("a"), F.col(key_col).alias("b"))
+            .distinct()
+        )
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -171,12 +228,21 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle,
                               seed).cache()
     cand = minhash_lsh_candidates(sigs, key_col, bands, rows)
+    # cheap signature-estimate PREFILTER (slack below the threshold so
+    # estimator variance cannot veto a true duplicate) ...
     sa = sigs.select(F.col(key_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(key_col).alias("b"), F.col("sig").alias("sig_b"))
-    verified = (
+    prefiltered = (
         cand.join(sa, "a").join(sb, "b")
-        .withColumn("jac", minhash_jaccard_estimate("sig_a", "sig_b"))
-        .filter(F.col("jac") >= threshold)
+        .withColumn("jac_est", minhash_jaccard_estimate("sig_a", "sig_b"))
+        .filter(F.col("jac_est") >= F.lit(max(threshold - 0.25, 0.0)))
+        .select("a", "b")
+    )
+    # ... then EXACT n-gram Jaccard before any row is dropped — false
+    # LSH collisions never delete data (the module contract)
+    verified = (
+        ngram_jaccard_pairs(df, prefiltered, text_col, key_col, shingle)
+        .filter(F.col("jaccard") >= threshold)
         .select("a", "b")
     )
     # each b maps to min(a) over its dup partners; survivors = keys
@@ -331,6 +397,10 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     tb = texts.select(F.col(key_col).alias("b"),
                       F.col(text_col).alias("text_b"))
     joined = pairs.join(ta, "a").join(tb, "b")
+    # AQE coalesces the small join output to one partition, which
+    # serializes the CPU-bound shingle kernel — spread it explicitly
+    joined = joined.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     schema = StructType(
         [StructField("a", joined.schema["a"].dataType),
          StructField("b", joined.schema["b"].dataType),
