@@ -64,7 +64,12 @@ def transform_fn(src_crs: str, dst_crs: str):
         return _merc_inv          # dst(3857) coords -> src(4326)
     if s == "EPSG:3857" and d == "EPSG:4326":
         return _merc_fwd          # dst(4326) coords -> src(3857)
-    raise ValueError(f"unsupported CRS pair {src_crs} -> {dst_crs}")
+    # general pairs (incl. all WGS84 UTM zones) via the Krueger-series
+    # transverse Mercator in functions/crs.py — closed forms, so no
+    # approximate-transformer corner fit is needed per tile
+    from gdal_spark.functions import crs as _crs
+
+    return _crs.transform(d, s)
 
 
 # --- single-patch resample kernel -------------------------------------
@@ -349,9 +354,10 @@ def warp_tiles(
             "tile_size": [ts],
         })
 
+    # groupBy shuffles on its own; a repartitionByRange here would add
+    # a second exchange plus the RangePartitioner sampling job
     return (
-        joined.repartitionByRange("dtx", "dty")
-        .groupBy("dtx", "dty")
+        joined.groupBy("dtx", "dty")
         .applyInPandas(render, TILE_SCHEMA)
     )
 

@@ -1,0 +1,103 @@
+"""UTM / transverse-Mercator CRS transforms (Krueger series) and the
+EPSG:32631 -> 4326 warp — the reference's own warp benchmark pair
+(autotest/benchmark/test_gdalwarp.py:24)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.functions import crs
+
+
+def test_utm_roundtrip_accuracy():
+    rng = np.random.RandomState(1)
+    lon = rng.uniform(0.01, 5.99, 5000)
+    lat = rng.uniform(-80.0, 84.0, 5000)
+    x, y = crs.from_4326("EPSG:32631")(lon, lat)
+    lon2, lat2 = crs.to_4326("EPSG:32631")(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_utm_anchors():
+    fwd = crs.from_4326("EPSG:32631")
+    # central meridian -> false easting exactly
+    x, _ = fwd(np.array([3.0]), np.array([45.0]))
+    assert x[0] == pytest.approx(500000.0, abs=1e-6)
+    # equator -> northing 0 (north), 10^7 (south)
+    _, y = fwd(np.array([4.5]), np.array([0.0]))
+    assert y[0] == pytest.approx(0.0, abs=1e-6)
+    _, ys = crs.from_4326("EPSG:32731")(np.array([4.5]), np.array([0.0]))
+    assert ys[0] == pytest.approx(10000000.0, abs=1e-6)
+
+
+def test_utm_northing_matches_meridian_arc():
+    """Independent oracle: northing on the central meridian equals
+    k0 x the meridian arc length (numerical quadrature)."""
+    e2 = 0.0066943799901413165
+    a = 6378137.0
+    phi = np.radians(52.0)
+    t = np.linspace(0.0, phi, 2_000_001)
+    arc = a * (1 - e2) * np.trapz((1 - e2 * np.sin(t) ** 2) ** -1.5, t)
+    _, y = crs.from_4326("EPSG:32631")(np.array([3.0]), np.array([52.0]))
+    assert y[0] == pytest.approx(0.9996 * arc, abs=1e-6)
+
+
+def test_transform_composition():
+    fn = crs.transform("EPSG:32618", "EPSG:3857")
+    back = crs.transform("EPSG:3857", "EPSG:32618")
+    x0 = np.array([500000.0, 630000.0])
+    y0 = np.array([4480000.0, 4500000.0])
+    mx, my = fn(x0, y0)
+    x1, y1 = back(mx, my)
+    assert np.abs(x1 - x0).max() < 1e-4
+    assert np.abs(y1 - y0).max() < 1e-4
+
+
+def test_supported():
+    assert crs.supported("EPSG:32601") and crs.supported("EPSG:32760")
+    assert crs.supported("EPSG:4326") and crs.supported("EPSG:3857")
+    assert not crs.supported("EPSG:2154")
+
+
+def test_warp_utm_to_4326_matches_single_array(spark):
+    """Distributed warp EPSG:32631 -> EPSG:4326 equals the single-array
+    reference path (same inverse transform + resample kernel)."""
+    from gdal_spark.operators.rasterize import GridSpec, assemble_raster
+    from gdal_spark.operators.warp import (
+        resample_patch, tiles_from_array, transform_fn, warp_tiles,
+    )
+
+    # src: 256x256 UTM31N raster, ~780 m pixels around lat 45
+    sw, sh = 256, 256
+    src_grid = GridSpec(400000.0, 5200000.0, 781.25, 781.25, sw, sh)
+    ii, jj = np.meshgrid(np.arange(sw), np.arange(sh))
+    arr = (np.sin(ii / 17.0) * 40 + jj * 0.3 + 50).astype(np.float64)
+    tiles, _, _ = tiles_from_array(spark, arr, tile_size=64)
+
+    # dst: 4326 grid over the back-projected bbox
+    inv = transform_fn("EPSG:32631", "EPSG:4326")  # dst->src world
+    to_ll = transform_fn("EPSG:4326", "EPSG:32631")  # src->dst world
+    cx = np.array([400000.0, 600000.0, 400000.0, 600000.0])
+    cy = np.array([5000000.0, 5000000.0, 5200000.0, 5200000.0])
+    lons, lats = to_ll(cx, cy)
+    dw, dh = 200, 180
+    dst_grid = GridSpec(lons.min(), lats.max(),
+                        (lons.max() - lons.min()) / dw,
+                        (lats.max() - lats.min()) / dh, dw, dh)
+
+    for resample in ("near", "bilinear"):
+        out = warp_tiles(tiles, src_grid, dst_grid,
+                         "EPSG:32631", "EPSG:4326",
+                         resample=resample, nodata=-1.0, tile_size=64)
+        got = assemble_raster(out.toPandas(), dst_grid)
+
+        jj2, ii2 = np.mgrid[0:dh, 0:dw]
+        wx = dst_grid.x0 + (ii2 + 0.5) * dst_grid.px_w
+        wy = dst_grid.y1 - (jj2 + 0.5) * dst_grid.px_h
+        sxw, syw = inv(wx, wy)
+        spx = (sxw - src_grid.x0) / src_grid.px_w
+        spy = (src_grid.y1 - syw) / src_grid.px_h
+        want = resample_patch(arr, 0, 0, spx, spy, resample, -1.0)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+        # the warp really did something: interior values present
+        assert (got != -1.0).sum() > 0.5 * got.size
