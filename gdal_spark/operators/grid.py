@@ -21,7 +21,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StructField, StructType
+)
 
 from gdal_spark.operators.rasterize import GridSpec
 from gdal_spark.operators.tiling import TILE_SCHEMA, encode_tile
@@ -40,46 +42,43 @@ def grid_interpolate(
     """Interpolate scattered (x, y, v) onto ``grid`` -> tile rows.
 
     ``radius`` = 0 means all points participate (GDALGridInverse
-    DistanceToAPower semantics for radius1=radius2=0); with a radius,
-    points are gathered per tile from the padded neighborhood.
+    DistanceToAPower semantics for radius1=radius2=0) — executed as
+    per-point-partition partial rasters + one reduce shuffle, never a
+    cross join.  With a radius, points are gathered per tile from the
+    padded neighborhood (a bounded JVM explode).
     """
     ts = tile_size
     n_tx = (grid.width + ts - 1) // ts
     n_ty = (grid.height + ts - 1) // ts
 
+    if radius <= 0.0:
+        # unbounded search: NEVER a cross join — the math decomposes
+        # over point partitions (see _grid_all_points)
+        return _grid_all_points(points, grid, algorithm, x_col, y_col,
+                                v_col, power, smoothing, nodata, ts,
+                                codec)
+
     px = (F.col(x_col) - F.lit(grid.x0)) / F.lit(grid.px_w)
     py = (F.lit(grid.y1) - F.col(y_col)) / F.lit(grid.px_h)
-    if radius > 0.0:
-        rpx = radius / grid.px_w
-        rpy = radius / grid.px_h
-        tx0 = F.greatest(F.floor((px - rpx) / ts), F.lit(0))
-        tx1 = F.least(F.floor((px + rpx) / ts), F.lit(n_tx - 1))
-        ty0 = F.greatest(F.floor((py - rpy) / ts), F.lit(0))
-        ty1 = F.least(F.floor((py + rpy) / ts), F.lit(n_ty - 1))
-        staged = (
-            points.select(
-                F.col(x_col).alias("x"), F.col(y_col).alias("y"),
-                F.col(v_col).alias("v"),
-                F.explode(F.sequence(tx0.cast("long"), tx1.cast("long")))
-                .alias("tile_x"),
-                ty0.cast("long").alias("_ty0"), ty1.cast("long").alias("_ty1"),
-            )
-            .select(
-                "x", "y", "v", "tile_x",
-                F.explode(F.sequence("_ty0", "_ty1")).alias("tile_y"),
-            )
-        )
-    else:
-        # all points to every tile: cross join with the tile list
-        spark = points.sparkSession
-        tiles_pdf = pd.DataFrame(
-            [(tx, ty) for tx in range(n_tx) for ty in range(n_ty)],
-            columns=["tile_x", "tile_y"],
-        )
-        staged = points.select(
+    rpx = radius / grid.px_w
+    rpy = radius / grid.px_h
+    tx0 = F.greatest(F.floor((px - rpx) / ts), F.lit(0))
+    tx1 = F.least(F.floor((px + rpx) / ts), F.lit(n_tx - 1))
+    ty0 = F.greatest(F.floor((py - rpy) / ts), F.lit(0))
+    ty1 = F.least(F.floor((py + rpy) / ts), F.lit(n_ty - 1))
+    staged = (
+        points.select(
             F.col(x_col).alias("x"), F.col(y_col).alias("y"),
             F.col(v_col).alias("v"),
-        ).crossJoin(F.broadcast(spark.createDataFrame(tiles_pdf)))
+            F.explode(F.sequence(tx0.cast("long"), tx1.cast("long")))
+            .alias("tile_x"),
+            ty0.cast("long").alias("_ty0"), ty1.cast("long").alias("_ty1"),
+        )
+        .select(
+            "x", "y", "v", "tile_x",
+            F.explode(F.sequence("_ty0", "_ty1")).alias("tile_y"),
+        )
+    )
 
     gx0, gy1, pw, ph = grid.x0, grid.y1, grid.px_w, grid.px_h
     gw, gh = grid.width, grid.height
@@ -147,11 +146,189 @@ def grid_interpolate(
             "data": [payload], "dtype": [dts], "tile_size": [ts],
         })
 
+    # groupBy shuffles on its own; a repartitionByRange here would add
+    # a second exchange plus the RangePartitioner sampling job
     return (
-        staged.repartitionByRange("tile_x", "tile_y")
-        .groupBy("tile_x", "tile_y")
+        staged.groupBy("tile_x", "tile_y")
         .applyInPandas(render, TILE_SCHEMA)
     )
+
+
+_PARTIAL_GRID_SCHEMA = StructType([
+    StructField("tile_x", LongType()),
+    StructField("tile_y", LongType()),
+    StructField("a", BinaryType()),
+    StructField("b", BinaryType()),
+])
+
+
+def _grid_all_points(points: DataFrame, grid: GridSpec, algorithm: str,
+                     x_col: str, y_col: str, v_col: str, power: float,
+                     smoothing: float, nodata: float, ts: int,
+                     codec: str | None) -> DataFrame:
+    """radius = 0 (unbounded search, GDALGridInverseDistanceToAPower
+    radius1=radius2=0 semantics) WITHOUT a cross join.
+
+    The per-pixel results are reductions over ALL points:
+      invdist:  sum(w*v) / sum(w)          — two additive partials
+      nearest:  argmin(d^2)                — (dmin, v) min-partial
+      average:  mean over all points       — a global scalar
+      count:    number of points           — a global scalar
+    so each POINT partition computes a partial raster and one shuffle
+    (bounded by n_partitions x raster bytes, never |points| x tiles)
+    reduces them.  Whole-raster partials are held in executor memory;
+    unbounded-search gridding targets moderate rasters (the reference
+    computes O(pixels x points) for this mode too) — huge rasters
+    should pass a radius."""
+    from pyspark.sql.types import LongType  # noqa: F401
+
+    spark = points.sparkSession
+    gw, gh = grid.width, grid.height
+    if gw * gh > (1 << 26):
+        raise ValueError(
+            "radius=0 gridding holds a whole-raster partial per task; "
+            f"{gw}x{gh} exceeds the 64M-pixel bound — pass a radius")
+    n_tx = (gw + ts - 1) // ts
+    n_ty = (gh + ts - 1) // ts
+    gx0, gy1, pw, ph = grid.x0, grid.y1, grid.px_w, grid.px_h
+
+    if algorithm in ("average", "count"):
+        row = points.agg(
+            F.count("*").alias("n"),
+            F.avg(F.col(v_col)).alias("avg")).collect()[0]
+        const = float(row["n"] if algorithm == "count"
+                      else (row["avg"] if row["avg"] is not None
+                            else nodata))
+        tiles_pdf = pd.DataFrame(
+            [(tx, ty) for tx in range(n_tx) for ty in range(n_ty)],
+            columns=["tile_x", "tile_y"])
+
+        def fill(batches):
+            for b in batches:
+                rows = {f.name: [] for f in TILE_SCHEMA.fields}
+                for tx, ty in zip(b["tile_x"], b["tile_y"]):
+                    w = min(ts, gw - int(tx) * ts)
+                    h = min(ts, gh - int(ty) * ts)
+                    out = np.full((ts, ts), nodata, dtype=np.float64)
+                    out[:h, :w] = const
+                    payload, dts = encode_tile(out, codec)
+                    rows["zoom"].append(-1)
+                    rows["tile_x"].append(int(tx))
+                    rows["tile_y"].append(int(ty))
+                    rows["band"].append(1)
+                    rows["data"].append(payload)
+                    rows["dtype"].append(dts)
+                    rows["tile_size"].append(ts)
+                yield pd.DataFrame(rows)
+
+        return spark.createDataFrame(tiles_pdf).mapInPandas(
+            fill, TILE_SCHEMA)
+
+    if algorithm not in ("invdist", "nearest"):
+        raise ValueError(f"unknown grid algorithm {algorithm}")
+
+    # pixel centers, precomputed metadata shared by every task
+    is_invdist = algorithm == "invdist"
+    s2 = smoothing * smoothing
+
+    def partials(batches):
+        if is_invdist:
+            acc_a = np.zeros(gh * gw, dtype=np.float64)   # sum w
+            acc_b = np.zeros(gh * gw, dtype=np.float64)   # sum w*v
+        else:
+            acc_a = np.full(gh * gw, np.inf, dtype=np.float64)  # dmin
+            acc_b = np.full(gh * gw, nodata, dtype=np.float64)  # v
+        jj, ii = np.mgrid[0:gh, 0:gw]
+        cxs = (gx0 + (ii + 0.5) * pw).ravel()
+        cys = (gy1 - (jj + 0.5) * ph).ravel()
+        seen = False
+        for b in batches:
+            if len(b) == 0:
+                continue
+            seen = True
+            xs = b["x"].to_numpy(np.float64)
+            ys = b["y"].to_numpy(np.float64)
+            vs = b["v"].to_numpy(np.float64)
+            step = max(1, _CHUNK // max(len(xs), 1))
+            for s in range(0, len(cxs), step):
+                e = min(s + step, len(cxs))
+                d2 = (cxs[s:e, None] - xs[None, :]) ** 2 \
+                    + (cys[s:e, None] - ys[None, :]) ** 2
+                if is_invdist:
+                    # coincident nodes: the clamped weight (1e200)
+                    # dominates every finite weight, reproducing the
+                    # reference's exact-value special case to double
+                    # precision without a separate flag array
+                    wgt = np.minimum(
+                        1.0 / np.maximum(d2 + s2, 1e-300)
+                        ** (power / 2.0), 1e200)
+                    acc_a[s:e] += wgt.sum(axis=1)
+                    acc_b[s:e] += (wgt * vs[None, :]).sum(axis=1)
+                else:
+                    k = np.argmin(d2, axis=1)
+                    dk = d2[np.arange(e - s), k]
+                    closer = dk < acc_a[s:e]
+                    acc_a[s:e] = np.where(closer, dk, acc_a[s:e])
+                    acc_b[s:e] = np.where(closer, vs[k], acc_b[s:e])
+        if not seen:
+            return
+        # emit per-tile partial rows
+        full_a = acc_a.reshape(gh, gw)
+        full_b = acc_b.reshape(gh, gw)
+        rows = {"tile_x": [], "tile_y": [], "a": [], "b": []}
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                sa = full_a[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+                sb = full_b[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+                rows["tile_x"].append(tx)
+                rows["tile_y"].append(ty)
+                rows["a"].append(np.ascontiguousarray(sa).tobytes())
+                rows["b"].append(np.ascontiguousarray(sb).tobytes())
+        yield pd.DataFrame(rows)
+
+    src = points.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                        F.col(v_col).alias("v"))
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() != par:
+        # cap partial count (shuffle = n_partials x raster bytes) and
+        # spread small inputs across the cluster
+        src = src.repartition(par)
+    part = src.mapInPandas(partials, _PARTIAL_GRID_SCHEMA)
+
+    def reduce_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        w = min(ts, gw - tx * ts)
+        h = min(ts, gh - ty * ts)
+        if is_invdist:
+            sw = np.zeros((h, w), dtype=np.float64)
+            swv = np.zeros((h, w), dtype=np.float64)
+            for a_buf, b_buf in zip(pdf["a"], pdf["b"]):
+                sw += np.frombuffer(a_buf, np.float64).reshape(h, w)
+                swv += np.frombuffer(b_buf, np.float64).reshape(h, w)
+            out = np.where(sw > 0, swv / np.where(sw == 0, 1, sw),
+                           nodata)
+        else:
+            dmin = np.full((h, w), np.inf)
+            vmin = np.full((h, w), nodata, dtype=np.float64)
+            for a_buf, b_buf in zip(pdf["a"], pdf["b"]):
+                da = np.frombuffer(a_buf, np.float64).reshape(h, w)
+                va = np.frombuffer(b_buf, np.float64).reshape(h, w)
+                closer = da < dmin
+                dmin = np.where(closer, da, dmin)
+                vmin = np.where(closer, va, vmin)
+            out = vmin
+        if (h, w) != (ts, ts):
+            full = np.full((ts, ts), nodata, dtype=np.float64)
+            full[:h, :w] = out
+            out = full
+        payload, dts = encode_tile(out, codec)
+        return pd.DataFrame({
+            "zoom": [-1], "tile_x": [tx], "tile_y": [ty], "band": [1],
+            "data": [payload], "dtype": [dts], "tile_size": [ts],
+        })
+
+    return part.groupBy("tile_x", "tile_y").applyInPandas(
+        reduce_tile, TILE_SCHEMA)
 
 
 SAMPLE_SCHEMA_FIELDS = [
