@@ -795,6 +795,56 @@ def q36_polygon_join(spark, sf_dir):
     )
 
 
+def q37_contour_polygons(spark, sf_dir):
+    """Contour POLYGON mode over the z=6 page-density raster: pixels
+    classify into level bands, rings assemble through polygonize's
+    distributed machinery; per-band pixel totals are SQL-checkable."""
+    from gdal_spark.operators.contour import contour_polygons
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import page_density_tiles
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=1)
+    res = geo.tile_span(1) / 256
+    n_px = 2 * 256
+    grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
+    polys = contour_polygons(tiles, [1.0, 2.0], grid.gt, nodata=0.0)
+    return (
+        polys.groupBy("band", "level_min", "level_max")
+        .agg(F.sum("n_pixels").alias("n_pixels"))
+        .orderBy("band")
+    )
+
+
+def _pixel_sql(zoom: int) -> tuple[str, str]:
+    res = geo.tile_span(zoom) / 256
+    maxpx = (1 << zoom) * 256 - 1
+    mx = geo.merc_x_sql("lon")
+    my = geo.merc_y_sql("lat")
+    px = (f"LEAST(GREATEST(CAST(FLOOR((({mx}) - (-{geo.ORIGIN!r})) /"
+          f" {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+    py = (f"LEAST(GREATEST(CAST(FLOOR(({geo.ORIGIN!r} - ({my})) /"
+          f" {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+    return px, py
+
+
+def _contour_polygons_oracle() -> str:
+    px, py = _pixel_sql(1)
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        pix AS (SELECT {px} AS px, {py} AS py FROM pts),
+        cells AS (SELECT px, py, COUNT(*) AS cnt FROM pix
+                  GROUP BY px, py)
+        SELECT (CASE WHEN cnt >= 2 THEN 2 ELSE 1 END) AS band,
+               (CASE WHEN cnt >= 2 THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END) AS level_min,
+               (CASE WHEN cnt >= 2 THEN CAST(NULL AS DOUBLE)
+                     ELSE CAST(2.0 AS DOUBLE) END) AS level_max,
+               COUNT(*) AS n_pixels
+        FROM cells GROUP BY 1, 2, 3 ORDER BY band
+    """
+
+
 def _overlay_rects_sql() -> str:
     return """
         SELECT o_orderkey AS k,
@@ -880,6 +930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_contour": q34_contour,
     "q35_overlay_area": q35_overlay_area,
     "q36_polygon_join": q36_polygon_join,
+    "q37_contour_polygons": q37_contour_polygons,
 }
 
 
@@ -1228,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "q27_sample_density_at_cities": _city_sample_oracle(),
         "q35_overlay_area": _overlay_oracle(),
         "q36_polygon_join": _polygon_join_oracle(),
+        "q37_contour_polygons": _contour_polygons_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -239,3 +239,83 @@ def stitch_segments(segs: np.ndarray, tol: float = 1e-9
                     chain.insert(0, p.copy())
         lines.append(np.array(chain))
     return lines
+
+
+# --------------------------------------------------------------------
+# polygon mode
+# --------------------------------------------------------------------
+
+
+def contour_polygons(tiles: DataFrame, levels: list[float],
+                     gt: list[float], nodata: float | None = None,
+                     connectedness: int = 4) -> DataFrame:
+    """Contour POLYGON mode (GDALContourGenerateEx with
+    POLYGONIZE=YES, alg/contour.cpp:569 + the marching_squares
+    polygon writer): the raster partitions into closed polygons, one
+    per connected region of each level band
+    [levels[i-1], levels[i]), with open bands below the first and
+    at-or-above the last level.
+
+    Execution: pixels classify into their band index (one JVM-free
+    Arrow pass), then the band raster flows through polygonize's
+    distributed machinery — per-tile CCL, min-label-propagation
+    cross-tile merge, streaming ring assembly — so rings close across
+    tile borders without any driver-side merge.  Geometric deviation
+    from the reference (documented): band boundaries follow pixel
+    edges rather than the reference's sub-pixel linear interpolation;
+    band membership per pixel is identical, so areas converge to the
+    reference's at pixel resolution and region topology matches.
+
+    Output: (band:long, level_min:double nullable, level_max:double
+    nullable, geometry WKB, n_pixels) — level_min is NULL for the
+    lowest band, level_max NULL for the highest (the reference leaves
+    the same fields unset on its open intervals).
+    """
+    from gdal_spark.operators.polygonize import polygonize_tiles
+    from gdal_spark.operators.tiling import decode_tile, encode_tile
+
+    lv = np.array(sorted(float(x) for x in levels), dtype=np.float64)
+
+    def classify(batches):
+        for b in batches:
+            out = {"zoom": [], "tile_x": [], "tile_y": [], "band": [],
+                   "data": [], "dtype": [], "tile_size": []}
+            for i in range(len(b)):
+                ts = int(b["tile_size"].iloc[i])
+                arr = decode_tile(b["data"].iloc[i],
+                                  b["dtype"].iloc[i], ts)
+                band = np.digitize(arr.astype(np.float64), lv) \
+                    .astype(np.float64)
+                if nodata is not None:
+                    band[arr == nodata] = -1.0
+                band[np.isnan(arr.astype(np.float64))] = -1.0
+                payload, dts = encode_tile(band, None)
+                out["zoom"].append(int(b["zoom"].iloc[i]))
+                out["tile_x"].append(int(b["tile_x"].iloc[i]))
+                out["tile_y"].append(int(b["tile_y"].iloc[i]))
+                out["band"].append(int(b["band"].iloc[i]))
+                out["data"].append(payload)
+                out["dtype"].append(dts)
+                out["tile_size"].append(ts)
+            yield pd.DataFrame(out)
+
+    from gdal_spark.operators.tiling import TILE_SCHEMA
+
+    classified = tiles.mapInPandas(classify, TILE_SCHEMA)
+    polys = polygonize_tiles(classified, gt, nodata=-1.0,
+                             connectedness=connectedness)
+
+    n_lv = len(lv)
+    band = F.col("value").cast("long")
+    level_min = F.when(band > 0, F.element_at(
+        F.lit(lv.tolist()), band.cast("int"))).otherwise(F.lit(None))
+    level_max = F.when(band < n_lv, F.element_at(
+        F.lit(lv.tolist()), (band + 1).cast("int"))).otherwise(
+        F.lit(None))
+    return polys.select(
+        band.alias("band"),
+        level_min.cast("double").alias("level_min"),
+        level_max.cast("double").alias("level_max"),
+        F.col("geometry"),
+        F.col("n_pixels"),
+    )

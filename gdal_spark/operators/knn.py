@@ -214,7 +214,8 @@ def knn_cells(
                 cand: list[np.ndarray] = []
                 n_cand = 0
                 r = 0
-                dk = None  # (len(pidx),) current k-th best dist
+                dk = None       # current worst k-th best dist bound
+                n_at_dk = -1    # candidate count dk was computed at
                 while True:
                     # collect targets in ring r (Chebyshev shell)
                     shell = _shell_cells(ctx, cty, r, n)
@@ -228,7 +229,9 @@ def knn_cells(
                     # is >= r*span: bound with gap argument r
                     lb = _ring_lower_bound_m(ctx, cty, r, res_)
                     if n_cand >= kk:
-                        if dk is None or True:
+                        # recompute the bound only when this ring added
+                        # candidates — empty rings reuse the cached dk
+                        if n_cand != n_at_dk:
                             allc = np.concatenate(cand)
                             d = _haversine_np(
                                 px[pidx][:, None], py[pidx][:, None],
@@ -236,6 +239,7 @@ def knn_cells(
                             )
                             kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
                             dk = kth.max()
+                            n_at_dk = n_cand
                         if lb > dk:
                             break
                     if r >= 2 * n:

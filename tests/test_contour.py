@@ -68,3 +68,38 @@ def test_distributed_segments_match_single_array(spark):
     got_set = canon(got["x1"], got["y1"], got["x2"], got["y2"])
     want_set = canon(wx1, wy1, wx2, wy2)
     assert got_set == want_set
+
+
+def test_contour_polygons_partition_and_parity(spark):
+    """Polygon mode: bands partition the raster (pixel counts sum to
+    the raster size), level ranges attach correctly, and the
+    distributed output equals the single-array path on the classified
+    raster."""
+    import pandas as pd
+    from gdal_spark.operators.contour import contour_polygons
+    from gdal_spark.operators.polygonize import polygonize_array
+    from gdal_spark.operators.warp import tiles_from_array
+
+    h = w = 64
+    jj, ii = np.mgrid[0:h, 0:w]
+    arr = (np.sin(ii / 9.0) * 3 + jj * 0.1).astype(np.float64)
+    gt = [0.0, 1.0, 0.0, float(h), 0.0, -1.0]
+    levels = [1.0, 3.0, 5.0]
+    tiles, _, _ = tiles_from_array(spark, arr, tile_size=16)
+    got = contour_polygons(tiles, levels, gt).toPandas()
+
+    assert got["n_pixels"].sum() == h * w
+    # level ranges: lowest band open below, highest open above
+    assert got.loc[got["band"] == 0, "level_min"].isna().all()
+    assert (got.loc[got["band"] == 1, "level_min"] == 1.0).all()
+    assert (got.loc[got["band"] == 1, "level_max"] == 3.0).all()
+    assert got.loc[got["band"] == 3, "level_max"].isna().all()
+
+    # parity with the single-array path on the same classification
+    band_arr = np.digitize(arr, np.array(levels)).astype(np.float64)
+    want = polygonize_array(band_arr, gt, nodata=None)
+    gsum = got.groupby("band")["n_pixels"].sum().sort_index()
+    wsum = want.assign(band=want["value"].astype(int)) \
+        .groupby("band")["n_pixels"].sum().sort_index()
+    pd.testing.assert_series_equal(gsum, wsum, check_names=False)
+    assert len(got) == len(want)
