@@ -560,4 +560,49 @@ def _register_geom_udfs(spark: SparkSession) -> None:
     spark.udf.register(
         "st_intersection_area",
         pandas_udf(_geom_pair(_isect_area), DoubleType()))
+
+    def _buffer(wkb, dist):
+        import pandas as pd
+
+        from gdal_spark.geometry.buffer import (
+            buffer_line, buffer_point, buffer_polygon,
+        )
+        from gdal_spark.geometry.wkb import multipolygon_wkb
+
+        out = []
+        for b, d in zip(wkb, dist):
+            if b is None or d is None:
+                out.append(None)
+                continue
+            g = parse_wkb(bytes(b))
+            if g.kind == 1:
+                polys = buffer_point(float(g.parts[0][0, 0]),
+                                     float(g.parts[0][0, 1]), float(d))
+            elif g.kind == 2:
+                polys = buffer_line(g.parts[0], float(d))
+            else:
+                polys = buffer_polygon(list(g.rings()), float(d))
+            out.append(multipolygon_wkb(polys) if polys else None)
+        return pd.Series(out)
+
+    def _makevalid(wkb):
+        import pandas as pd
+
+        from gdal_spark.geometry.valid import make_valid
+        from gdal_spark.geometry.wkb import multipolygon_wkb
+
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
+            polys = make_valid(list(parse_wkb(bytes(b)).rings()))
+            out.append(multipolygon_wkb(polys) if polys else None)
+        return pd.Series(out)
+
+    from pyspark.sql.types import BinaryType
+
+    spark.udf.register("st_buffer", pandas_udf(_buffer, BinaryType()))
+    spark.udf.register("st_makevalid",
+                       pandas_udf(_makevalid, BinaryType()))
     _UDFS_READY.add(key)
