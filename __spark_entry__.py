@@ -488,7 +488,7 @@ def q23_rasterize_checksum(spark, sf_dir):
     tris["burn"] = [100.0, 200.0]
     tiles = rasterize(spark, tris, grid, burn_col="burn", dtype="uint8",
                       merge_alg="add", tile_size=128)
-    return tile_checksums(tiles).orderBy("tile_x", "tile_y")
+    return _cs64(tile_checksums(tiles)).orderBy("tile_x", "tile_y")
 
 
 def q24_polygonize_roundtrip(spark, sf_dir):
@@ -525,7 +525,7 @@ def q25_warp_density(spark, sf_dir):
     dst = GridSpec(-180.0, 85.0, 0.125, 0.125, 2880, 1360)
     out = warp_tiles(tiles, src, dst, "EPSG:3857", "EPSG:4326",
                      "near", nodata=0.0, dtype="uint32")
-    return tile_checksums(out).orderBy("tile_x", "tile_y")
+    return _cs64(tile_checksums(out)).orderBy("tile_x", "tile_y")
 
 
 def q26_ogr_sql_dialect(spark, sf_dir):
@@ -600,7 +600,7 @@ def q29_dem_hillshade(spark, sf_dir):
     pts = _points_from_orders(spark, sf_dir)
     tiles = page_density_tiles(pts, zoom=4)
     shade = focal_tiles(tiles, "hillshade")
-    return tile_checksums(shade).orderBy("tile_x", "tile_y")
+    return _cs64(tile_checksums(shade)).orderBy("tile_x", "tile_y")
 
 
 def q30_sessionize(spark, sf_dir):
@@ -678,7 +678,7 @@ def q33_proximity(spark, sf_dir):
     tiles = rasterize(spark, tris, grid, burn_value=1.0, dtype="uint8",
                       tile_size=128)
     prox = proximity_tiles(tiles, [1.0], max_dist=10.0)
-    return tile_checksums(prox).orderBy("tile_x", "tile_y")
+    return _cs64(tile_checksums(prox)).orderBy("tile_x", "tile_y")
 
 
 def q34_contour(spark, sf_dir):
@@ -843,6 +843,46 @@ def _contour_polygons_oracle() -> str:
                COUNT(*) AS n_pixels
         FROM cells GROUP BY 1, 2, 3 ORDER BY band
     """
+
+
+def _cs64(df: DataFrame) -> DataFrame:
+    """Checksum frames carry int32 zoom/band/checksum; widen to long
+    so the golden-oracle comparison is dtype-uniform."""
+    return df.select(
+        F.col("zoom").cast("long").alias("zoom"),
+        F.col("tile_x"), F.col("tile_y"),
+        F.col("band").cast("long").alias("band"),
+        F.col("checksum").cast("long").alias("checksum"),
+    )
+
+
+def _golden_oracles() -> dict[str, str]:
+    """Literal expected tables for the rows-only queries, derived by
+    tools/make_goldens.py from the SINGLE-ARRAY reference kernels +
+    DuckDB inputs (never the distributed engine) at sf0.01 — the
+    driver's hash gate then pins the distributed paths to them."""
+    try:
+        from goldens_sf001 import GOLDENS
+    except ImportError:
+        return {}
+    dbl_cols = {"value", "level", "level_min", "level_max"}
+    out = {}
+    for name, (cols, rows) in GOLDENS.items():
+        if not rows:
+            continue
+        body = ", ".join(
+            "(" + ", ".join(
+                (f"CAST({v!r} AS DOUBLE)" if c in dbl_cols
+                 else str(int(v)))
+                for c, v in zip(cols, row)) + ")"
+            for row in rows)
+        sel = ", ".join(
+            (c if c in dbl_cols else f"CAST({c} AS BIGINT) AS {c}")
+            for c in cols)
+        order = ", ".join(cols)
+        out[name] = (f"SELECT {sel} FROM (VALUES {body})"
+                     f" AS t({', '.join(cols)}) ORDER BY {order}")
+    return out
 
 
 def _overlay_rects_sql() -> str:
@@ -1125,7 +1165,11 @@ def _knn_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     mx = geo.merc_x_sql("lon")
     my = geo.merc_y_sql("lat")
-    return {
+    # literal expected tables (single-array-kernel derivations, see
+    # tools/make_goldens.py) for the checksum/count queries that SQL
+    # cannot re-derive: q23, q24, q25, q29, q33, q34
+    out = _golden_oracles()
+    out.update({
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -1319,12 +1363,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(o_totalprice), 4) AS avg_price
             FROM orders WHERE o_orderpriority = '1-URGENT'
         """,
-        # q19/q20 (minhash/simhash signatures), q23 (checksums),
-        # q24 (polygonize rings), q25 (warp resampling) are not
-        # SQL-expressible -> driver records rows-only checks; their
-        # deep parity is asserted in pytest (goldens incl. byte.tif
-        # checksum 4672 and the 13-polygon polygonize fixture).
-    }
+        # q19/q20 (minhash/simhash signatures) stay rows-only: their
+        # deep parity is asserted in pytest (recall fixtures); the
+        # former rows-only checksum queries (q23/q24/q25/q29/q33/q34)
+        # are pinned above by single-array-kernel golden tables.
+    })
+    return out
 
 
 # DuckDB-dialect fragments for token count / quality (regexp_replace

@@ -316,3 +316,60 @@ def mosaic(tile_sets: list[DataFrame], rule: str = "last") -> DataFrame:
         .groupBy("tile_x", "tile_y")
         .applyInPandas(combine, TILE_SCHEMA)
     )
+
+
+def color_relief(tiles: DataFrame,
+                 ramp: list[tuple[float, int, int, int]],
+                 interpolate: bool = True,
+                 nodata: float | None = None) -> DataFrame:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp ColorAssociation
+    handling): elevation -> RGB through a color ramp.
+
+    ``ramp``: [(elevation, r, g, b), ...]; with ``interpolate`` colors
+    blend linearly between ramp entries (the default gdaldem mode),
+    otherwise each pixel takes the color of the nearest lower entry
+    (-exact_color_entry / -nearest_color_entry family).  Output: three
+    TILE_SCHEMA rows per input tile (band 1=R, 2=G, 3=B, uint8)."""
+    entries = sorted((float(e), int(r), int(g), int(b))
+                     for e, r, g, b in ramp)
+    elev = np.array([e[0] for e in entries])
+    chans = np.array([[e[1] for e in entries],
+                      [e[2] for e in entries],
+                      [e[3] for e in entries]], dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.operators.tiling import decode_tile, encode_tile
+
+        for b in batches:
+            rows = {k.name: [] for k in TILE_SCHEMA.fields}
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                arr = decode_tile(r["data"], r["dtype"], ts) \
+                    .astype(np.float64)
+                mask = np.zeros(arr.shape, dtype=bool)
+                if nodata is not None:
+                    mask = arr == nodata
+                mask |= np.isnan(arr)
+                for band in (1, 2, 3):
+                    if interpolate:
+                        out = np.interp(arr, elev, chans[band - 1])
+                    else:
+                        idx = np.clip(
+                            np.searchsorted(elev, arr, side="right") - 1,
+                            0, len(elev) - 1)
+                        out = chans[band - 1][idx]
+                    out = np.where(mask, 0.0, out)
+                    out8 = np.clip(np.floor(out + 0.5), 0, 255) \
+                        .astype(np.uint8)
+                    payload, dts = encode_tile(out8, None)
+                    rows["zoom"].append(int(r["zoom"]))
+                    rows["tile_x"].append(int(r["tile_x"]))
+                    rows["tile_y"].append(int(r["tile_y"]))
+                    rows["band"].append(band)
+                    rows["data"].append(payload)
+                    rows["dtype"].append(dts)
+                    rows["tile_size"].append(ts)
+            if rows["zoom"]:
+                yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(kernel, TILE_SCHEMA)

@@ -80,3 +80,28 @@ def test_mosaic_rules(spark):
         mosaic([ta, tb], "first").toPandas(), grid)[0, 0] == 1.0
     assert assemble_raster(
         mosaic([ta, tb], "sum").toPandas(), grid)[0, 0] == 3.0
+
+
+def test_color_relief(spark):
+    from gdal_spark.operators.dem import color_relief
+    from gdal_spark.operators.warp import tiles_from_array
+    from gdal_spark.operators.tiling import decode_tile
+
+    arr = np.linspace(0.0, 100.0, 32 * 32).reshape(32, 32)
+    tiles, _, _ = tiles_from_array(spark, arr, tile_size=32)
+    ramp = [(0.0, 0, 0, 255), (50.0, 0, 255, 0), (100.0, 255, 0, 0)]
+    out = color_relief(tiles, ramp).toPandas()
+    assert sorted(out["band"].tolist()) == [1, 2, 3]
+    got = {int(r["band"]): decode_tile(r["data"], r["dtype"], 32)
+           for _, r in out.iterrows()}
+    # oracle: numpy interp per channel, rounded half-up to uint8
+    for band, ch in ((1, [0, 0, 255]), (2, [0, 255, 0]),
+                     (3, [255, 0, 0])):
+        want = np.interp(arr, [0.0, 50.0, 100.0], ch)
+        want = np.clip(np.floor(want + 0.5), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got[band], want)
+    # nearest mode: exact ramp colors only
+    out2 = color_relief(tiles, ramp, interpolate=False).toPandas()
+    vals = {int(v) for _, r in out2.iterrows()
+            for v in np.unique(decode_tile(r["data"], r["dtype"], 32))}
+    assert vals <= {0, 255}
