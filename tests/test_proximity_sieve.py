@@ -25,13 +25,14 @@ def test_proximity_matches_global_edt(spark):
     np.testing.assert_allclose(got, want)
 
 
-def test_fillnodata_nearest(spark):
+def test_fillnodata_edt_nearest(spark):
     arr = RNG.uniform(1, 9, (64, 64))
     holes = RNG.rand(64, 64) < 0.3
     arr[holes] = -999.0
     tiles, w, h = tiles_from_array(spark, arr, tile_size=32)
     grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
-    out = fillnodata_tiles(tiles, nodata=-999.0, max_dist=16.0)
+    out = fillnodata_tiles(tiles, nodata=-999.0, max_dist=16.0,
+                           method="edt_nearest")
     got = assemble_raster(out.toPandas(), grid)
     d2, sy, sx = edt_squared(arr != -999.0)
     want = arr.copy()
@@ -39,6 +40,65 @@ def test_fillnodata_nearest(spark):
     want[take] = arr[sy[take], sx[take]]
     np.testing.assert_allclose(got, want)
     assert (got != -999.0).sum() > (arr != -999.0).sum()
+
+
+def _quad_fill_oracle(arr, nodata, max_dist, nearest=False):
+    """Per-pixel brute-force rasterfill.cpp oracle: per column within
+    +-maxdist, nearest ORIGINAL valid above (incl.) / below (excl.),
+    reduced to 4 quadrant minima, 1/dist IDW or nearest."""
+    h, w = arr.shape
+    k = int(np.ceil(max_dist))
+    out = arr.copy()
+    for y in range(h):
+        for x in range(w):
+            if arr[y, x] != nodata:
+                continue
+            qd = [max_dist + 1.0] * 4
+            qv = [0.0] * 4
+            for dx in range(0, k + 1):
+                for side, qt, qb in ((-1, 0, 1), (1, 2, 3)):
+                    if side > 0 and dx == 0:
+                        continue
+                    cx = x + side * dx
+                    if cx < 0 or cx >= w:
+                        continue
+                    col = arr[:, cx] != nodata
+                    above = np.flatnonzero(col[:y + 1])
+                    if len(above) and y - above[-1] <= max_dist:
+                        d = np.hypot(dx, y - above[-1])
+                        if d < qd[qt]:
+                            qd[qt] = d
+                            qv[qt] = arr[above[-1], cx]
+                    below = np.flatnonzero(col[y + 1:])
+                    if len(below) and below[0] + 1 <= max_dist:
+                        d = np.hypot(dx, below[0] + 1)
+                        if d < qd[qb]:
+                            qd[qb] = d
+                            qv[qb] = arr[y + 1 + below[0], cx]
+            if nearest:
+                i = int(np.argmin(qd))
+                if qd[i] <= max_dist:
+                    out[y, x] = qv[i]
+            else:
+                ws = sum(1.0 / d for d in qd if d <= max_dist)
+                vs = sum(v / d for d, v in zip(qd, qv) if d <= max_dist)
+                if ws > 0:
+                    out[y, x] = vs / ws
+    return out
+
+
+def test_fillnodata_inv_dist_matches_rasterfill_oracle(spark):
+    arr = RNG.uniform(1, 9, (48, 48))
+    holes = RNG.rand(48, 48) < 0.35
+    arr[holes] = -999.0
+    tiles, w, h = tiles_from_array(spark, arr, tile_size=16)
+    grid = GridSpec(0.0, 48.0, 1.0, 1.0, 48, 48)
+    for method, nearest in (("inv_dist", False), ("nearest", True)):
+        out = fillnodata_tiles(tiles, nodata=-999.0, max_dist=6.0,
+                               method=method)
+        got = assemble_raster(out.toPandas(), grid)
+        want = _quad_fill_oracle(arr, -999.0, 6.0, nearest=nearest)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
 def test_sieve_removes_small_polygons(spark):
