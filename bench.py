@@ -160,6 +160,26 @@ def main() -> None:
           lambda: zonal_stats(spark, density, zones, zgrid).count())
     density.unpersist()
 
+    # 7c. general polygon overlay (Greiner-Hormann layer algebra)
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    rects = entrymod._overlay_rects_df(spark, SF_DIR)
+    timed("overlay_general",
+          lambda: overlay_general(spark, rects,
+                                  entrymod._overlay_method_pdf(),
+                                  "intersection").count())
+
+    # 7d. buffer + makevalid over the random polygon layer (SQL UDFs)
+    from gdal_spark.sql.ogrsql import _register_geom_udfs
+
+    _register_geom_udfs(spark)
+    polys_b = spark.createDataFrame(random_polygons_pdf(2000))
+    polys_b.createOrReplaceTempView("bench_polys")
+    timed("buffer_2k_polys",
+          lambda: spark.sql(
+              "SELECT COUNT(st_buffer(geometry, CAST(0.5 AS DOUBLE)))"
+              " AS n FROM bench_polys").collect())
+
     # 8. minhash dedup over documents
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())

@@ -53,23 +53,66 @@ def _is_axis_rect(g) -> bool:
     return True
 
 
+def _inv_merc_lon(mx: np.ndarray) -> np.ndarray:
+    return mx / geo.ORIGIN * 180.0
+
+
+def _inv_merc_lat(my: np.ndarray) -> np.ndarray:
+    return np.degrees(2.0 * np.arctan(np.exp(my / geo.ORIGIN * np.pi))
+                      - np.pi / 2.0)
+
+
+def _cells_full_in(g, txs: np.ndarray, tys: np.ndarray, res: int
+                   ) -> np.ndarray:
+    """Which cover cells are FULLY INSIDE the polygon: the cell's
+    lon/lat rect (expanded by the 2e-3-span assignment epsilon) meets
+    no ring-edge bbox AND its center is inside.  Conservative (a near
+    miss just stays on the exact-kernel path), never wrong."""
+    span = geo.tile_span(res)
+    eps = 2e-3 * span
+    mx0 = (txs - 0.0) * span - geo.ORIGIN - eps
+    mx1 = (txs + 1.0) * span - geo.ORIGIN + eps
+    my1 = geo.ORIGIN - tys * span + eps
+    my0 = geo.ORIGIN - (tys + 1.0) * span - eps
+    lon0, lon1 = _inv_merc_lon(mx0), _inv_merc_lon(mx1)
+    lat0, lat1 = _inv_merc_lat(my0), _inv_merc_lat(my1)
+    rings = g.rings()
+    # ring-edge bboxes, all rings concatenated
+    ex0 = np.concatenate([np.minimum(r[:-1, 0], r[1:, 0]) for r in rings])
+    ex1 = np.concatenate([np.maximum(r[:-1, 0], r[1:, 0]) for r in rings])
+    ey0 = np.concatenate([np.minimum(r[:-1, 1], r[1:, 1]) for r in rings])
+    ey1 = np.concatenate([np.maximum(r[:-1, 1], r[1:, 1]) for r in rings])
+    touches = (
+        (lon0[:, None] <= ex1[None, :]) & (ex0[None, :] <= lon1[:, None])
+        & (lat0[:, None] <= ey1[None, :]) & (ey0[None, :] <= lat1[:, None])
+    ).any(axis=1)
+    cx = (lon0 + lon1) / 2.0
+    cy = (lat0 + lat1) / 2.0
+    inside = points_in_rings(cx, cy, list(rings))
+    return (~touches) & inside
+
+
 def polygon_cell_cover_pdf(polys_pdf: pd.DataFrame, res: int,
                            fid_col: str = "fid",
                            geom_col: str = "geometry") -> pd.DataFrame:
-    """(cell, fid, bbox..., is_rect) cover of each polygon's bbox at
-    resolution *res*.
+    """(cell, fid, bbox..., is_rect, full_in) cover of each polygon's
+    bbox at resolution *res*.
 
     Uses the same GetTileIndices math as point->cell assignment
     (apps/gdalalg_raster_tile.cpp:457-480), so floor monotonicity
     guarantees the cover is a superset of matching cells.  The bbox
-    columns enable the JVM-side envelope reject, and ``is_rect``
-    marks polygons whose bbox IS the geometry (fast accept, no exact
-    kernel needed — ogrlayer.cpp:3922).
+    columns enable the JVM-side envelope reject; ``is_rect`` marks
+    polygons whose bbox IS the geometry (fast accept,
+    ogrlayer.cpp:3922); ``full_in`` marks INTERIOR cells — every point
+    assigned there is inside regardless of ray-cast edge rules, so
+    those rows accept JVM-side and only boundary cells pay the exact
+    Python kernel (the interior/boundary split of a prepared-geometry
+    containment index).
     """
     n = 1 << res
     span = geo.tile_span(res)
     rows = {"cell": [], "fid": [], "minx": [], "miny": [],
-            "maxx": [], "maxy": [], "is_rect": []}
+            "maxx": [], "maxy": [], "is_rect": [], "full_in": []}
     for fid, wkb in zip(polys_pdf[fid_col], polys_pdf[geom_col]):
         g = parse_wkb(bytes(wkb))
         minx, miny, maxx, maxy = g.bbox()
@@ -80,21 +123,28 @@ def polygon_cell_cover_pdf(polys_pdf: pd.DataFrame, res: int,
         tx1 = int(np.clip(np.floor((mx1 + geo.ORIGIN) / span + 1e-3), 0, n - 1))
         ty0 = int(np.clip(np.floor((geo.ORIGIN - my1) / span + 1e-3), 0, n - 1))
         ty1 = int(np.clip(np.floor((geo.ORIGIN - my0) / span + 1e-3), 0, n - 1))
-        for tx in range(tx0, tx1 + 1):
-            for ty in range(ty0, ty1 + 1):
-                rows["cell"].append(tx * n + ty)
-                rows["fid"].append(int(fid))
-                rows["minx"].append(minx)
-                rows["miny"].append(miny)
-                rows["maxx"].append(maxx)
-                rows["maxy"].append(maxy)
-                rows["is_rect"].append(rect)
+        txs, tys = np.meshgrid(np.arange(tx0, tx1 + 1),
+                               np.arange(ty0, ty1 + 1))
+        txs = txs.ravel()
+        tys = tys.ravel()
+        full = (np.zeros(len(txs), dtype=bool) if rect
+                else _cells_full_in(g, txs.astype(np.float64),
+                                    tys.astype(np.float64), res))
+        rows["cell"].extend((txs * n + tys).tolist())
+        rows["fid"].extend([int(fid)] * len(txs))
+        rows["minx"].extend([minx] * len(txs))
+        rows["miny"].extend([miny] * len(txs))
+        rows["maxx"].extend([maxx] * len(txs))
+        rows["maxy"].extend([maxy] * len(txs))
+        rows["is_rect"].extend([rect] * len(txs))
+        rows["full_in"].extend(full.tolist())
     return pd.DataFrame({
         "cell": np.array(rows["cell"], dtype=np.int64),
         "fid": np.array(rows["fid"], dtype=np.int64),
         "minx": rows["minx"], "miny": rows["miny"],
         "maxx": rows["maxx"], "maxy": rows["maxy"],
         "is_rect": rows["is_rect"],
+        "full_in": np.array(rows["full_in"], dtype=bool),
     })
 
 
@@ -145,8 +195,13 @@ def spatial_join_points_in_polygons(
     )
     rect_hits = cand.filter(F.col("is_rect") & rect_in) \
         .select(*out_cols)
-    # stage 3: exact ray-cast kernel for the rest only
-    nonrect = cand.filter(~F.col("is_rect")).select(*out_cols)
+    # stage 2b: interior-cell fast accept — the candidate's cell is
+    # wholly inside the polygon, no exact test needed (JVM-only)
+    full_hits = cand.filter(~F.col("is_rect") & F.col("full_in")) \
+        .select(*out_cols)
+    # stage 3: exact ray-cast kernel for boundary cells only
+    nonrect = cand.filter(~F.col("is_rect") & ~F.col("full_in")) \
+        .select(*out_cols)
 
     rings_by_fid = {
         int(fid): [np.ascontiguousarray(r) for r in
@@ -155,7 +210,7 @@ def spatial_join_points_in_polygons(
         if not _is_axis_rect(parse_wkb(bytes(wkb)))
     }
     if not rings_by_fid:
-        return rect_hits
+        return rect_hits.unionByName(full_hits)
     bc = spark.sparkContext.broadcast(rings_by_fid)
     schema = nonrect.schema
 
@@ -175,7 +230,8 @@ def spatial_join_points_in_polygons(
             if len(out):
                 yield out
 
-    return rect_hits.unionByName(nonrect.mapInPandas(exact, schema))
+    return rect_hits.unionByName(full_hits) \
+        .unionByName(nonrect.mapInPandas(exact, schema))
 
 
 def spatial_join_big_polygons(
@@ -218,6 +274,7 @@ def spatial_join_big_polygons(
         StructField("minx", DoubleType()), StructField("miny", DoubleType()),
         StructField("maxx", DoubleType()), StructField("maxy", DoubleType()),
         StructField("is_rect", BooleanType()),
+        StructField("full_in", BooleanType()),
         StructField(geom_col, BinaryType()),
     ])
 
@@ -239,16 +296,23 @@ def spatial_join_big_polygons(
                                            + 1e-3), 0, n - 1))
                 ty1 = int(np.clip(np.floor((geo.ORIGIN - my0) / span
                                            + 1e-3), 0, n - 1))
-                for tx in range(tx0, tx1 + 1):
-                    for ty in range(ty0, ty1 + 1):
-                        rows["cell"].append(tx * n + ty)
-                        rows[fid_col].append(int(fid))
-                        rows["minx"].append(minx)
-                        rows["miny"].append(miny)
-                        rows["maxx"].append(maxx)
-                        rows["maxy"].append(maxy)
-                        rows["is_rect"].append(rect)
-                        rows[geom_col].append(bytes(wkb))
+                txs, tys = np.meshgrid(np.arange(tx0, tx1 + 1),
+                                       np.arange(ty0, ty1 + 1))
+                txs = txs.ravel()
+                tys = tys.ravel()
+                full = (np.zeros(len(txs), dtype=bool) if rect
+                        else _cells_full_in(g, txs.astype(np.float64),
+                                            tys.astype(np.float64),
+                                            res))
+                rows["cell"].extend((txs * n + tys).tolist())
+                rows[fid_col].extend([int(fid)] * len(txs))
+                rows["minx"].extend([minx] * len(txs))
+                rows["miny"].extend([miny] * len(txs))
+                rows["maxx"].extend([maxx] * len(txs))
+                rows["maxy"].extend([maxy] * len(txs))
+                rows["is_rect"].extend([rect] * len(txs))
+                rows["full_in"].extend(full.tolist())
+                rows[geom_col].extend([bytes(wkb)] * len(txs))
             if rows["cell"]:
                 yield pd.DataFrame(rows)
 
@@ -274,7 +338,9 @@ def spatial_join_big_polygons(
         & (F.col(lat) >= F.col("miny")) & (F.col(lat) < F.col("maxy"))
     )
     rect_hits = cand.filter(F.col("is_rect") & rect_in).select(*out_cols)
-    nonrect = cand.filter(~F.col("is_rect")) \
+    full_hits = cand.filter(~F.col("is_rect") & F.col("full_in")) \
+        .select(*out_cols)
+    nonrect = cand.filter(~F.col("is_rect") & ~F.col("full_in")) \
         .select(*(out_cols + [geom_col]))
     schema = nonrect.drop(geom_col).schema
 
@@ -298,7 +364,8 @@ def spatial_join_big_polygons(
             if len(out):
                 yield out
 
-    return rect_hits.unionByName(nonrect.mapInPandas(exact, schema))
+    return rect_hits.unionByName(full_hits) \
+        .unionByName(nonrect.mapInPandas(exact, schema))
 
 
 def brute_force_join_pdf(points_pdf: pd.DataFrame, polys_pdf: pd.DataFrame,

@@ -95,20 +95,23 @@ _RENDER_SCHEMA = StructType([
 
 
 def pages_coords_df(spark: SparkSession, n: int,
-                    partitions: int | None = None) -> DataFrame:
+                    partitions: int | None = None,
+                    start: int = 0) -> DataFrame:
     """(i, lon, lat, lang, url) without html/text rendering — the
     pure-JVM fast path for join/tiling benchmarks where the page body
-    is not consumed.  Same coordinates as pages_df."""
-    return pages_df(spark, n, partitions, coords_only=True)
+    is not consumed.  Same coordinates as pages_df.  ``start`` slices
+    a disjoint key range (the partition a cluster worker would own)."""
+    return pages_df(spark, n, partitions, coords_only=True, start=start)
 
 
 def pages_df(spark: SparkSession, n: int, partitions: int | None = None,
-             coords_only: bool = False) -> DataFrame:
-    """Synthesize n pages. Columns: url, warc_ts, html, text, lang,
-    plus the true lon/lat (dropped by callers that exercise the
-    geocode-extraction path)."""
+             coords_only: bool = False, start: int = 0) -> DataFrame:
+    """Synthesize n pages with keys [start, start+n). Columns: url,
+    warc_ts, html, text, lang, plus the true lon/lat (dropped by
+    callers that exercise the geocode-extraction path)."""
     partitions = partitions or spark.sparkContext.defaultParallelism
-    df = spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
+    df = spark.range(start, start + n, 1, partitions) \
+        .withColumnRenamed("id", "i")
     m = float(geo.LCG_M)
     u1 = (_lcg("i", geo.LON_MULT, geo.LON_ADD) / F.lit(m))
     u2 = (_lcg("i", geo.LAT_MULT, geo.LAT_ADD) / F.lit(m))
