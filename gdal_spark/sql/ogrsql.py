@@ -407,6 +407,58 @@ def _qualify_primary(sel: _Select, layers: dict[str, DataFrame]) -> None:
     sel.order_by = [fix(k) for k in sel.order_by]
 
 
+_SPATIAL_JOIN_RE = re.compile(
+    r"^st_intersects\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)$", re.I)
+_SJ_COUNTER = [0]
+
+
+def _rewrite_spatial_joins(spark: SparkSession, sel: _Select,
+                           layers: dict[str, DataFrame]) -> None:
+    """The dialect-level analog of a Catalyst rewrite rule:
+    ``INNER JOIN m ON ST_Intersects(a.geom, m.geom)`` would execute
+    as a BroadcastNestedLoopJoin evaluating a Python UDF on every
+    pair; rewrite it to the two-stage polygon join operator (cell
+    prefilter + boundary kernel) and re-express the join as a plain
+    equi-join on the precomputed ``method_fid``.  Requires the method
+    layer to carry a ``fid`` column; any non-matching join is left
+    untouched."""
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_polygons_intersect,
+    )
+
+    new_joins = []
+    for kind, tbl, cond in sel.joins:
+        m = _SPATIAL_JOIN_RE.match(cond.strip())
+        if m is None or kind != "INNER" or tbl not in layers \
+                or sel.table not in layers:
+            new_joins.append((kind, tbl, cond))
+            continue
+        t1, g1, t2, g2 = m.groups()
+        if t1 == sel.table and t2 == tbl:
+            bigg, methg = g1, g2
+        elif t2 == sel.table and t1 == tbl:
+            bigg, methg = g2, g1
+        else:
+            new_joins.append((kind, tbl, cond))
+            continue
+        method_pdf = layers[tbl].toPandas()
+        if "fid" not in method_pdf.columns:
+            new_joins.append((kind, tbl, cond))
+            continue
+        if methg != bigg:
+            method_pdf = method_pdf.rename(columns={methg: bigg})
+        pairs = spatial_join_polygons_intersect(
+            spark, layers[sel.table], method_pdf, geom_col=bigg)
+        _SJ_COUNTER[0] += 1
+        view = f"__spatial_join_{_SJ_COUNTER[0]}"
+        pairs.createOrReplaceTempView(view)
+        big = sel.table
+        sel.table = f"{view} AS {big}"
+        new_joins.append(("INNER", tbl,
+                          f"{big}.method_fid = {tbl}.fid"))
+    sel.joins = new_joins
+
+
 def to_spark_sql(sel: _Select) -> str:
     cols = ", ".join(sel.columns)
     q = f"SELECT {'DISTINCT ' if sel.distinct else ''}{cols}" \
@@ -440,6 +492,7 @@ def execute_ogr_sql(spark: SparkSession, sql: str,
     if layers:
         for sel in sels:
             _qualify_primary(sel, layers)
+            _rewrite_spatial_joins(spark, sel, layers)
     out = spark.sql(to_spark_sql(sels[0]))
     for sel in sels[1:]:
         out = out.unionByName(spark.sql(to_spark_sql(sel)),

@@ -208,3 +208,41 @@ def test_st_contains_in_where(spark, layers):
     rows = out.collect()
     # Paris -> pentagon (eas 166); (-50,-20) -> triangle (eas 171)
     assert [(r.pid, r.eas_id) for r in rows] == [(0, 166), (1, 171)]
+
+
+def test_spatial_join_rewrite(spark):
+    """JOIN ... ON ST_Intersects(a.g, b.g) is rewritten to the
+    two-stage polygon join (no BroadcastNestedLoopJoin + per-pair
+    UDF) and returns the correct pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.sql.ogrsql import execute_ogr_sql
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)], dtype=np.float64)
+
+    a = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([1, 2, 3], dtype=np.int64),
+        "geometry": [polygon_wkb([sq(0, 0, 2, 1)]),
+                     polygon_wkb([sq(4, 2, 6, 3)]),
+                     polygon_wkb([sq(20, 20, 21, 21)])],
+    }))
+    b = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([1], dtype=np.int64),
+        "name": ["zone"],
+        "geometry": [polygon_wkb([sq(1, 0, 5, 4)])],
+    }))
+    out = execute_ogr_sql(
+        spark,
+        "SELECT a.fid, b.name FROM a JOIN b"
+        " ON ST_Intersects(a.geometry, b.geometry)",
+        {"a": a, "b": b},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = out.toPandas().sort_values("fid")
+    assert got["fid"].tolist() == [1, 2]
+    assert got["name"].tolist() == ["zone", "zone"]
