@@ -845,6 +845,103 @@ def _contour_polygons_oracle() -> str:
     """
 
 
+def q38_buffer_area(spark, sf_dir):
+    """Buffer (round joins, quad_segs=8) over the orders-derived
+    rectangles: buffered area of a w x h rect is EXACTLY
+    w*h + 2*d*(w+h) + 16*sin(pi/16)*d^2, so the oracle is closed-form
+    arithmetic (ogrgeometry.cpp:4949 Buffer semantics)."""
+    from gdal_spark.sql.ogrsql import _register_geom_udfs
+
+    _register_geom_udfs(spark)
+    rects = _overlay_rects_df(spark, sf_dir)
+    rects.createOrReplaceTempView("__q38_rects")
+    return spark.sql("""
+        SELECT CAST(fid % 5 AS BIGINT) AS grp, COUNT(*) AS n,
+               ROUND(SUM(st_area(st_buffer(geometry,
+                                           CAST(0.5 AS DOUBLE)))), 4)
+                   AS sum_area
+        FROM __q38_rects GROUP BY 1 ORDER BY grp
+    """)
+
+
+def q39_makevalid_area(spark, sf_dir):
+    """MakeValid over orders-derived bowties: the valid area of the
+    bowtie (x0 y0, x1 y1, x0 y1, x1 y0) is exactly w*h/2 (two
+    triangles meeting at the crossing — the GDAL-docs golden shape),
+    so the oracle is closed-form (ogrgeometry.cpp:4183)."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sql.ogrsql import _register_geom_udfs
+
+    _register_geom_udfs(spark)
+    o = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 13 == 0)
+    r = o.select(
+        F.col("o_orderkey").alias("fid"),
+        (F.col("o_orderkey") % 89 - 44.5).cast("double").alias("x0"),
+        (F.col("o_orderkey") % 71 - 35.5).cast("double").alias("y0"),
+        (F.col("o_orderkey") % 89 - 44.5 + 1
+         + F.col("o_orderkey") % 6).cast("double").alias("x1"),
+        (F.col("o_orderkey") % 71 - 35.5 + 1
+         + F.col("o_orderkey") % 4).cast("double").alias("y1"),
+    )
+    schema = StructType([StructField("fid", LongType()),
+                         StructField("geometry", BinaryType())])
+
+    def to_bowtie(batches):
+        from gdal_spark.geometry.wkb import polygon_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            geoms = [
+                polygon_wkb([np.array(
+                    [(x0, y0), (x1, y1), (x0, y1), (x1, y0), (x0, y0)],
+                    dtype=np.float64)])
+                for x0, y0, x1, y1 in zip(b["x0"], b["y0"],
+                                          b["x1"], b["y1"])
+            ]
+            yield pd.DataFrame({"fid": b["fid"].to_numpy(np.int64),
+                                "geometry": geoms})
+
+    bows = r.mapInPandas(to_bowtie, schema)
+    bows.createOrReplaceTempView("__q39_bowties")
+    return spark.sql("""
+        SELECT CAST(fid % 5 AS BIGINT) AS grp, COUNT(*) AS n,
+               ROUND(SUM(st_area(st_makevalid(geometry))), 4)
+                   AS sum_area
+        FROM __q39_bowties GROUP BY 1 ORDER BY grp
+    """)
+
+
+def _buffer_oracle() -> str:
+    fan = "(16.0 * SIN(PI() / 16.0))"
+    return f"""
+        WITH r AS ({_overlay_rects_sql()})
+        SELECT CAST(k % 5 AS BIGINT) AS grp, COUNT(*) AS n,
+               ROUND(SUM((x1 - x0) * (y1 - y0)
+                         + 2 * 0.5 * ((x1 - x0) + (y1 - y0))
+                         + {fan} * 0.25), 4) AS sum_area
+        FROM r GROUP BY 1 ORDER BY grp
+    """
+
+
+def _makevalid_oracle() -> str:
+    return """
+        WITH r AS (
+            SELECT o_orderkey AS k,
+                   CAST(1 + (o_orderkey % 6) AS DOUBLE) AS w,
+                   CAST(1 + (o_orderkey % 4) AS DOUBLE) AS h
+            FROM orders WHERE o_orderkey % 13 = 0
+        )
+        SELECT CAST(k % 5 AS BIGINT) AS grp, COUNT(*) AS n,
+               ROUND(SUM(w * h / 2.0), 4) AS sum_area
+        FROM r GROUP BY 1 ORDER BY grp
+    """
+
+
 def _cs64(df: DataFrame) -> DataFrame:
     """Checksum frames carry int32 zoom/band/checksum; widen to long
     so the golden-oracle comparison is dtype-uniform."""
@@ -971,6 +1068,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_overlay_area": q35_overlay_area,
     "q36_polygon_join": q36_polygon_join,
     "q37_contour_polygons": q37_contour_polygons,
+    "q38_buffer_area": q38_buffer_area,
+    "q39_makevalid_area": q39_makevalid_area,
 }
 
 
@@ -1324,6 +1423,8 @@ def oracle_sql() -> dict[str, str]:
         "q35_overlay_area": _overlay_oracle(),
         "q36_polygon_join": _polygon_join_oracle(),
         "q37_contour_polygons": _contour_polygons_oracle(),
+        "q38_buffer_area": _buffer_oracle(),
+        "q39_makevalid_area": _makevalid_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -521,3 +521,26 @@ def polygon_contains_polygon(a_rings: list[np.ndarray],
     pb = _close(b_rings[0])[0]
     return points_in_rings(np.array([pb[0]]), np.array([pb[1]]),
                            a_closed).sum() % 2 == 1
+
+
+def polygons_distance(a_rings: list[np.ndarray],
+                      b_rings: list[np.ndarray]) -> float:
+    """ST_Distance between two polygons (OGRGeometry::Distance,
+    ogr/ogrgeometry.cpp:575 delegates to GEOS): 0 when they
+    intersect, else the min distance between the boundaries —
+    attained at a vertex of one against a segment of the other, so
+    two vectorized point-to-polyline passes are exact."""
+    if polygons_intersect(a_rings, b_rings):
+        return 0.0
+    from gdal_spark.geometry.ops import point_segment_dist
+
+    best = np.inf
+    for ra in a_rings:
+        ca = _close(ra)
+        for rb in b_rings:
+            cb = _close(rb)
+            best = min(best, float(point_segment_dist(
+                ca[:-1, 0], ca[:-1, 1], cb).min()))
+            best = min(best, float(point_segment_dist(
+                cb[:-1, 0], cb[:-1, 1], ca).min()))
+    return best

@@ -614,6 +614,15 @@ def _register_geom_udfs(spark: SparkSession) -> None:
         "st_intersection_area",
         pandas_udf(_geom_pair(_isect_area), DoubleType()))
 
+    def _distance(ra, rb):
+        from gdal_spark.geometry.overlay import polygons_distance
+
+        return float(polygons_distance(ra, rb))
+
+    spark.udf.register(
+        "st_distance_geom",
+        pandas_udf(_geom_pair(_distance), DoubleType()))
+
     def _buffer(wkb, dist):
         import pandas as pd
 

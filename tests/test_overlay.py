@@ -166,3 +166,30 @@ def test_spatial_join_polygons_intersect(spark):
         .toPandas().sort_values("fid")
     assert got["fid"].tolist() == [1, 2]
     assert got["method_fid"].tolist() == [1, 1]
+
+
+def test_polygons_distance():
+    from gdal_spark.geometry.overlay import polygons_distance
+
+    assert polygons_distance([sq(0, 0, 1, 1)], [sq(3, 0, 4, 1)]) == \
+        pytest.approx(2.0)
+    assert polygons_distance([sq(0, 0, 1, 1)], [sq(2, 2, 3, 3)]) == \
+        pytest.approx(np.sqrt(2))
+    assert polygons_distance([sq(0, 0, 4, 4)], [sq(1, 1, 2, 2)]) == 0.0
+    # brute-force parity on random convex pairs
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        ax0, ay0 = rng.uniform(0, 10, 2)
+        a = sq(ax0, ay0, ax0 + rng.uniform(0.5, 3), ay0 + rng.uniform(0.5, 3))
+        bx0, by0 = rng.uniform(12, 20, 2)
+        b = sq(bx0, by0, bx0 + rng.uniform(0.5, 3), by0 + rng.uniform(0.5, 3))
+        got = polygons_distance([a], [b])
+        # dense boundary sampling oracle
+        ta = np.linspace(0, 1, 400)
+        pa = np.vstack([a[i] + (a[i + 1] - a[i]) * ta[:, None]
+                        for i in range(4)])
+        pb = np.vstack([b[i] + (b[i + 1] - b[i]) * ta[:, None]
+                        for i in range(4)])
+        brute = np.sqrt(((pa[:, None, :] - pb[None, :, :]) ** 2)
+                        .sum(-1)).min()
+        assert got == pytest.approx(brute, abs=1e-2)
