@@ -942,6 +942,38 @@ def _makevalid_oracle() -> str:
     """
 
 
+def q40_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup removal (exact method, oracle-
+    checked): drop vectors with cosine >= 0.95 against a smaller id;
+    survivors per label."""
+    from gdal_spark.operators.similarity import embedding_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = embedding_dedup(emb, threshold=0.95, method="exact")
+    return (
+        out.groupBy("label").agg(F.count("*").alias("n_survivors"))
+        .orderBy("label")
+    )
+
+
+def _embedding_dedup_oracle() -> str:
+    cos = ("list_dot_product(a.embedding, b.embedding) / "
+           "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+           "sqrt(list_dot_product(b.embedding, b.embedding)))")
+    return f"""
+        WITH dropped AS (
+            SELECT DISTINCT b.vec_id AS vid
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id
+            WHERE {cos} >= 0.95
+        )
+        SELECT label, COUNT(*) AS n_survivors
+        FROM embeddings
+        WHERE vec_id NOT IN (SELECT vid FROM dropped)
+        GROUP BY label ORDER BY label
+    """
+
+
 def _cs64(df: DataFrame) -> DataFrame:
     """Checksum frames carry int32 zoom/band/checksum; widen to long
     so the golden-oracle comparison is dtype-uniform."""
@@ -1070,6 +1102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_contour_polygons": q37_contour_polygons,
     "q38_buffer_area": q38_buffer_area,
     "q39_makevalid_area": q39_makevalid_area,
+    "q40_embedding_dedup": q40_embedding_dedup,
 }
 
 
@@ -1425,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "q37_contour_polygons": _contour_polygons_oracle(),
         "q38_buffer_area": _buffer_oracle(),
         "q39_makevalid_area": _makevalid_oracle(),
+        "q40_embedding_dedup": _embedding_dedup_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -284,3 +284,103 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, id_col, "cosine", "rank")
     )
+
+
+def embedding_dedup(
+    emb: DataFrame, threshold: float = 0.95,
+    key_col: str = "vec_id", vec_col: str = "embedding",
+    method: str = "lsh", n_planes: int = 16, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: drop every row whose
+    vector has cosine >= threshold with a SMALLER-key row (the same
+    min-representative rule as minhash_lsh_dedup).
+
+    method "lsh" (default, the 100-TB path): random-hyperplane sign
+    buckets; each bucket links members to its min key (star pairing,
+    O(k) per bucket); candidate pairs verify with EXACT cosine before
+    any drop — LSH only affects recall, never correctness of a drop.
+    method "exact": every pair checked via blocked GEMM against the
+    broadcast normalized corpus — exact recall, bounded by the
+    corpus fitting in executor memory (use lsh beyond that).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = emb.sparkSession
+    if method == "exact":
+        pdf = emb.select(key_col, vec_col).toPandas()
+        keys = pdf[key_col].to_numpy(np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                          1e-12)
+        order = np.argsort(keys)
+        keys, mat = keys[order], mat[order]
+        bc = spark.sparkContext.broadcast((keys, mat))
+        schema = StructType([StructField(key_col, LongType())])
+
+        def drops(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+            k_all, m_all = bc.value
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                bk = b[key_col].to_numpy(np.int64)
+                bv = np.array([np.asarray(v, dtype=np.float64)
+                               for v in b[vec_col]])
+                bv /= np.maximum(
+                    np.linalg.norm(bv, axis=1, keepdims=True), 1e-12)
+                sims = bv @ m_all.T            # (B, N)
+                hit = sims >= threshold
+                # only partners with a strictly smaller key count
+                smaller = k_all[None, :] < bk[:, None]
+                dropped = (hit & smaller).any(axis=1)
+                out = pd.DataFrame({key_col: bk[dropped]})
+                if len(out):
+                    yield out
+
+        dropped = emb.select(key_col, vec_col).mapInPandas(drops, schema)
+        return emb.join(dropped, key_col, "left_anti")
+
+    # lsh: hyperplane sign buckets -> star pairs -> exact verify
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bcp = spark.sparkContext.broadcast(planes)
+    schema = StructType([StructField(key_col, LongType()),
+                         StructField("bucket", LongType())])
+
+    def bucketize(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+        pl = bcp.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64)
+                            for v in b[vec_col]])
+            bits = (mat @ pl.T) >= 0
+            buck = np.zeros(len(b), dtype=np.int64)
+            for i in range(bits.shape[1]):
+                buck = (buck << 1) | bits[:, i].astype(np.int64)
+            yield pd.DataFrame({key_col: b[key_col].to_numpy(np.int64),
+                                "bucket": buck})
+
+    buckets = emb.select(key_col, vec_col).mapInPandas(bucketize, schema)
+    w = Window.partitionBy("bucket")
+    pairs = (
+        buckets.withColumn("rep", F.min(key_col).over(w))
+        .filter(F.col(key_col) != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col(key_col).alias("b"))
+        .distinct()
+    )
+    va = emb.select(F.col(key_col).alias("a"),
+                    F.col(vec_col).alias("vec_a"))
+    vb = emb.select(F.col(key_col).alias("b"),
+                    F.col(vec_col).alias("vec_b"))
+    verified = (
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn("cos", cosine_sim_col("vec_a", F.col("vec_b")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("b")
+    )
+    drop = verified.distinct().withColumnRenamed("b", key_col)
+    return emb.join(drop, key_col, "left_anti")

@@ -150,3 +150,43 @@ def test_duplicate_clusters_chain(spark):
     out = duplicate_clusters(pairs).toPandas()
     assert (out["cluster_id"] == 0).all()
     assert len(out) == 31
+
+
+def test_embedding_dedup_exact_and_lsh(spark):
+    """Exact mode matches a numpy oracle; LSH mode never drops a
+    non-duplicate (drops subset of exact's) and catches the planted
+    near-identical pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.similarity import embedding_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16)
+    vecs = [base[i] for i in range(40)]
+    # plant near-duplicates: 41..50 are jittered copies of 0..9
+    for i in range(10):
+        vecs.append(base[i] + rng.randn(16) * 0.01)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(50, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in vecs],
+        "label": np.zeros(50, dtype=np.int32),
+    })
+    emb = spark.createDataFrame(pdf)
+
+    mat = np.array(vecs)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    dropped = set()
+    for b in range(50):
+        if any(sims[a, b] >= 0.95 for a in range(b)):
+            dropped.add(b)
+
+    exact = embedding_dedup(emb, 0.95, method="exact").toPandas()
+    assert set(exact["vec_id"]) == set(range(50)) - dropped
+    assert len(dropped) == 10  # exactly the planted copies
+
+    lsh = embedding_dedup(emb, 0.95, method="lsh").toPandas()
+    lsh_dropped = set(range(50)) - set(lsh["vec_id"])
+    assert lsh_dropped <= dropped          # never a false drop
+    assert len(lsh_dropped) >= 7           # catches most planted dups
