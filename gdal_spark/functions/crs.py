@@ -12,6 +12,11 @@ pyproj, so the transforms are implemented directly:
   an accuracy of a few nanometers", J. Geod. 85, 2011 — public
   math; order-6 alpha/beta flattening series, forward conformal
   latitude exact, inverse via the standard chi -> phi sine series).
+* Lambert Conformal Conic 2SP (EPSG:2154 Lambert-93), Albers
+  Equal-Area 2SP (EPSG:5070 Conus Albers), Lambert Azimuthal
+  Equal-Area (EPSG:3035 LAEA Europe) and Polar Stereographic
+  variant B (EPSG:3031/3413) from Snyder's USGS PP 1395 closed
+  forms, on WGS84-equivalent datums (GRS80/ETRS89/NAD83).
 
 Every pair is routed through EPSG:4326 as the hub, so any supported
 src -> dst composes.  All functions are vectorized numpy over
@@ -174,6 +179,9 @@ def to_4326(crs: str):
             return tm_inverse(np.asarray(x, np.float64) - _FE,
                               np.asarray(y, np.float64) - fn, lon0)
         return inv
+    fns = _registry_fns(code)
+    if fns is not None:
+        return fns[1]
     raise ValueError(f"unsupported CRS {crs!r}")
 
 
@@ -193,6 +201,9 @@ def from_4326(crs: str):
             x, y = tm_forward(lon, lat, lon0)
             return x + _FE, y + fn
         return fwd
+    fns = _registry_fns(code)
+    if fns is not None:
+        return fns[0]
     raise ValueError(f"unsupported CRS {crs!r}")
 
 
@@ -216,3 +227,211 @@ def supported(crs: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+# --------------------------------------------------------------------
+# conic / azimuthal projections (Snyder, "Map Projections — A Working
+# Manual", USGS PP 1395 — public formulas), on WGS84-equivalent
+# datums (GRS80/ETRS89/NAD83 differ from WGS84 by < 1 mm flattening)
+# --------------------------------------------------------------------
+
+
+def _m(phi):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1 - _E2 * s * s)
+
+
+def _t(phi):
+    s = np.sin(phi)
+    return (np.tan(np.pi / 4 - phi / 2)
+            / ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+
+
+def _q(phi):
+    s = np.sin(phi)
+    return (1 - _E2) * (s / (1 - _E2 * s * s)
+                        - np.log((1 - _E * s) / (1 + _E * s))
+                        / (2 * _E))
+
+
+def _phi_from_t(t):
+    """Inverse of _t by fixed-point iteration (Snyder 7-9)."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = _E * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - s) / (1 + s)) ** (_E / 2))
+    return phi
+
+
+def _phi_from_q(q):
+    """Inverse of _q by Newton iteration (Snyder 3-16)."""
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        c = np.cos(phi)
+        denom = 1 - _E2 * s * s
+        # dq/dphi = 2(1-e^2)cos(phi)/(1-e^2 sin^2 phi)^2
+        dq = 2 * (1 - _E2) * c / denom ** 2
+        phi = phi + (q - _q(phi)) / np.where(dq == 0, 1, dq)
+    return phi
+
+
+def lcc_2sp(lat1: float, lat2: float, lat0: float, lon0: float,
+            fe: float, fn: float):
+    """Lambert Conformal Conic, 2 standard parallels (Snyder 15).
+    Returns (fwd(lon, lat) -> x, y; inv(x, y) -> lon, lat)."""
+    p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+    n = (np.log(_m(p1)) - np.log(_m(p2))) / (np.log(_t(p1))
+                                             - np.log(_t(p2)))
+    big_f = _m(p1) / (n * _t(p1) ** n)
+    rho0 = _A * big_f * _t(p0) ** n
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - lon0)
+        rho = _A * big_f * _t(phi) ** n
+        th = n * lam
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        xp = np.asarray(x, np.float64) - fe
+        yp = rho0 - (np.asarray(y, np.float64) - fn)
+        rho = np.sign(n) * np.hypot(xp, yp)
+        th = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+        t = (rho / (_A * big_f)) ** (1 / n)
+        return np.degrees(th / n) + lon0, np.degrees(_phi_from_t(t))
+
+    return fwd, inv
+
+
+def albers_2sp(lat1: float, lat2: float, lat0: float, lon0: float,
+               fe: float, fn: float):
+    """Albers Equal-Area Conic, 2 standard parallels (Snyder 14)."""
+    p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+    n = (_m(p1) ** 2 - _m(p2) ** 2) / (_q(p2) - _q(p1))
+    big_c = _m(p1) ** 2 + n * _q(p1)
+    rho0 = _A * np.sqrt(big_c - n * _q(p0)) / n
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - lon0)
+        rho = _A * np.sqrt(big_c - n * _q(phi)) / n
+        th = n * lam
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        xp = np.asarray(x, np.float64) - fe
+        yp = rho0 - (np.asarray(y, np.float64) - fn)
+        rho = np.hypot(xp, yp)
+        th = np.arctan2(xp, yp)
+        q = (big_c - (rho * n / _A) ** 2) / n
+        return (np.degrees(th / n) + lon0,
+                np.degrees(_phi_from_q(q)))
+
+    return fwd, inv
+
+
+def laea(lat0: float, lon0: float, fe: float, fn: float):
+    """Lambert Azimuthal Equal-Area, ellipsoidal (Snyder 24)."""
+    p0 = np.radians(lat0)
+    qp = _q(np.pi / 2)
+    q0 = _q(p0)
+    beta0 = np.arcsin(q0 / qp)
+    rq = _A * np.sqrt(qp / 2)
+    d = _A * np.cos(p0) / (np.sqrt(1 - _E2 * np.sin(p0) ** 2)
+                           * rq * np.cos(beta0))
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - lon0)
+        beta = np.arcsin(np.clip(_q(phi) / qp, -1, 1))
+        b = rq * np.sqrt(2 / (1 + np.sin(beta0) * np.sin(beta)
+                              + np.cos(beta0) * np.cos(beta)
+                              * np.cos(lam)))
+        x = b * d * np.cos(beta) * np.sin(lam)
+        y = (b / d) * (np.cos(beta0) * np.sin(beta)
+                       - np.sin(beta0) * np.cos(beta) * np.cos(lam))
+        return fe + x, fn + y
+
+    def inv(x, y):
+        xp = (np.asarray(x, np.float64) - fe) / d
+        yp = (np.asarray(y, np.float64) - fn) * d
+        rho = np.hypot(xp, yp)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+        beta = np.arcsin(np.clip(
+            np.cos(ce) * np.sin(beta0)
+            + np.where(rho == 0, 0.0,
+                       yp * np.sin(ce) * np.cos(beta0)
+                       / np.where(rho == 0, 1, rho)), -1, 1))
+        lam = np.arctan2(
+            xp * np.sin(ce),
+            rho * np.cos(beta0) * np.cos(ce)
+            - yp * np.sin(beta0) * np.sin(ce))
+        q = qp * np.sin(beta)
+        return (np.degrees(lam) + lon0,
+                np.degrees(_phi_from_q(q)))
+
+    return fwd, inv
+
+
+def polar_stereo(lat_ts: float, lon0: float, fe: float, fn: float,
+                 south: bool):
+    """Polar Stereographic variant B (Snyder 21, EPSG 9829)."""
+    pts = np.radians(abs(lat_ts))
+    tc = _t(pts)
+    mc = _m(pts)
+
+    def fwd(lon, lat):
+        lat_ = np.asarray(lat, np.float64)
+        lon_ = np.asarray(lon, np.float64)
+        if south:
+            lat_, lon_ = -lat_, -lon_
+        phi = np.radians(lat_)
+        lam = np.radians(lon_ - (lon0 if not south else -lon0))
+        rho = _A * mc * _t(phi) / tc
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if south:
+            x, y = -x, -y
+        return fe + x, fn + y
+
+    def inv(x, y):
+        xp = np.asarray(x, np.float64) - fe
+        yp = np.asarray(y, np.float64) - fn
+        if south:
+            xp, yp = -xp, -yp
+        rho = np.hypot(xp, yp)
+        t = rho * tc / (_A * mc)
+        phi = _phi_from_t(t)
+        lam = np.arctan2(xp, -yp)
+        lon = np.degrees(lam) + (lon0 if not south else -lon0)
+        lat = np.degrees(phi)
+        if south:
+            lat, lon = -lat, -lon
+        return lon, lat
+
+    return fwd, inv
+
+
+# EPSG registry of supported non-UTM projected CRS (all on
+# WGS84-equivalent datums; parameters from the public EPSG registry)
+_PROJ_REGISTRY = {
+    # RGF93 / Lambert-93 (France)
+    2154: lambda: lcc_2sp(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+    # NAD83 / Conus Albers
+    5070: lambda: albers_2sp(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    # ETRS89-extended / LAEA Europe
+    3035: lambda: laea(52.0, 10.0, 4321000.0, 3210000.0),
+    # WGS84 / Antarctic Polar Stereographic (lat_ts -71)
+    3031: lambda: polar_stereo(-71.0, 0.0, 0.0, 0.0, south=True),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North (lat_ts 70)
+    3413: lambda: polar_stereo(70.0, -45.0, 0.0, 0.0, south=False),
+}
+_PROJ_CACHE: dict = {}
+
+
+def _registry_fns(code: int):
+    if code not in _PROJ_CACHE and code in _PROJ_REGISTRY:
+        _PROJ_CACHE[code] = _PROJ_REGISTRY[code]()
+    return _PROJ_CACHE.get(code)

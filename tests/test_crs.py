@@ -56,7 +56,10 @@ def test_transform_composition():
 def test_supported():
     assert crs.supported("EPSG:32601") and crs.supported("EPSG:32760")
     assert crs.supported("EPSG:4326") and crs.supported("EPSG:3857")
-    assert not crs.supported("EPSG:2154")
+    for code in ("EPSG:2154", "EPSG:5070", "EPSG:3035", "EPSG:3031",
+                 "EPSG:3413"):
+        assert crs.supported(code)
+    assert not crs.supported("EPSG:27700")  # datum-shifted: out of scope
 
 
 def test_warp_utm_to_4326_matches_single_array(spark):
@@ -101,3 +104,49 @@ def test_warp_utm_to_4326_matches_single_array(spark):
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
         # the warp really did something: interior values present
         assert (got != -1.0).sum() > 0.5 * got.size
+
+
+@pytest.mark.parametrize("code,lon_rng,lat_rng", [
+    ("EPSG:2154", (-4, 8), (41.5, 50.5)),      # Lambert-93 (LCC 2SP)
+    ("EPSG:5070", (-124, -67), (25, 49)),      # Conus Albers
+    ("EPSG:3035", (-10, 35), (35, 70)),        # LAEA Europe
+    ("EPSG:3031", (-180, 180), (-89, -60)),    # Antarctic PS
+    ("EPSG:3413", (-180, 180), (60, 89)),      # Arctic PS
+])
+def test_conic_azimuthal_roundtrip(code, lon_rng, lat_rng):
+    rng = np.random.RandomState(5)
+    lon = rng.uniform(*lon_rng, 2000)
+    lat = rng.uniform(*lat_rng, 2000)
+    x, y = crs.from_4326(code)(lon, lat)
+    lon2, lat2 = crs.to_4326(code)(x, y)
+    dl = np.abs(((lon2 - lon + 180) % 360) - 180).max()
+    assert dl < 1e-9 and np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_projection_anchors():
+    # natural origins from the public EPSG registry definitions
+    x, y = crs.from_4326("EPSG:2154")(np.array([3.0]), np.array([46.5]))
+    assert (x[0], y[0]) == pytest.approx((700000.0, 6600000.0), abs=1e-6)
+    x, y = crs.from_4326("EPSG:3035")(np.array([10.0]), np.array([52.0]))
+    assert (x[0], y[0]) == pytest.approx((4321000.0, 3210000.0),
+                                         abs=1e-6)
+    x, y = crs.from_4326("EPSG:3031")(np.array([0.0]), np.array([-90.0]))
+    assert (x[0], y[0]) == pytest.approx((0.0, 0.0), abs=1e-6)
+
+
+def test_albers_preserves_area():
+    """EPSG:5070 is equal-area: a small quad's projected area equals
+    its ellipsoidal area (M*N*cos(phi) metric)."""
+    lon0, lat0, d = -96.0, 37.0, 0.05
+    f = crs.from_4326("EPSG:5070")
+    c = np.array([(lon0, lat0), (lon0 + d, lat0),
+                  (lon0 + d, lat0 + d), (lon0, lat0 + d)])
+    x, y = f(c[:, 0], c[:, 1])
+    area_proj = 0.5 * abs(sum(
+        x[i] * y[(i + 1) % 4] - x[(i + 1) % 4] * y[i] for i in range(4)))
+    e2, a = crs._E2, crs._A
+    phi = np.radians(lat0 + d / 2)
+    m = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    n = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    area_true = np.radians(d) * m * np.radians(d) * n * np.cos(phi)
+    assert area_proj / area_true == pytest.approx(1.0, abs=1e-5)
