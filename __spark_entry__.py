@@ -728,8 +728,14 @@ def _overlay_rects_df(spark, sf_dir):
         (F.col("o_orderkey") % 83 - 41.5 + 1
          + F.col("o_orderkey") % 5).cast("double").alias("y1"),
     )
+    from pyspark.sql.types import DoubleType
+
     schema = StructType([StructField("fid", LongType()),
-                         StructField("geometry", BinaryType())])
+                         StructField("geometry", BinaryType()),
+                         StructField("x0", DoubleType()),
+                         StructField("y0", DoubleType()),
+                         StructField("x1", DoubleType()),
+                         StructField("y1", DoubleType())])
 
     def to_wkb(batches):
         from gdal_spark.geometry.wkb import polygon_wkb
@@ -745,7 +751,9 @@ def _overlay_rects_df(spark, sf_dir):
                                           b["x1"], b["y1"])
             ]
             yield pd.DataFrame({"fid": b["fid"].to_numpy(np.int64),
-                                "geometry": geoms})
+                                "geometry": geoms,
+                                "x0": b["x0"], "y0": b["y0"],
+                                "x1": b["x1"], "y1": b["y1"]})
 
     return r.mapInPandas(to_wkb, schema)
 
@@ -769,7 +777,8 @@ def q35_overlay_area(spark, sf_dir):
 
     rects = _overlay_rects_df(spark, sf_dir)
     out = overlay_general(spark, rects, _overlay_method_pdf(),
-                          "intersection")
+                          "intersection",
+                          bbox_cols=("x0", "y0", "x1", "y1"))
     return (
         out.groupBy("method_fid")
         .agg(F.count("*").alias("n_pairs"),

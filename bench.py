@@ -167,7 +167,9 @@ def main() -> None:
     timed("overlay_general",
           lambda: overlay_general(spark, rects,
                                   entrymod._overlay_method_pdf(),
-                                  "intersection").count())
+                                  "intersection",
+                                  bbox_cols=("x0", "y0",
+                                             "x1", "y1")).count())
 
     # 7d. buffer + makevalid over the random polygon layer (SQL UDFs)
     from gdal_spark.sql.ogrsql import _register_geom_udfs

@@ -222,7 +222,9 @@ def _method_index(method_pdf: pd.DataFrame, geom_col: str = "geometry"):
 
 def overlay_general(spark: SparkSession, input_df: DataFrame,
                     method_pdf: pd.DataFrame, op: str,
-                    geom_col: str = "geometry") -> DataFrame:
+                    geom_col: str = "geometry",
+                    bbox_cols: tuple[str, str, str, str] | None = None
+                    ) -> DataFrame:
     """Layer algebra between ARBITRARY simple polygons (concave and
     holed), the general path the convex kernels above cannot express.
 
@@ -239,6 +241,12 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
     input layer is map-only for every op except the method remainder
     of Union, which groups candidate pairs by method fid (a small
     shuffle bounded by |method| x avg overlap).
+
+    ``bbox_cols`` (minx, miny, maxx, maxy column names): when the
+    input layer carries envelope columns, Intersection/Clip push an
+    OR-of-method-bboxes predicate into the JVM so rows that cannot
+    touch any method feature never reach the Python kernel (the
+    envelope pretest of ogrlayer.cpp:4004, planned JVM-side).
     """
     from gdal_spark.geometry.overlay import poly_op
 
@@ -247,6 +255,16 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
         raise ValueError(f"unknown overlay op {op!r}")
     idx = _method_index(method_pdf, geom_col)
     bc = spark.sparkContext.broadcast(idx)
+
+    if bbox_cols is not None and op in {"intersection", "clip"}:
+        x0c, y0c, x1c, y1c = bbox_cols
+        pred = F.lit(False)
+        for _mfid, _rings, (mx0, my0, mx1, my1) in idx:
+            pred = pred | (
+                (F.col(x0c) <= F.lit(mx1)) & (F.lit(mx0) <= F.col(x1c))
+                & (F.col(y0c) <= F.lit(my1))
+                & (F.lit(my0) <= F.col(y1c)))
+        input_df = input_df.filter(pred)
 
     want_isect = op in {"intersection", "clip", "identity", "union"}
     want_leftover = op in {"erase", "identity", "union", "symdifference"}
