@@ -151,3 +151,67 @@ def point_segment_dist(px: np.ndarray, py: np.ndarray,
     proj = a + t[..., None] * ab
     d2 = ((p - proj) ** 2).sum(axis=2)
     return np.sqrt(d2.min(axis=1))
+
+
+def _ring_self_intersects(ring: np.ndarray) -> bool:
+    """Any two NON-ADJACENT segments of the closed ring cross."""
+    r = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    n = len(r) - 1
+    from gdal_spark.geometry.overlay import _seg_cross_any
+
+    segs = np.stack([r[:-1], r[1:]], axis=1)
+    for i in range(n):
+        js = [j for j in range(i + 2, n)
+              if not (i == 0 and j == n - 1)]
+        if js and _seg_cross_any(segs[i:i + 1], segs[js]):
+            return True
+    return False
+
+
+def simplify_preserve_topology(rings: list[np.ndarray], tol: float,
+                               max_halvings: int = 6
+                               ) -> list[np.ndarray]:
+    """OGRGeometry::SimplifyPreserveTopology (ogrgeometry.cpp:6856,
+    GEOS TopologyPreservingSimplifier semantics): Douglas-Peucker per
+    ring, but a result that self-intersects, collapses (< 4 points),
+    crosses another ring, or lets a hole escape its shell is retried
+    at half the tolerance (down to the original ring) — geometry
+    validity is never traded for vertex count."""
+    from gdal_spark.geometry.overlay import (
+        _seg_cross_any, ring_contains_ring,
+    )
+
+    def segs(r):
+        rr = np.asarray(r, dtype=np.float64)
+        if not np.array_equal(rr[0], rr[-1]):
+            rr = np.vstack([rr, rr[:1]])
+        return np.stack([rr[:-1], rr[1:]], axis=1)
+
+    out: list[np.ndarray] = []
+    for idx, ring in enumerate(rings):
+        t = tol
+        cand = None
+        for _ in range(max_halvings):
+            s = douglas_peucker(np.asarray(ring, dtype=np.float64), t)
+            if len(s) >= 5 and not _ring_self_intersects(s):
+                cand = s
+                break
+            t /= 2.0
+        if cand is None:
+            cand = np.asarray(ring, dtype=np.float64)
+        # holes must stay inside the (simplified) shell and not cross
+        if idx > 0 and out:
+            shell = out[0]
+            t = tol
+            while (_seg_cross_any(segs(cand), segs(shell))
+                   or not ring_contains_ring(shell, cand)):
+                t /= 2.0
+                cand = douglas_peucker(
+                    np.asarray(ring, dtype=np.float64), t)
+                if t < tol / (2 ** max_halvings):
+                    cand = np.asarray(ring, dtype=np.float64)
+                    break
+        out.append(cand)
+    return out

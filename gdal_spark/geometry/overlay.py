@@ -402,15 +402,26 @@ def poly_op(subj_rings: list[np.ndarray], clip_rings: list[np.ndarray],
     """
     a_out, a_holes = subj_rings[0], list(subj_rings[1:])
     b_out, b_holes = clip_rings[0], list(clip_rings[1:])
-    if op == "union" and (a_holes or b_holes):
-        raise ValueError("union with holes is out of scope")
     if op == "intersection":
         pieces = ring_op(a_out, b_out, "intersection")
         for h in a_holes + b_holes:
             pieces = _subtract_ring(pieces, h)
         return pieces
     if op == "union":
-        return ring_op(a_out, b_out, "union")
+        if not (a_holes or b_holes):
+            return ring_op(a_out, b_out, "union")
+        # holed union via the planar-arrangement resolver: orient
+        # outers CCW / holes CW, keep the positive-winding region —
+        # exact union semantics including hole/solid cancellation
+        # (slower than GH: O(E^2) noding; the hole-free fast path
+        # above stays on GH)
+        from gdal_spark.geometry.valid import resolve_rings
+
+        rings = ([_orient(_close(a_out), True)]
+                 + [_orient(_close(h), False) for h in a_holes]
+                 + [_orient(_close(b_out), True)]
+                 + [_orient(_close(h), False) for h in b_holes])
+        return resolve_rings(rings, rule="positive")
     if op == "difference":
         pieces = ring_op(a_out, b_out, "difference")
         for h in a_holes:

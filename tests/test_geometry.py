@@ -159,3 +159,54 @@ def test_segmentize():
         assert (np.abs(out - v).sum(axis=1) < 1e-12).any()
     # no-op below threshold
     np.testing.assert_array_equal(segmentize(line, 100.0), line)
+
+
+def test_simplify_preserve_topology():
+    """DP simplify that never invalidates: rings keep >= 4 points, no
+    self-intersection, holes stay inside their shell
+    (ogrgeometry.cpp:6856 semantics)."""
+    import numpy as np
+
+    from gdal_spark.geometry.ops import simplify_preserve_topology
+    from gdal_spark.geometry.overlay import ring_contains_ring
+
+    th = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    circle = np.column_stack([np.cos(th) * 10, np.sin(th) * 10])
+    circle = np.vstack([circle, circle[:1]])
+    out = simplify_preserve_topology([circle], 5.0)
+    assert len(out[0]) >= 5
+
+    shell = np.array([(0, 0), (5, 0.4), (10, 0), (10, 10), (5, 9.6),
+                      (0, 10), (0, 0)], dtype=np.float64)
+    hole = np.array([(1, 1), (9, 1), (9, 9), (1, 9), (1, 1)],
+                    dtype=np.float64)[::-1]
+    s, h = simplify_preserve_topology([shell, hole], 3.0)
+    assert ring_contains_ring(s, h)
+    assert len(s) >= 5 and len(h) >= 5
+
+
+def test_poly_op_union_with_holes():
+    """Holed union through the planar-arrangement resolver matches a
+    dense grid oracle."""
+    import numpy as np
+
+    from gdal_spark.geometry.overlay import poly_op
+    from gdal_spark.geometry.packed import ring_signed_area
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)], dtype=np.float64)
+
+    Ah = [sq(0, 0, 10, 10), sq(3, 3, 7, 7)[::-1]]
+    Bh = [sq(5, 0, 15, 10), sq(8, 4, 12, 6)[::-1]]
+    got = sum(ring_signed_area(r)
+              for rings in poly_op(Ah, Bh, "union") for r in rings)
+    xs = np.linspace(0.005, 15, 1500)
+    ys = np.linspace(0.005, 10, 1000)
+    X, Y = np.meshgrid(xs, ys)
+    inA = ((X >= 0) & (X <= 10) & (Y >= 0) & (Y <= 10)
+           & ~((X >= 3) & (X <= 7) & (Y >= 3) & (Y <= 7)))
+    inB = ((X >= 5) & (X <= 15) & (Y >= 0) & (Y <= 10)
+           & ~((X >= 8) & (X <= 12) & (Y >= 4) & (Y <= 6)))
+    want = (inA | inB).mean() * 150
+    assert abs(got - want) < 0.1
