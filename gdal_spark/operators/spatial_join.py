@@ -383,6 +383,137 @@ def brute_force_join_pdf(points_pdf: pd.DataFrame, polys_pdf: pd.DataFrame,
             else points_pdf.iloc[:0].assign(fid=np.int64(0)))
 
 
+def _geom_cell_cover(df: DataFrame, res: int, fid_col: str,
+                     geom_col: str, out_fid: str) -> DataFrame:
+    """Distributed bbox cell cover of a geometry layer: one row per
+    (cell of the feature's bbox) carrying bbox columns + the WKB —
+    the exploded build input of the polygon x polygon join (the
+    distributed rendering of the ogrlayer.cpp:4004 envelope pretest,
+    same GetTileIndices math as polygon_cell_cover_pdf)."""
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    n = 1 << res
+    span = geo.tile_span(res)
+    sfx = out_fid
+    schema = StructType([
+        StructField("cell", LongType()), StructField(sfx, LongType()),
+        StructField(f"minx_{sfx}", DoubleType()),
+        StructField(f"miny_{sfx}", DoubleType()),
+        StructField(f"maxx_{sfx}", DoubleType()),
+        StructField(f"maxy_{sfx}", DoubleType()),
+        StructField(f"geom_{sfx}", BinaryType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for fid, wkb in zip(b[fid_col], b[geom_col]):
+                g = parse_wkb(bytes(wkb))
+                minx, miny, maxx, maxy = g.bbox()
+                mx0, mx1 = _merc_x(minx), _merc_x(maxx)
+                my0, my1 = _merc_y(miny), _merc_y(maxy)
+                tx0 = int(np.clip(np.floor((mx0 + geo.ORIGIN) / span
+                                           + 1e-3), 0, n - 1))
+                tx1 = int(np.clip(np.floor((mx1 + geo.ORIGIN) / span
+                                           + 1e-3), 0, n - 1))
+                ty0 = int(np.clip(np.floor((geo.ORIGIN - my1) / span
+                                           + 1e-3), 0, n - 1))
+                ty1 = int(np.clip(np.floor((geo.ORIGIN - my0) / span
+                                           + 1e-3), 0, n - 1))
+                txs, tys = np.meshgrid(np.arange(tx0, tx1 + 1),
+                                       np.arange(ty0, ty1 + 1))
+                txs = txs.ravel()
+                tys = tys.ravel()
+                k = len(txs)
+                rows["cell"].extend((txs * n + tys).tolist())
+                rows[sfx].extend([int(fid)] * k)
+                rows[f"minx_{sfx}"].extend([minx] * k)
+                rows[f"miny_{sfx}"].extend([miny] * k)
+                rows[f"maxx_{sfx}"].extend([maxx] * k)
+                rows[f"maxy_{sfx}"].extend([maxy] * k)
+                rows[f"geom_{sfx}"].extend([bytes(wkb)] * k)
+            if rows["cell"]:
+                yield pd.DataFrame(rows)
+
+    return df.select(fid_col, geom_col).mapInPandas(kernel, schema)
+
+
+def spatial_join_polygons_intersect_big(
+    spark: SparkSession,
+    input_df: DataFrame,
+    method_df: DataFrame,
+    geom_col: str = "geometry",
+    method_geom_col: str | None = None,
+    fid_col: str = "fid",
+    res: int = 6,
+) -> DataFrame:
+    """polygon layer ⋈ polygon layer on ST_Intersects, NEITHER side
+    collected to the driver (the fallback when the method layer
+    exceeds the broadcast bound — ogrlayer.cpp:4004 works for any
+    pair of layers).
+
+      stage 1 — each layer's features explode into the cell cover of
+        their bbox (a distributed mapInPandas, then a plain shuffle
+        equi-join on cell — Catalyst/AQE pick the strategy, split
+        skewed cells);
+      stage 2 — JVM bbox-overlap reject + CORNER-CELL dedup: a
+        candidate pair survives only in the cell containing the
+        top-left corner of the bbox intersection.  Both covers
+        enumerate complete cell rectangles of their bboxes and the
+        corner lies inside both, so by floor monotonicity exactly one
+        copy of each pair survives — no distinct() shuffle;
+      stage 3 — exact boundary-cross/containment kernel per pair,
+        then a join back to the input layer's columns.
+
+    Output: input columns + ``method_fid`` (same rows as the
+    broadcast path ``spatial_join_polygons_intersect``).
+    """
+    from gdal_spark.geometry.overlay import polygons_intersect
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    a = _geom_cell_cover(input_df, res, fid_col, geom_col, "fid_a")
+    b = _geom_cell_cover(method_df, res, fid_col,
+                         method_geom_col or geom_col, "fid_b")
+    cand = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("minx_fid_a") <= F.col("maxx_fid_b"))
+            & (F.col("minx_fid_b") <= F.col("maxx_fid_a"))
+            & (F.col("miny_fid_a") <= F.col("maxy_fid_b"))
+            & (F.col("miny_fid_b") <= F.col("maxy_fid_a"))
+        )
+        .withColumn("_cx", F.greatest("minx_fid_a", "minx_fid_b"))
+        .withColumn("_cy", F.least("maxy_fid_a", "maxy_fid_b"))
+        .filter(F.col("cell") == geo.cell_id("_cx", "_cy", res))
+        .select("fid_a", "fid_b", "geom_fid_a", "geom_fid_b")
+    )
+    pair_schema = StructType([StructField(fid_col, LongType()),
+                              StructField("method_fid", LongType())])
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            if len(bt) == 0:
+                continue
+            fids, mfids = [], []
+            for fa, fb, ga, gb in zip(bt["fid_a"], bt["fid_b"],
+                                      bt["geom_fid_a"], bt["geom_fid_b"]):
+                ra = parse_wkb(bytes(ga)).rings()
+                rb = parse_wkb(bytes(gb)).rings()
+                if polygons_intersect(list(ra), list(rb)):
+                    fids.append(int(fa))
+                    mfids.append(int(fb))
+            if fids:
+                yield pd.DataFrame({
+                    fid_col: np.array(fids, dtype=np.int64),
+                    "method_fid": np.array(mfids, dtype=np.int64),
+                })
+
+    pairs = cand.mapInPandas(verify, pair_schema)
+    return input_df.join(pairs, fid_col)
+
+
 def spatial_join_polygons_intersect(
     spark: SparkSession,
     input_df: DataFrame,

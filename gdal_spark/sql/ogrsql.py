@@ -411,6 +411,23 @@ _SPATIAL_JOIN_RE = re.compile(
     r"^st_intersects\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)$", re.I)
 _SJ_COUNTER = [0]
 
+# Method layers up to this many rows are collected and broadcast (the
+# prepared-geometry path); larger layers take the fully distributed
+# cell-cover join — the driver never holds an unbounded layer.
+# Override with spark.conf "gdal_spark.sql.methodBroadcastRowLimit".
+_METHOD_BROADCAST_ROW_LIMIT = 50_000
+
+
+def _bounded_method_pdf(df: DataFrame, bound: int):
+    """Collect the method layer only when it is provably small: pull
+    bound+1 rows; one extra row means the layer exceeds the bound and
+    the caller must stay distributed (returns None).  The analog of
+    autoBroadcastJoinThreshold's size gate for the dialect rewrite."""
+    head = df.limit(bound + 1).toPandas()
+    if len(head) > bound:
+        return None
+    return head
+
 
 def _rewrite_spatial_joins(spark: SparkSession, sel: _Select,
                            layers: dict[str, DataFrame]) -> None:
@@ -421,11 +438,20 @@ def _rewrite_spatial_joins(spark: SparkSession, sel: _Select,
     prefilter + boundary kernel) and re-express the join as a plain
     equi-join on the precomputed ``method_fid``.  Requires the method
     layer to carry a ``fid`` column; any non-matching join is left
-    untouched."""
+    untouched.
+
+    The method layer is collected+broadcast only below a row bound
+    (ogrlayer.cpp:4004 works for ANY pair of layers — above the bound
+    the rewrite switches to the distributed cell-cover join,
+    spatial_join_polygons_intersect_big, and the driver never
+    materializes the layer)."""
     from gdal_spark.operators.spatial_join import (
         spatial_join_polygons_intersect,
+        spatial_join_polygons_intersect_big,
     )
 
+    bound = int(spark.conf.get("gdal_spark.sql.methodBroadcastRowLimit",
+                               str(_METHOD_BROADCAST_ROW_LIMIT)))
     new_joins = []
     for kind, tbl, cond in sel.joins:
         m = _SPATIAL_JOIN_RE.match(cond.strip())
@@ -441,14 +467,19 @@ def _rewrite_spatial_joins(spark: SparkSession, sel: _Select,
         else:
             new_joins.append((kind, tbl, cond))
             continue
-        method_pdf = layers[tbl].toPandas()
-        if "fid" not in method_pdf.columns:
+        if "fid" not in layers[tbl].columns:
             new_joins.append((kind, tbl, cond))
             continue
-        if methg != bigg:
-            method_pdf = method_pdf.rename(columns={methg: bigg})
-        pairs = spatial_join_polygons_intersect(
-            spark, layers[sel.table], method_pdf, geom_col=bigg)
+        method_pdf = _bounded_method_pdf(layers[tbl], bound)
+        if method_pdf is None:
+            pairs = spatial_join_polygons_intersect_big(
+                spark, layers[sel.table], layers[tbl],
+                geom_col=bigg, method_geom_col=methg)
+        else:
+            if methg != bigg:
+                method_pdf = method_pdf.rename(columns={methg: bigg})
+            pairs = spatial_join_polygons_intersect(
+                spark, layers[sel.table], method_pdf, geom_col=bigg)
         _SJ_COUNTER[0] += 1
         view = f"__spatial_join_{_SJ_COUNTER[0]}"
         pairs.createOrReplaceTempView(view)

@@ -246,3 +246,84 @@ def test_spatial_join_rewrite(spark):
     got = out.toPandas().sort_values("fid")
     assert got["fid"].tolist() == [1, 2]
     assert got["name"].tolist() == ["zone", "zone"]
+
+
+def _rect_layer(spark, rects, extra=None):
+    import numpy as np
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+
+    rows = {"fid": np.arange(len(rects), dtype=np.int64),
+            "geometry": [
+                polygon_wkb([np.array(
+                    [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)],
+                    dtype=np.float64)])
+                for x0, y0, x1, y1 in rects]}
+    if extra:
+        rows.update(extra)
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _det_rects(n, seed):
+    """Deterministic rects scattered in [-60, 60]^2."""
+    out = []
+    for i in range(n):
+        h = (i * 2654435761 + seed) % (1 << 31)
+        x0 = (h % 120) - 60.0
+        y0 = ((h // 120) % 100) - 50.0
+        out.append((x0, y0, x0 + 1.0 + h % 7, y0 + 1.0 + h % 5))
+    return out
+
+
+def test_spatial_join_rewrite_distributed(spark, monkeypatch):
+    """Above the method-row bound the rewrite must switch to the
+    fully distributed cell-cover join: the broadcast operator (which
+    collects the layer) is forbidden via monkeypatch, and the result
+    must match the broadcast path's bit for bit."""
+    import gdal_spark.operators.spatial_join as sj
+
+    a = _rect_layer(spark, _det_rects(80, 17))
+    b = _rect_layer(spark, _det_rects(9, 5), extra={
+        "name": [f"z{i}" for i in range(9)]})
+    sql = ("SELECT a.fid, b.name FROM a JOIN b"
+           " ON ST_Intersects(a.geometry, b.geometry)")
+
+    expected = execute_ogr_sql(spark, sql, {"a": a, "b": b}) \
+        .toPandas().sort_values(["fid", "name"]).reset_index(drop=True)
+
+    def forbidden(*args, **kwargs):
+        raise AssertionError("broadcast path (driver collect) used")
+
+    monkeypatch.setattr(sj, "spatial_join_polygons_intersect", forbidden)
+    spark.conf.set("gdal_spark.sql.methodBroadcastRowLimit", "4")
+    try:
+        got = execute_ogr_sql(spark, sql, {"a": a, "b": b}) \
+            .toPandas().sort_values(["fid", "name"]).reset_index(drop=True)
+    finally:
+        spark.conf.unset("gdal_spark.sql.methodBroadcastRowLimit")
+    pd.testing.assert_frame_equal(got, expected)
+
+
+def test_polygons_intersect_big_parity(spark):
+    """spatial_join_polygons_intersect_big == broadcast operator on a
+    200 x 12 rect workload (pair-set equality, incl. corner-cell
+    dedup: no duplicate pairs)."""
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_polygons_intersect,
+        spatial_join_polygons_intersect_big,
+    )
+
+    a = _rect_layer(spark, _det_rects(200, 99))
+    b_rects = _det_rects(12, 3)
+    b = _rect_layer(spark, b_rects)
+    bpdf = b.toPandas()
+
+    exp = spatial_join_polygons_intersect(spark, a, bpdf) \
+        .select("fid", "method_fid").toPandas()
+    exp_pairs = sorted(map(tuple, exp.to_numpy()))
+    got = spatial_join_polygons_intersect_big(spark, a, b) \
+        .select("fid", "method_fid").toPandas()
+    got_pairs = sorted(map(tuple, got.to_numpy()))
+    assert len(got_pairs) == len(set(got_pairs))  # no dup pairs
+    assert got_pairs == exp_pairs
+    assert len(exp_pairs) >= 5  # workload actually overlaps
