@@ -289,64 +289,91 @@ def ann_lsh_topk(
 def embedding_dedup(
     emb: DataFrame, threshold: float = 0.95,
     key_col: str = "vec_id", vec_col: str = "embedding",
-    method: str = "lsh", n_planes: int = 16, seed: int = 42,
+    method: str = "lsh", n_planes: int = 64, n_bands: int = 4,
+    seed: int = 42, n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal: drop every row whose
     vector has cosine >= threshold with a SMALLER-key row (the same
     min-representative rule as minhash_lsh_dedup).
 
-    method "lsh" (default, the 100-TB path): random-hyperplane sign
-    buckets; each bucket links members to its min key (star pairing,
-    O(k) per bucket); candidate pairs verify with EXACT cosine before
-    any drop — LSH only affects recall, never correctness of a drop.
-    method "exact": every pair checked via blocked GEMM against the
-    broadcast normalized corpus — exact recall, bounded by the
-    corpus fitting in executor memory (use lsh beyond that).
+    method "lsh" (default, the 100-TB path): BANDED random-hyperplane
+    sign buckets (n_bands bands of n_planes/n_bands planes each — a
+    near-dup pair only needs to agree on ONE band); each band-bucket
+    links members to its min key (star pairing, O(k) per bucket);
+    candidate pairs verify with EXACT cosine before any drop — LSH
+    only affects recall, never the correctness of a drop.  Band width
+    (16 planes by default) is chosen so a band-bucket ≈ a dup
+    cluster: star pairing assumes the bucket min IS a cluster member,
+    which narrow bands (big mixed buckets) would break.
+    method "exact": upper-triangular BLOCKED all-pairs — keys hash
+    into n_blocks blocks, every unordered block pair (i <= j) is one
+    task holding 2·N/n_blocks vectors, cross-block (and triangular
+    within-block) GEMMs emit dropped keys.  Exact recall, no driver
+    round-trip anywhere, task memory bounded by (N/n_blocks)·dim —
+    pick n_blocks ~ N·dim·8 / target_task_bytes at scale.
     """
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
 
     spark = emb.sparkSession
     if method == "exact":
-        pdf = emb.select(key_col, vec_col).toPandas()
-        keys = pdf[key_col].to_numpy(np.int64)
-        mat = np.array([np.asarray(v, dtype=np.float64)
-                        for v in pdf[vec_col]])
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
-                          1e-12)
-        order = np.argsort(keys)
-        keys, mat = keys[order], mat[order]
-        bc = spark.sparkContext.broadcast((keys, mat))
+        nb = int(n_blocks)
+        src = emb.select(key_col, vec_col).withColumn(
+            "blk", F.pmod(F.col(key_col), F.lit(nb)).cast("int"))
+        # one row per (block pair, participating block): the build
+        # side of the replicate-join that co-locates each block pair
+        prows = []
+        for i in range(nb):
+            for j in range(i, nb):
+                prows.append((i, j, i))
+                if j != i:
+                    prows.append((i, j, j))
+        pairs_long = F.broadcast(spark.createDataFrame(
+            pd.DataFrame(prows, columns=["pi", "pj", "blk"])))
+        repl = src.join(pairs_long, "blk")
         schema = StructType([StructField(key_col, LongType())])
 
-        def drops(batches: Iterator[pd.DataFrame]
-                  ) -> Iterator[pd.DataFrame]:
-            k_all, m_all = bc.value
-            for b in batches:
-                if len(b) == 0:
-                    continue
-                bk = b[key_col].to_numpy(np.int64)
-                bv = np.array([np.asarray(v, dtype=np.float64)
-                               for v in b[vec_col]])
-                bv /= np.maximum(
-                    np.linalg.norm(bv, axis=1, keepdims=True), 1e-12)
-                sims = bv @ m_all.T            # (B, N)
+        def pair_drops(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pi, pj = int(key[0]), int(key[1])
+            keys = pdf[key_col].to_numpy(np.int64)
+            mat = np.array([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            blk = pdf["blk"].to_numpy()
+            if pi == pj:
+                sims = mat @ mat.T
+                smaller = keys[None, :] < keys[:, None]
+                dropped = ((sims >= threshold) & smaller).any(axis=1)
+                out = keys[dropped]
+            else:
+                ai = blk == pi
+                aj = blk == pj
+                ki, kj = keys[ai], keys[aj]
+                if len(ki) == 0 or len(kj) == 0:
+                    return pd.DataFrame({key_col: np.array(
+                        [], dtype=np.int64)})
+                sims = mat[ai] @ mat[aj].T      # (Ni, Nj)
                 hit = sims >= threshold
-                # only partners with a strictly smaller key count
-                smaller = k_all[None, :] < bk[:, None]
-                dropped = (hit & smaller).any(axis=1)
-                out = pd.DataFrame({key_col: bk[dropped]})
-                if len(out):
-                    yield out
+                # either side can be the larger key of a cross pair
+                drop_j = (hit & (ki[:, None] < kj[None, :])).any(axis=0)
+                drop_i = (hit & (kj[None, :] < ki[:, None])).any(axis=1)
+                out = np.concatenate([ki[drop_i], kj[drop_j]])
+            return pd.DataFrame({key_col: out})
 
-        dropped = emb.select(key_col, vec_col).mapInPandas(drops, schema)
+        dropped = repl.groupBy("pi", "pj").applyInPandas(
+            pair_drops, schema)
         return emb.join(dropped, key_col, "left_anti")
 
-    # lsh: hyperplane sign buckets -> star pairs -> exact verify
+    # lsh: banded hyperplane sign buckets -> star pairs -> exact verify
     first = emb.select(vec_col).first()
     dim = len(first[0])
     planes = random_hyperplanes(dim, n_planes, seed)
+    width = max(1, n_planes // n_bands)
     bcp = spark.sparkContext.broadcast(planes)
     schema = StructType([StructField(key_col, LongType()),
+                         StructField("band", IntegerType()),
                          StructField("bucket", LongType())])
 
     def bucketize(batches: Iterator[pd.DataFrame]
@@ -358,14 +385,18 @@ def embedding_dedup(
             mat = np.array([np.asarray(v, dtype=np.float64)
                             for v in b[vec_col]])
             bits = (mat @ pl.T) >= 0
-            buck = np.zeros(len(b), dtype=np.int64)
-            for i in range(bits.shape[1]):
-                buck = (buck << 1) | bits[:, i].astype(np.int64)
-            yield pd.DataFrame({key_col: b[key_col].to_numpy(np.int64),
-                                "bucket": buck})
+            ks = b[key_col].to_numpy(np.int64)
+            for band in range(n_bands):
+                word = np.zeros(len(b), dtype=np.int64)
+                for j in range(width):
+                    word |= bits[:, band * width + j].astype(
+                        np.int64) << j
+                yield pd.DataFrame({key_col: ks,
+                                    "band": np.int32(band),
+                                    "bucket": word})
 
     buckets = emb.select(key_col, vec_col).mapInPandas(bucketize, schema)
-    w = Window.partitionBy("bucket")
+    w = Window.partitionBy("band", "bucket")
     pairs = (
         buckets.withColumn("rep", F.min(key_col).over(w))
         .filter(F.col(key_col) != F.col("rep"))

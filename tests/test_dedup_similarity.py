@@ -190,3 +190,77 @@ def test_embedding_dedup_exact_and_lsh(spark):
     lsh_dropped = set(range(50)) - set(lsh["vec_id"])
     assert lsh_dropped <= dropped          # never a false drop
     assert len(lsh_dropped) >= 7           # catches most planted dups
+
+
+def test_embedding_dedup_exact_blocked_no_driver_collect(spark,
+                                                         monkeypatch):
+    """The blocked exact mode must match the numpy all-pairs oracle
+    on a corpus large enough to exercise every block pair, WITHOUT
+    ever collecting the corpus to the driver (toPandas forbidden)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import DataFrame as SparkDF
+
+    from gdal_spark.operators.similarity import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    n = 600
+    base = rng.randn(n, 12)
+    # plant duplicates across block boundaries (keys i and i+303 for
+    # i in 0..59 — 303 % 8 != 0 so pairs straddle blocks)
+    for i in range(60):
+        base[i + 303] = base[i] + rng.randn(12) * 0.005
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in base],
+    })
+    emb = spark.createDataFrame(pdf)
+
+    matn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    expect_drop = {
+        b for b in range(n)
+        if (sims[:b, b] >= 0.95).any()
+    }
+    assert len(expect_drop) >= 60
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("exact embedding dedup collected to driver")
+
+    monkeypatch.setattr(SparkDF, "toPandas", forbidden)
+    out = embedding_dedup(emb, 0.95, method="exact", n_blocks=8)
+    got = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert got == set(range(n)) - expect_drop
+
+
+def test_embedding_dedup_lsh_banded_recall(spark):
+    """Banding must recover near-dup pairs that differ in a single
+    plane sign (the unbanded whole-word scheme misses them): recall
+    vs exact >= 0.9 on a jittered-copy corpus, and no false drop."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.similarity import embedding_dedup
+
+    rng = np.random.RandomState(23)
+    n_base = 120
+    base = rng.randn(n_base, 16)
+    vecs = [base[i] for i in range(n_base)]
+    for i in range(n_base):
+        vecs.append(base[i] + rng.randn(16) * 0.02)
+    n = len(vecs)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    emb = spark.createDataFrame(pdf)
+
+    mat = np.array(vecs)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    exact_drop = {b for b in range(n) if (sims[:b, b] >= 0.95).any()}
+
+    lsh = embedding_dedup(emb, 0.95, method="lsh").toPandas()
+    lsh_drop = set(range(n)) - set(lsh["vec_id"])
+    assert lsh_drop <= exact_drop                    # never false-drop
+    assert len(lsh_drop) / max(1, len(exact_drop)) >= 0.9
