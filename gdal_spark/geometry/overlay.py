@@ -62,7 +62,20 @@ class _V:
 
 def _build(ring: np.ndarray) -> _V:
     pts = np.asarray(ring, dtype=np.float64)
-    if len(pts) and np.array_equal(pts[0], pts[-1]):
+    # drop near-duplicate consecutive vertices (incl. an inexact
+    # closing point, e.g. cos(2*pi) != 1.0): a micro edge is
+    # near-parallel to everything and its cross products fall BELOW
+    # the collinearity threshold even after the perturbation retry,
+    # so it poisons the degeneracy test unrecoverably.  The 1e-9
+    # relative tolerance matches the documented perturbation scale —
+    # slivers that sequential perturbed differences leave behind are
+    # merged away here on the next op.
+    span = max(float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])), 1.0)
+    tol = 1e-9 * span
+    keep = np.ones(len(pts), dtype=bool)
+    keep[1:] = np.any(np.abs(np.diff(pts, axis=0)) > tol, axis=1)
+    pts = pts[keep]
+    if len(pts) and np.all(np.abs(pts[0] - pts[-1]) <= tol):
         pts = pts[:-1]
     if len(pts) < 3:
         raise ValueError("ring needs >= 3 distinct vertices")
@@ -141,15 +154,78 @@ def _isect(p1, p2, q1, q2):
     return t, u
 
 
+def _isect_pairs(sa: np.ndarray, ca: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                            np.ndarray]:
+    """Vectorized all-pairs edge intersection: the NumPy rendering of
+    ``_isect`` over subject edges (n,2,2) x clip edges (m,2,2).
+    Returns (i, j, t, u) index/parameter arrays of the PROPER
+    crossings; raises Degenerate under exactly the same conditions as
+    the scalar kernel (collinear overlap, endpoint hit, coincident
+    intersections are caught later by _insert_sorted)."""
+    p = sa[:, None, 0]
+    r = sa[:, None, 1] - p
+    q = ca[None, :, 0]
+    s = ca[None, :, 1] - q
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q - p
+    cross_qp_s = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    cross_qp_r = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    scale = np.maximum(
+        np.maximum(np.abs(r[..., 0]), np.abs(r[..., 1])),
+        np.maximum(np.maximum(np.abs(s[..., 0]), np.abs(s[..., 1])),
+                   1.0))
+    lim = _EPS * scale * scale
+    near_par = np.abs(denom) <= lim
+    coll = near_par & (np.abs(cross_qp_r) <= lim)
+    if bool(coll.any()):
+        rr = np.sum(r * r, axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t0 = np.sum(qp * r, axis=-1) / rr
+            t1 = t0 + np.sum(s * r, axis=-1) / rr
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        if bool((coll & (hi >= -_EPS) & (lo <= 1 + _EPS)).any()):
+            raise Degenerate("collinear overlap")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = cross_qp_s / denom
+        u = cross_qp_r / denom
+    inside = (~near_par & (t >= -_EPS) & (t <= 1 + _EPS)
+              & (u >= -_EPS) & (u <= 1 + _EPS))
+    tol = 1e-11
+    if bool((inside & ((t < tol) | (t > 1 - tol)
+                       | (u < tol) | (u > 1 - tol))).any()):
+        raise Degenerate("intersection at segment endpoint")
+    si, cj = np.nonzero(inside)
+    return si, cj, t[si, cj], u[si, cj]
+
+
 def _ring_array(head: _V) -> np.ndarray:
     return np.array([(v.x, v.y) for v in _iter_ring(head)],
                     dtype=np.float64)
 
 
 def _point_in(head_arr: np.ndarray, x: float, y: float) -> bool:
-    ring = np.vstack([head_arr, head_arr[:1]])
-    return bool(points_in_rings(np.array([x]), np.array([y]),
-                                [ring])[0])
+    """Single-point inline of points_in_rings' crossing rule
+    (ogrlinearring.cpp:452-521 semantics) over an OPEN ring — the
+    phase-2/classification probes run 3x per op, so this avoids the
+    general kernel's closing/vstack/errstate overhead."""
+    rx = head_arr[:, 0]
+    ry = head_arr[:, 1]
+    if (x < rx.min() or x > rx.max()
+            or y < ry.min() or y > ry.max()):
+        return False
+    x1 = np.roll(rx, -1) - x
+    y1 = np.roll(ry, -1) - y
+    x2 = rx - x
+    y2 = ry - y
+    straddle = ((y1 > 0) & (y2 <= 0)) | ((y2 > 0) & (y1 <= 0))
+    si = np.nonzero(straddle)[0]
+    if len(si) == 0:
+        return False
+    # straddling guarantees y2 - y1 != 0
+    inter = (x1[si] * y2[si] - x2[si] * y1[si]) / (y2[si] - y1[si])
+    return bool(np.count_nonzero(inter > 0.0) % 2)
 
 
 def _insert_sorted(start: _V, end_orig: _V, v: _V) -> None:
@@ -176,24 +252,29 @@ def _gh_rings(subj: np.ndarray, clip: np.ndarray, op: str
     s_head = _build(subj)
     c_head = _build(clip)
 
-    # phase 1: pairwise edge intersections
-    n_isect = 0
-    for sv, sn in list(_edges(s_head)):
-        for cv, cn in list(_edges(c_head)):
-            got = _isect((sv.x, sv.y), (sn.x, sn.y),
-                         (cv.x, cv.y), (cn.x, cn.y))
-            if got is None:
-                continue
-            t, u = got
-            x = sv.x + t * (sn.x - sv.x)
-            y = sv.y + t * (sn.y - sv.y)
-            a = _V(x, y, t, True)
-            b = _V(x, y, u, True)
-            a.neighbour = b
-            b.neighbour = a
-            _insert_sorted(sv, sn, a)
-            _insert_sorted(cv, cn, b)
-            n_isect += 1
+    # phase 1: pairwise edge intersections — the all-pairs search is
+    # one vectorized NumPy pass (the former per-pair Python loop was
+    # the overlay hot spot); only actual crossings build list nodes
+    s_edges = list(_edges(s_head))
+    c_edges = list(_edges(c_head))
+    sa = np.array([((v.x, v.y), (n.x, n.y)) for v, n in s_edges],
+                  dtype=np.float64)
+    ca = np.array([((v.x, v.y), (n.x, n.y)) for v, n in c_edges],
+                  dtype=np.float64)
+    si, cj, ts, us = _isect_pairs(sa, ca)
+    n_isect = len(si)
+    for k in range(n_isect):
+        sv, sn = s_edges[int(si[k])]
+        cv, cn = c_edges[int(cj[k])]
+        t, u = float(ts[k]), float(us[k])
+        x = sv.x + t * (sn.x - sv.x)
+        y = sv.y + t * (sn.y - sv.y)
+        a = _V(x, y, t, True)
+        b = _V(x, y, u, True)
+        a.neighbour = b
+        b.neighbour = a
+        _insert_sorted(sv, sn, a)
+        _insert_sorted(cv, cn, b)
     if n_isect == 0:
         return None
     if n_isect % 2 == 1:
@@ -262,10 +343,17 @@ def _gh_rings(subj: np.ndarray, clip: np.ndarray, op: str
             if cur.visited:
                 break
         arr = np.array(ring, dtype=np.float64)
-        # drop consecutive duplicates, close the ring
+        # drop consecutive near-duplicates (same relative tolerance
+        # as _build, so traced rings re-enter GH clean), close
+        span = max(float(np.ptp(arr[:, 0])), float(np.ptp(arr[:, 1])),
+                   1.0)
         keep = np.ones(len(arr), dtype=bool)
-        keep[1:] = np.any(np.abs(np.diff(arr, axis=0)) > 1e-12, axis=1)
+        keep[1:] = np.any(np.abs(np.diff(arr, axis=0)) > 1e-9 * span,
+                          axis=1)
         arr = arr[keep]
+        if len(arr) >= 3 and np.all(np.abs(arr[0] - arr[-1])
+                                    <= 1e-9 * span):
+            arr = arr[:-1]
         if len(arr) >= 3:
             if not np.array_equal(arr[0], arr[-1]):
                 arr = np.vstack([arr, arr[:1]])
@@ -295,13 +383,45 @@ def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
                                 [_close(outer)]).all())
 
 
-def _perturb(ring: np.ndarray, seed: int) -> np.ndarray:
+def _perturb(ring: np.ndarray, seed: int, mag: float = 2e-9
+             ) -> np.ndarray:
     r = _close(np.asarray(ring, dtype=np.float64))
     span = max(r[:, 0].ptp(), r[:, 1].ptp(), 1.0)
     rng = np.random.RandomState(seed)
-    noise = (rng.rand(len(r) - 1, 2) - 0.5) * span * 2e-9
+    noise = (rng.rand(len(r) - 1, 2) - 0.5) * span * mag
     out = r[:-1] + noise
     return np.vstack([out, out[:1]])
+
+
+def _ring_degenerate(ring: np.ndarray, tol_rel: float = 1e-9) -> bool:
+    """True when _build's near-duplicate cleanup would leave < 3
+    vertices — e.g. an ultra-thin sliver (width < tol_rel of length)
+    from an earlier perturbed difference.  Such a ring encloses
+    negligible area and is treated as the empty set."""
+    pts = np.asarray(ring, dtype=np.float64)
+    span = max(float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])), 1.0)
+    tol = tol_rel * span
+    keep = np.ones(len(pts), dtype=bool)
+    keep[1:] = np.any(np.abs(np.diff(pts, axis=0)) > tol, axis=1)
+    pts = pts[keep]
+    if len(pts) and np.all(np.abs(pts[0] - pts[-1]) <= tol):
+        pts = pts[:-1]
+    return len(pts) < 3
+
+
+def _empty_set_result(subj: np.ndarray, clip: np.ndarray, s_deg: bool,
+                      c_deg: bool, op: str) -> list[list[np.ndarray]]:
+    """Set algebra when one/both rings are effectively empty."""
+    if op == "intersection":
+        return []
+    if op == "difference":
+        return [] if s_deg else [[_orient(subj, True)]]
+    out = []
+    if not s_deg:
+        out.append([_orient(subj, True)])
+    if not c_deg:
+        out.append([_orient(clip, True)])
+    return out
 
 
 def ring_op(subj: np.ndarray, clip: np.ndarray, op: str
@@ -313,6 +433,10 @@ def ring_op(subj: np.ndarray, clip: np.ndarray, op: str
     """
     subj = _close(subj)
     clip = _close(clip)
+    s_deg = _ring_degenerate(subj)
+    c_deg = _ring_degenerate(clip)
+    if s_deg or c_deg:
+        return _empty_set_result(subj, clip, s_deg, c_deg, op)
     rings = None
     try:
         rings = _gh_rings(subj, clip, op)
@@ -324,7 +448,30 @@ def ring_op(subj: np.ndarray, clip: np.ndarray, op: str
             except Degenerate:
                 continue
         else:
-            raise
+            # clip perturbation cannot fix degeneracies carried by
+            # the SUBJECT (e.g. a sliver piece from an earlier
+            # perturbed difference whose edges parallel the clip
+            # sub-threshold): jitter both, escalating the magnitude —
+            # the area error stays O(mag * perimeter), far below the
+            # rounding every caller applies.  A perturbation can
+            # collapse a borderline sliver below 3 distinct vertices
+            # (ValueError): that ring is then empty at the escalated
+            # tolerance, so fall through to the empty-set algebra.
+            for seed, mag in ((421, 2e-9), (77777, 2e-8),
+                              (131071, 2e-7)):
+                try:
+                    rings = _gh_rings(_perturb(subj, seed + 1, mag),
+                                      _perturb(clip, seed, mag), op)
+                    break
+                except (Degenerate, ValueError):
+                    continue
+            else:
+                s_deg = _ring_degenerate(subj, tol_rel=5e-7)
+                c_deg = _ring_degenerate(clip, tol_rel=5e-7)
+                if s_deg or c_deg:
+                    return _empty_set_result(subj, clip, s_deg,
+                                             c_deg, op)
+                raise
     if rings is None:
         # no crossings: containment or disjoint
         s_in_c = ring_contains_ring(clip, subj)
@@ -397,8 +544,11 @@ def poly_op(subj_rings: list[np.ndarray], clip_rings: list[np.ndarray],
       (A - a_holes) op (B - b_holes)
         intersection: (A n B) - a_holes - b_holes
         difference:   (A - B) - a_holes  [+ A n b_holes]
-        union:        hole-free inputs only (reference parity gap,
-                      documented) — holes raise ValueError.
+        union:        hole-free inputs take the GH fast path; holed
+                      inputs route through the planar-arrangement
+                      resolver (resolve_rings rule='positive'), which
+                      is exact union semantics including hole/solid
+                      cancellation at O(E^2) noding cost.
     """
     a_out, a_holes = subj_rings[0], list(subj_rings[1:])
     b_out, b_holes = clip_rings[0], list(clip_rings[1:])

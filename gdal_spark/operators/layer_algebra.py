@@ -223,8 +223,8 @@ def _method_index(method_pdf: pd.DataFrame, geom_col: str = "geometry"):
 def overlay_general(spark: SparkSession, input_df: DataFrame,
                     method_pdf: pd.DataFrame, op: str,
                     geom_col: str = "geometry",
-                    bbox_cols: tuple[str, str, str, str] | None = None
-                    ) -> DataFrame:
+                    bbox_cols: tuple[str, str, str, str] | None = None,
+                    remainder_salt: int = 8) -> DataFrame:
     """Layer algebra between ARBITRARY simple polygons (concave and
     holed), the general path the convex kernels above cannot express.
 
@@ -243,10 +243,14 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
     shuffle bounded by |method| x avg overlap).
 
     ``bbox_cols`` (minx, miny, maxx, maxy column names): when the
-    input layer carries envelope columns, Intersection/Clip push an
-    OR-of-method-bboxes predicate into the JVM so rows that cannot
-    touch any method feature never reach the Python kernel (the
-    envelope pretest of ogrlayer.cpp:4004, planned JVM-side).
+    input layer carries envelope columns, Intersection/Clip push the
+    envelope pretest of ogrlayer.cpp:4004 into the JVM so rows that
+    cannot touch any method feature never reach the Python kernel:
+    first the method layer's GLOBAL envelope as a 4-comparison filter
+    (free, codegen), then a broadcast LEFT SEMI join against the
+    per-feature bbox table — expression size stays O(1) regardless of
+    |method| (an OR-of-bboxes predicate would build a 4·|method|-node
+    Catalyst expression and blow up codegen at 10⁴ features).
     """
     from gdal_spark.geometry.overlay import poly_op
 
@@ -256,15 +260,34 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
     idx = _method_index(method_pdf, geom_col)
     bc = spark.sparkContext.broadcast(idx)
 
-    if bbox_cols is not None and op in {"intersection", "clip"}:
+    if bbox_cols is not None and op in {"intersection", "clip"} and idx:
         x0c, y0c, x1c, y1c = bbox_cols
-        pred = F.lit(False)
-        for _mfid, _rings, (mx0, my0, mx1, my1) in idx:
-            pred = pred | (
-                (F.col(x0c) <= F.lit(mx1)) & (F.lit(mx0) <= F.col(x1c))
-                & (F.col(y0c) <= F.lit(my1))
-                & (F.lit(my0) <= F.col(y1c)))
-        input_df = input_df.filter(pred)
+        gx0 = min(b[0] for _, _, b in idx)
+        gy0 = min(b[1] for _, _, b in idx)
+        gx1 = max(b[2] for _, _, b in idx)
+        gy1 = max(b[3] for _, _, b in idx)
+        input_df = input_df.filter(
+            (F.col(x0c) <= F.lit(gx1)) & (F.lit(gx0) <= F.col(x1c))
+            & (F.col(y0c) <= F.lit(gy1)) & (F.lit(gy0) <= F.col(y1c)))
+        mbox = spark.createDataFrame(pd.DataFrame({
+            "_mx0": [b[0] for _, _, b in idx],
+            "_my0": [b[1] for _, _, b in idx],
+            "_mx1": [b[2] for _, _, b in idx],
+            "_my1": [b[3] for _, _, b in idx],
+        }))
+        input_df = input_df.join(
+            F.broadcast(mbox),
+            (F.col(x0c) <= F.col("_mx1")) & (F.col("_mx0") <= F.col(x1c))
+            & (F.col(y0c) <= F.col("_my1"))
+            & (F.col("_my0") <= F.col(y1c)),
+            "left_semi")
+
+    # a single-split source (one parquet file, or AQE-coalesced join
+    # output) would serialize the CPU-bound GH kernel into one task;
+    # widen to the session's parallelism before mapInPandas
+    par = spark.sparkContext.defaultParallelism
+    if input_df.rdd.getNumPartitions() < par:
+        input_df = input_df.repartition(par)
 
     want_isect = op in {"intersection", "clip", "identity", "union"}
     want_leftover = op in {"erase", "identity", "union", "symdifference"}
@@ -322,35 +345,98 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
         return out
 
     # method remainder: each method feature minus every candidate
-    # input geometry — grouped by method fid (small: |method| groups)
-    def m_remainder(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        mfid = int(key[0])
+    # input geometry.  A country-sized method polygon over dense
+    # input would make one straggling task if the whole difference
+    # chain ran in a single group, so the METHOD FEATURE IS SLICED
+    # into ``remainder_salt`` jittered x-strips of its bbox: each
+    # (method, strip) group differences only the inputs whose bbox
+    # touches the strip, and the strip remainders are DISJOINT by
+    # construction — the merge is plain concatenation, no geometry
+    # ops (unlike intersecting salted partials, which would pit the
+    # GH kernel against its identical-boundary worst case).
+    n_salt = max(1, int(remainder_salt))
+    _JIT = 0.2137192  # deterministic interior-boundary jitter: strip
+    # edges avoid collinearity with integer-ish data edges
+
+    def _strip_bounds(box, ci: int) -> tuple[float, float]:
+        x0, _, x1, _ = box
+        w = (x1 - x0) if x1 > x0 else 1.0
+        lo = (x0 - 0.25 * w if ci <= 0
+              else x0 + w * (ci + _JIT) / n_salt)
+        hi = (x1 + 0.25 * w if ci >= n_salt - 1
+              else x0 + w * (ci + 1 + _JIT) / n_salt)
+        return lo, hi
+
+    def _split_polys(g) -> list[list[np.ndarray]]:
+        o = g.part_offsets
+        return [g.parts[o[i]:o[i + 1]] for i in range(len(o) - 1)]
+
+    partial_schema = StructType([
+        StructField("method_fid", LongType()),
+        StructField("ci", LongType()),
+        StructField("geometry", BinaryType()),
+    ])
+
+    def m_partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mfid, ci = int(key[0]), int(key[1])
+        none = pd.DataFrame({
+            "method_fid": np.array([mfid], dtype=np.int64),
+            "ci": np.array([ci], dtype=np.int64),
+            "geometry": [None],
+        })
         meth = {m: (rings, box) for m, rings, box in bc.value}
-        mrings, _ = meth[mfid]
-        remain = [mrings]
-        for wkb in pdf[geom_col]:
+        mrings, mbox = meth[mfid]
+        lo, hi = _strip_bounds(mbox, ci)
+        pad = (mbox[3] - mbox[1]) * 0.25 + 1.0
+        strip = np.array([(lo, mbox[1] - pad), (hi, mbox[1] - pad),
+                          (hi, mbox[3] + pad), (lo, mbox[3] + pad),
+                          (lo, mbox[1] - pad)], dtype=np.float64)
+        remain = [p for p in poly_op(list(mrings), [strip],
+                                     "intersection") if p]
+        # dedup + sort: differencing the same geometry twice is the
+        # GH kernel's degenerate worst case (its own hole boundary),
+        # and a deterministic order makes the remainder reproducible
+        # across partitionings
+        wkbs = sorted({bytes(w) for w in pdf[geom_col].dropna()})
+        for wkb in wkbs:
+            if not remain:
+                break
             rings = parse_wkb(bytes(wkb)).rings()
             nxt = []
             for piece in remain:
                 nxt.extend(poly_op(piece, list(rings), "difference"))
-            remain = nxt
-            if not remain:
-                break
-        rows = {"fid": [], "method_fid": [], "geometry": [], "area": []}
-        remain = [p for p in remain if p]
-        if remain:
-            wkb = multipolygon_wkb(remain)
-            area = geom_area(parse_wkb(wkb))
-            if area > 0:
-                rows["fid"].append(-1)
-                rows["method_fid"].append(mfid)
-                rows["geometry"].append(wkb)
-                rows["area"].append(area)
-        return pd.DataFrame(rows) if rows["fid"] else pd.DataFrame({
+            remain = [p for p in nxt if p]
+        if not remain:
+            return none
+        return pd.DataFrame({
+            "method_fid": np.array([mfid], dtype=np.int64),
+            "ci": np.array([ci], dtype=np.int64),
+            "geometry": [multipolygon_wkb(remain)],
+        })
+
+    def m_final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
             "fid": pd.Series(dtype=np.int64),
             "method_fid": pd.Series(dtype=np.int64),
             "geometry": pd.Series(dtype=object),
             "area": pd.Series(dtype=np.float64),
+        })
+        mfid = int(key[0])
+        pieces: list[list[np.ndarray]] = []
+        for wkb in pdf.sort_values("ci")["geometry"]:
+            if wkb is not None:
+                pieces.extend(_split_polys(parse_wkb(bytes(wkb))))
+        if not pieces:
+            return empty
+        wkb = multipolygon_wkb(pieces)
+        area = geom_area(parse_wkb(wkb))
+        if area <= 0:
+            return empty
+        return pd.DataFrame({
+            "fid": np.array([-1], dtype=np.int64),
+            "method_fid": np.array([mfid], dtype=np.int64),
+            "geometry": [wkb],
+            "area": np.array([area], dtype=np.float64),
         })
 
     boxes = [(m, box) for m, _r, box in idx]
@@ -396,12 +482,34 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
               & (F.col("m_minx") <= F.col("maxx"))
               & (F.col("miny") <= F.col("m_maxy"))
               & (F.col("m_miny") <= F.col("maxy")))
-        .select("method_fid", geom_col)
+        .select("method_fid", geom_col, "minx", "maxx",
+                "m_minx", "m_maxx")
     )
-    m_rem = cand.groupBy("method_fid").applyInPandas(
-        m_remainder, OVERLAY_SCHEMA)
-    # method features with NO candidates pass through whole
+    # conservative JVM strip assignment: unjittered floor ± 1 is a
+    # superset of the jittered strips a candidate's bbox touches
+    wcol = F.when(F.col("m_maxx") > F.col("m_minx"),
+                  F.col("m_maxx") - F.col("m_minx")).otherwise(F.lit(1.0))
+    rel = lambda c: (F.col(c) - F.col("m_minx")) / wcol * n_salt  # noqa: E731
+    lo_i = F.greatest(F.lit(0).cast("long"),
+                      F.floor(rel("minx")).cast("long") - 1)
+    hi_i = F.least(F.lit(n_salt - 1).cast("long"),
+                   F.floor(rel("maxx")).cast("long") + 1)
+    cand_cells = cand.withColumn("ci", F.explode(F.sequence(lo_i, hi_i))) \
+        .select("method_fid", "ci", geom_col)
     matched = cand.select("method_fid").distinct()
+    # every strip of a matched method must emit its slice, even
+    # strips no candidate touches — scaffold rows carry NULL geometry
+    scaffold = matched.crossJoin(
+        spark.range(n_salt).select(F.col("id").alias("ci"))
+    ).withColumn(geom_col, F.lit(None).cast("binary"))
+    partials = (
+        cand_cells.unionByName(scaffold)
+        .groupBy("method_fid", "ci")
+        .applyInPandas(m_partial, partial_schema)
+    )
+    m_rem = partials.groupBy("method_fid").applyInPandas(
+        m_final, OVERLAY_SCHEMA)
+    # method features with NO candidates pass through whole
     untouched = (
         bboxes.select("method_fid")
         .join(matched, "method_fid", "left_anti")

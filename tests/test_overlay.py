@@ -193,3 +193,93 @@ def test_polygons_distance():
         brute = np.sqrt(((pa[:, None, :] - pb[None, :, :]) ** 2)
                         .sum(-1)).min()
         assert got == pytest.approx(brute, abs=1e-2)
+
+
+def test_union_remainder_salted_hot_method(spark):
+    """One country-sized method polygon x hundreds of candidates: the
+    salted remainder (S partial differences + an intersection merge)
+    must equal the closed-form area and match the unsalted chain —
+    the straggler decomposition is exact."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)], dtype=np.float64)
+
+    method = pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64),
+        "geometry": [polygon_wkb([sq(0.0, 0.0, 100.0, 100.0)])],
+    })
+    # 144 disjoint interior squares (area 0.25 each), well separated
+    rows = []
+    fid = 0
+    for i in range(12):
+        for j in range(12):
+            x0, y0 = 3.25 + 8 * i % 96, 3.25 + 8 * j % 96
+            x0, y0 = 2.25 + 8 * (i % 12), 2.25 + 8 * (j % 12)
+            rows.append({"fid": fid,
+                         "geometry": polygon_wkb(
+                             [sq(x0, y0, x0 + 0.5, y0 + 0.5)])})
+            fid += 1
+    inputs = spark.createDataFrame(pd.DataFrame(rows))
+
+    expected_rem = 100.0 * 100.0 - 144 * 0.25
+
+    out8 = overlay_general(spark, inputs, method, "union",
+                           remainder_salt=8).toPandas()
+    rem8 = out8[(out8.fid == -1) & (out8.method_fid == 0)]
+    assert len(rem8) == 1
+    assert abs(rem8["area"].iloc[0] - expected_rem) < 1e-6
+
+    out1 = overlay_general(spark, inputs, method, "union",
+                           remainder_salt=1).toPandas()
+    rem1 = out1[(out1.fid == -1) & (out1.method_fid == 0)]
+    assert abs(rem1["area"].iloc[0] - rem8["area"].iloc[0]) < 1e-6
+    # intersection pieces identical either way
+    assert len(out8) == len(out1)
+    assert abs(out8["area"].sum() - out1["area"].sum()) < 1e-6
+
+
+def test_intersection_prefilter_bounded_expression(spark):
+    """The bbox prefilter must stay O(1) in expression size: with 500
+    method features the optimized plan may not contain a per-feature
+    OR chain (it uses a broadcast LEFT SEMI join on the bbox table)."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)], dtype=np.float64)
+
+    meth_rows = []
+    for i in range(500):
+        x0 = float(i % 50) * 2.0
+        y0 = float(i // 50) * 2.0
+        meth_rows.append({"fid": i,
+                          "geometry": polygon_wkb(
+                              [sq(x0, y0, x0 + 1.5, y0 + 1.5)])})
+    method = pd.DataFrame(meth_rows)
+    inputs = spark.createDataFrame(pd.DataFrame({
+        "fid": np.arange(4, dtype=np.int64),
+        "geometry": [polygon_wkb([sq(0.2, 0.2, 0.9, 0.9)]),
+                     polygon_wkb([sq(10.2, 2.2, 11.4, 3.4)]),
+                     polygon_wkb([sq(200.0, 200.0, 201.0, 201.0)]),
+                     polygon_wkb([sq(4.2, 0.2, 4.8, 0.8)])],
+        "x0": [0.2, 10.2, 200.0, 4.2], "y0": [0.2, 2.2, 200.0, 0.2],
+        "x1": [0.9, 11.4, 201.0, 4.8], "y1": [0.9, 3.4, 201.0, 0.8],
+    }))
+    out = overlay_general(spark, inputs, method, "intersection",
+                          bbox_cols=("x0", "y0", "x1", "y1"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("_mx0") < 20  # not expanded per method feature
+    assert "LeftSemi" in plan
+    got = out.toPandas().sort_values("fid")
+    # fids 0 (in method 0), 1 (in method 5), 3 (in method 2) intersect
+    assert got["fid"].tolist() == [0, 1, 3]
