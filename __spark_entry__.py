@@ -951,6 +951,157 @@ def _makevalid_oracle() -> str:
     """
 
 
+def _overlay_lines_df(spark, sf_dir):
+    """Deterministic L-shaped polylines from orders keys (k%17==0):
+    horizontal (x0,y)->(x1,y) then vertical (x1,y)->(x1,y2), with
+    fractional offsets chosen so no vertex or edge is ever collinear
+    with a method-rectangle edge (every crossing is generic)."""
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    o = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 17 == 0)
+    r = o.select(
+        F.col("o_orderkey").alias("fid"),
+        (F.col("o_orderkey") % 89 - 44.3).cast("double").alias("x0"),
+        (F.col("o_orderkey") % 67 - 33.7).cast("double").alias("y"),
+        (F.col("o_orderkey") % 89 - 44.3 + 2
+         + F.col("o_orderkey") % 13).cast("double").alias("x1"),
+        (F.col("o_orderkey") % 67 - 33.7 + 1
+         + F.col("o_orderkey") % 9).cast("double").alias("y2"),
+    )
+    schema = StructType([StructField("fid", LongType()),
+                         StructField("geometry", BinaryType())])
+
+    def to_wkb(batches):
+        from gdal_spark.geometry.wkb import linestring_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            geoms = [
+                linestring_wkb(np.array([(x0, y), (x1, y), (x1, y2)],
+                                        dtype=np.float64))
+                for x0, y, x1, y2 in zip(b["x0"], b["y"],
+                                         b["x1"], b["y2"])
+            ]
+            yield pd.DataFrame({"fid": b["fid"].to_numpy(np.int64),
+                                "geometry": geoms})
+
+    return r.mapInPandas(to_wkb, schema)
+
+
+def q41_line_clip_length(spark, sf_dir):
+    """Line-layer Clip against the method polygons (the line case of
+    layer algebra, ogrlayer.cpp:7537 with lower-dimension inputs):
+    per-method crossing count + total clipped length, oracle-checked
+    with interval arithmetic on the axis-aligned fixtures."""
+    from gdal_spark.operators.layer_algebra import overlay_lines
+
+    lines = _overlay_lines_df(spark, sf_dir)
+    out = overlay_lines(spark, lines, _overlay_method_pdf(), "clip")
+    return (
+        out.groupBy("method_fid")
+        .agg(F.count("*").alias("n_lines"),
+             F.round(F.sum("length"), 4).alias("sum_len"))
+        .orderBy("method_fid")
+    )
+
+
+def q42_line_erase_length(spark, sf_dir):
+    """Line-layer Erase (ogrlayer.cpp:7846, line inputs): the total
+    surviving length is the input length minus every in-zone portion
+    — clip and erase partition each polyline exactly."""
+    from gdal_spark.operators.layer_algebra import overlay_lines
+
+    lines = _overlay_lines_df(spark, sf_dir)
+    out = overlay_lines(spark, lines, _overlay_method_pdf(), "erase")
+    return out.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("length"), 4).alias("sum_len"),
+    )
+
+
+def _overlay_lines_sql() -> str:
+    return """
+        SELECT o_orderkey AS k,
+               CAST((o_orderkey % 89) - 44.3 AS DOUBLE) AS x0,
+               CAST((o_orderkey % 67) - 33.7 AS DOUBLE) AS y,
+               CAST((o_orderkey % 89) - 44.3 + 2 + (o_orderkey % 13)
+                    AS DOUBLE) AS x1,
+               CAST((o_orderkey % 67) - 33.7 + 1 + (o_orderkey % 9)
+                    AS DOUBLE) AS y2
+        FROM orders WHERE o_orderkey % 17 = 0
+    """
+
+
+def _line_clip_len_sql() -> str:
+    """Clipped length of the L-line inside a method rect: interval
+    overlap of the horizontal run (when its y is strictly between the
+    rect's ys) plus the vertical run (when its x is strictly inside)."""
+    z = "CAST(0 AS DOUBLE)"
+    return (
+        f"(CASE WHEN y > my0 AND y < my1 THEN "
+        f"GREATEST({z}, LEAST(x1, mx1) - GREATEST(x0, mx0)) "
+        f"ELSE {z} END)"
+        f" + (CASE WHEN x1 > mx0 AND x1 < mx1 THEN "
+        f"GREATEST({z}, LEAST(y2, my1) - GREATEST(y, my0)) "
+        f"ELSE {z} END)"
+    )
+
+
+def _line_clip_oracle() -> str:
+    return f"""
+        WITH l AS ({_overlay_lines_sql()}),
+        {_overlay_methods_sql()},
+        seg AS (
+            SELECT method_fid, k, {_line_clip_len_sql()} AS clen
+            FROM l CROSS JOIN m
+        )
+        SELECT method_fid, COUNT(*) AS n_lines,
+               ROUND(SUM(clen), 4) AS sum_len
+        FROM seg WHERE clen > 0
+        GROUP BY method_fid ORDER BY method_fid
+    """
+
+
+def _line_erase_oracle() -> str:
+    """Erase removes the portion inside the UNION of method rects —
+    methods 0 and 1 overlap, so the oracle uses inclusion-exclusion:
+    a signed rect table (singles +1, pairwise/triple intersections
+    alternating) folded driver-side from the literal fixtures."""
+    from itertools import combinations
+
+    entries = []
+    for k in (1, 2, 3):
+        for combo in combinations(range(len(_OVERLAY_METHODS)), k):
+            x0 = max(_OVERLAY_METHODS[i][0] for i in combo)
+            y0 = max(_OVERLAY_METHODS[i][1] for i in combo)
+            x1 = min(_OVERLAY_METHODS[i][2] for i in combo)
+            y1 = min(_OVERLAY_METHODS[i][3] for i in combo)
+            if x0 < x1 and y0 < y1:
+                entries.append((1 if k % 2 else -1, (x0, y0, x1, y1)))
+    vals = ", ".join(
+        f"(CAST({s} AS DOUBLE), CAST({x0!r} AS DOUBLE),"
+        f" CAST({y0!r} AS DOUBLE), CAST({x1!r} AS DOUBLE),"
+        f" CAST({y1!r} AS DOUBLE))"
+        for s, (x0, y0, x1, y1) in entries)
+    return f"""
+        WITH l AS ({_overlay_lines_sql()}),
+        m(sign, mx0, my0, mx1, my1) AS (VALUES {vals}),
+        clipped AS (
+            SELECT k, SUM(sign * ({_line_clip_len_sql()})) AS cin
+            FROM l CROSS JOIN m GROUP BY k
+        )
+        SELECT COUNT(*) AS n_lines,
+               ROUND(SUM((x1 - x0) + (y2 - y) - COALESCE(cin, 0)), 4)
+                   AS sum_len
+        FROM l LEFT JOIN clipped USING (k)
+        WHERE (x1 - x0) + (y2 - y) - COALESCE(cin, 0) > 1e-9
+    """
+
+
 def q40_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup removal (exact method, oracle-
     checked): drop vectors with cosine >= 0.95 against a smaller id;
@@ -1112,6 +1263,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_buffer_area": q38_buffer_area,
     "q39_makevalid_area": q39_makevalid_area,
     "q40_embedding_dedup": q40_embedding_dedup,
+    "q41_line_clip_length": q41_line_clip_length,
+    "q42_line_erase_length": q42_line_erase_length,
 }
 
 
@@ -1468,6 +1621,8 @@ def oracle_sql() -> dict[str, str]:
         "q38_buffer_area": _buffer_oracle(),
         "q39_makevalid_area": _makevalid_oracle(),
         "q40_embedding_dedup": _embedding_dedup_oracle(),
+        "q41_line_clip_length": _line_clip_oracle(),
+        "q42_line_erase_length": _line_erase_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

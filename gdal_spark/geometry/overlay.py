@@ -669,6 +669,52 @@ def polygons_intersect(a_rings: list[np.ndarray],
                            a_closed).sum() % 2 == 1
 
 
+def geoms_intersect(ga, gb) -> bool:
+    """ST_Intersects for ANY pair of parsed geometries (the general
+    FilterGeometry contract, ogrlayer.cpp:4004-4076): dispatches on
+    the dimension pair.  Point-on-boundary follows the strictly-
+    inside ray-cast rule (documented parity gap with GEOS's
+    boundary-inclusive Intersects for dim-0 x dim-2)."""
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.lines import (
+        line_intersects_rings, lines_cross,
+    )
+
+    dims = {W.POINT: 0, W.MULTIPOINT: 0, W.LINESTRING: 1,
+            W.MULTILINESTRING: 1, W.POLYGON: 2, W.MULTIPOLYGON: 2}
+    da = dims.get(ga.kind)
+    db = dims.get(gb.kind)
+    if da is None or db is None:
+        raise ValueError(f"geoms_intersect: unsupported kinds "
+                         f"{ga.kind}/{gb.kind}")
+    if da > db:
+        ga, gb, da, db = gb, ga, db, da
+    if (da, db) == (2, 2):
+        return polygons_intersect(list(ga.rings()), list(gb.rings()))
+    if (da, db) == (1, 2):
+        return any(line_intersects_rings(part, list(gb.rings()))
+                   for part in ga.parts)
+    if (da, db) == (1, 1):
+        return any(lines_cross(pa, pb)
+                   for pa in ga.parts for pb in gb.parts)
+    pts = np.vstack(ga.parts)
+    if db == 2:
+        closed = [_close(r) for r in gb.rings()]
+        return bool(points_in_rings(pts[:, 0], pts[:, 1],
+                                    closed).any())
+    if db == 1:
+        from gdal_spark.geometry.ops import point_segment_dist
+
+        return any(
+            bool((point_segment_dist(pts[:, 0], pts[:, 1], part)
+                  <= 1e-12).any())
+            for part in gb.parts)
+    # point x point
+    qb = np.vstack(gb.parts)
+    return bool((np.abs(pts[:, None, :] - qb[None, :, :]) <= 1e-12)
+                .all(axis=2).any())
+
+
 def polygon_contains_polygon(a_rings: list[np.ndarray],
                              b_rings: list[np.ndarray]) -> bool:
     """ST_Contains (strict variant): b's boundary never crosses a's

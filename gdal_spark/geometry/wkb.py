@@ -142,6 +142,13 @@ def polygon_wkb(rings) -> bytes:
     return b"".join(out)
 
 
+def multilinestring_wkb(parts) -> bytes:
+    out = [struct.pack("<BII", 1, MULTILINESTRING, len(parts))]
+    for c in parts:
+        out.append(linestring_wkb(c))
+    return b"".join(out)
+
+
 def multipolygon_wkb(polys) -> bytes:
     out = [struct.pack("<BII", 1, MULTIPOLYGON, len(polys))]
     for rings in polys:
@@ -168,6 +175,9 @@ def to_wkt(geom: Geom, ndigits: int = 8) -> str:
     if k == POLYGON:
         inner = ",".join(f"({fmt(r)})" for r in geom.parts)
         return f"POLYGON ({inner})"
+    if k == MULTILINESTRING:
+        inner = ",".join(f"({fmt(p)})" for p in geom.parts)
+        return f"MULTILINESTRING ({inner})"
     if k == MULTIPOLYGON:
         po = geom.part_offsets
         outs = []

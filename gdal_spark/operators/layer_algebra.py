@@ -205,6 +205,104 @@ def erase_rect(spark: SparkSession, input_df: DataFrame,
 
 
 # --------------------------------------------------------------------
+# line-layer algebra (Clip / Intersection / Erase / Identity of a
+# LINE input layer against a polygon method layer)
+# --------------------------------------------------------------------
+
+LINE_OVERLAY_SCHEMA = StructType([
+    StructField("fid", LongType()),
+    StructField("method_fid", LongType()),
+    StructField("geometry", BinaryType()),
+    StructField("length", DoubleType()),
+])
+
+
+def overlay_lines(spark: SparkSession, lines_df: DataFrame,
+                  method_pdf: pd.DataFrame, op: str,
+                  geom_col: str = "geometry") -> DataFrame:
+    """Layer algebra for LINE inputs x polygon method layer — the
+    lower-dimension pairing the polygon kernels cannot express
+    (roads x admin zones).  Reference: the layer ops accept any
+    geometry type and keep lower-dimension results
+    (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385 option block,
+    KEEP_LOWER_DIMENSION_GEOMETRIES); GEOS does the line clipping
+    there, the split-at-crossings kernel does it here
+    (gdal_spark.geometry.lines).
+
+      intersection / clip — one row per crossing (fid, method_fid)
+        pair: the portion of the line inside the method feature;
+      erase    — the portion outside ALL method features (fid, -1);
+      identity — intersection rows + the erase remainder.
+
+    Output: (fid, method_fid, MULTILINESTRING WKB, length).  Lengths
+    partition exactly: clip + erase == input length per feature.
+    The method layer is broadcast; the input layer is map-only (no
+    shuffle at any size).
+    """
+    from gdal_spark.geometry.lines import (
+        clip_line_to_rings, erase_line_from_rings, polyline_length,
+    )
+
+    if op not in {"intersection", "clip", "erase", "identity"}:
+        raise ValueError(f"unknown line overlay op {op!r}")
+    idx = _method_index(method_pdf, geom_col)
+    bc = spark.sparkContext.broadcast(idx)
+    par = spark.sparkContext.defaultParallelism
+    if lines_df.rdd.getNumPartitions() < par:
+        lines_df = lines_df.repartition(par)
+    want_isect = op in {"intersection", "clip", "identity"}
+    want_erase = op in {"erase", "identity"}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meth = bc.value
+        for b in batches:
+            rows = {"fid": [], "method_fid": [], "geometry": [],
+                    "length": []}
+
+            def emit(fid, mfid, parts):
+                parts = [p for p in parts if len(p) >= 2]
+                if not parts:
+                    return
+                from gdal_spark.geometry.wkb import multilinestring_wkb
+
+                rows["fid"].append(fid)
+                rows["method_fid"].append(mfid)
+                rows["geometry"].append(multilinestring_wkb(parts))
+                rows["length"].append(polyline_length(parts))
+
+            for fid, wkb in zip(b["fid"], b[geom_col]):
+                g = parse_wkb(bytes(wkb))
+                gx0, gy0, gx1, gy1 = g.bbox()
+                remain = list(g.parts)
+                for mfid, mrings, (mx0, my0, mx1, my1) in meth:
+                    overlaps = (gx0 <= mx1 and mx0 <= gx1
+                                and gy0 <= my1 and my0 <= gy1)
+                    if not overlaps:
+                        continue
+                    if want_isect:
+                        pieces = []
+                        for part in g.parts:
+                            pieces.extend(
+                                clip_line_to_rings(part, list(mrings)))
+                        emit(int(fid), mfid, pieces)
+                    if want_erase:
+                        nxt = []
+                        for part in remain:
+                            nxt.extend(erase_line_from_rings(
+                                part, list(mrings)))
+                        remain = nxt
+                        if not remain:
+                            break
+                if want_erase:
+                    emit(int(fid), -1, remain)
+            if rows["fid"]:
+                yield pd.DataFrame(rows)
+
+    return lines_df.select("fid", geom_col).mapInPandas(
+        kernel, LINE_OVERLAY_SCHEMA)
+
+
+# --------------------------------------------------------------------
 # general (concave/holed) overlay — Greiner-Hormann backed
 # --------------------------------------------------------------------
 
@@ -224,7 +322,8 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
                     method_pdf: pd.DataFrame, op: str,
                     geom_col: str = "geometry",
                     bbox_cols: tuple[str, str, str, str] | None = None,
-                    remainder_salt: int = 8) -> DataFrame:
+                    remainder_salt: int = 8,
+                    options: dict | None = None) -> DataFrame:
     """Layer algebra between ARBITRARY simple polygons (concave and
     holed), the general path the convex kernels above cannot express.
 
@@ -257,6 +356,24 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
     if op not in {"intersection", "clip", "erase", "identity", "union",
                   "symdifference"}:
         raise ValueError(f"unknown overlay op {op!r}")
+    # reference option parity (ogrlayer.cpp:5385 option block):
+    #  SKIP_FAILURES       — skip an input feature whose geometry op
+    #                        errors instead of failing the layer op;
+    #  PROMOTE_TO_MULTI    — default True here (every result is a
+    #                        MultiPolygon); False emits POLYGON when
+    #                        a result has a single part;
+    #  KEEP_LOWER_DIMENSION_GEOMETRIES — accepted and inert: the
+    #                        snap-perturb GH kernel never produces
+    #                        lower-dimension results (touch-only
+    #                        configurations perturb into nothing or
+    #                        epsilon-area polygons), so YES and NO
+    #                        coincide by construction.
+    opts = {str(k).upper(): v for k, v in (options or {}).items()}
+    skip_failures = bool(opts.pop("SKIP_FAILURES", False))
+    promote_multi = bool(opts.pop("PROMOTE_TO_MULTI", True))
+    opts.pop("KEEP_LOWER_DIMENSION_GEOMETRIES", None)
+    if opts:
+        raise ValueError(f"unknown overlay options: {sorted(opts)}")
     idx = _method_index(method_pdf, geom_col)
     bc = spark.sparkContext.broadcast(idx)
 
@@ -302,7 +419,10 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
                 pieces = [p for p in pieces if p]
                 if not pieces:
                     return
-                wkb = multipolygon_wkb(pieces)
+                if not promote_multi and len(pieces) == 1:
+                    wkb = polygon_wkb(pieces[0])
+                else:
+                    wkb = multipolygon_wkb(pieces)
                 area = geom_area(parse_wkb(wkb))
                 if area <= 0:
                     return
@@ -312,29 +432,36 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
                 rows["area"].append(area)
 
             for fid, wkb in zip(b["fid"], b[geom_col]):
-                g = parse_wkb(bytes(wkb))
-                gx0, gy0, gx1, gy1 = g.bbox()
-                in_rings = [np.ascontiguousarray(r, dtype=np.float64)
-                            for r in g.rings()]
-                remain = [list(in_rings)]
-                for mfid, mrings, (mx0, my0, mx1, my1) in meth:
-                    if not (gx0 <= mx1 and mx0 <= gx1
-                            and gy0 <= my1 and my0 <= gy1):
-                        continue
-                    if want_isect:
-                        pieces = poly_op(in_rings, mrings,
-                                         "intersection")
-                        emit(int(fid), mfid, pieces)
+                try:
+                    g = parse_wkb(bytes(wkb))
+                    gx0, gy0, gx1, gy1 = g.bbox()
+                    in_rings = [np.ascontiguousarray(r,
+                                                     dtype=np.float64)
+                                for r in g.rings()]
+                    remain = [list(in_rings)]
+                    for mfid, mrings, (mx0, my0, mx1, my1) in meth:
+                        if not (gx0 <= mx1 and mx0 <= gx1
+                                and gy0 <= my1 and my0 <= gy1):
+                            continue
+                        if want_isect:
+                            pieces = poly_op(in_rings, mrings,
+                                             "intersection")
+                            emit(int(fid), mfid, pieces)
+                        if want_leftover:
+                            nxt = []
+                            for piece in remain:
+                                nxt.extend(poly_op(piece, mrings,
+                                                   "difference"))
+                            remain = nxt
+                            if not remain:
+                                break
                     if want_leftover:
-                        nxt = []
-                        for piece in remain:
-                            nxt.extend(poly_op(piece, mrings,
-                                               "difference"))
-                        remain = nxt
-                        if not remain:
-                            break
-                if want_leftover:
-                    emit(int(fid), -1, remain)
+                        emit(int(fid), -1, remain)
+                except Exception:
+                    # SKIP_FAILURES semantics (ogrlayer.cpp:5385):
+                    # a failing feature is skipped, not fatal
+                    if not skip_failures:
+                        raise
             if rows["fid"]:
                 yield pd.DataFrame(rows)
 

@@ -470,7 +470,7 @@ def spatial_join_polygons_intersect_big(
     Output: input columns + ``method_fid`` (same rows as the
     broadcast path ``spatial_join_polygons_intersect``).
     """
-    from gdal_spark.geometry.overlay import polygons_intersect
+    from gdal_spark.geometry.overlay import geoms_intersect
     from pyspark.sql.types import LongType, StructField, StructType
 
     a = _geom_cell_cover(input_df, res, fid_col, geom_col, "fid_a")
@@ -499,9 +499,8 @@ def spatial_join_polygons_intersect_big(
             fids, mfids = [], []
             for fa, fb, ga, gb in zip(bt["fid_a"], bt["fid_b"],
                                       bt["geom_fid_a"], bt["geom_fid_b"]):
-                ra = parse_wkb(bytes(ga)).rings()
-                rb = parse_wkb(bytes(gb)).rings()
-                if polygons_intersect(list(ra), list(rb)):
+                if geoms_intersect(parse_wkb(bytes(ga)),
+                                   parse_wkb(bytes(gb))):
                     fids.append(int(fa))
                     mfids.append(int(fb))
             if fids:
@@ -531,15 +530,17 @@ def spatial_join_polygons_intersect(
 
     Output: input columns + ``method_fid`` (one row per intersecting
     pair, like SetSpatialFilter + a join on the method fid).
+
+    Accepts ANY geometry kinds on either side (point/line/polygon and
+    their multis) — the exact predicate dispatches per dimension pair
+    (geoms_intersect), matching FilterGeometry's generality.
     """
-    from gdal_spark.geometry.overlay import polygons_intersect
+    from gdal_spark.geometry.overlay import geoms_intersect
 
     idx = []
     for _, r in polys_pdf.iterrows():
         g = parse_wkb(bytes(r[geom_col]))
-        idx.append((int(r[fid_col]),
-                    [np.ascontiguousarray(x, dtype=np.float64)
-                     for x in g.rings()], g.bbox()))
+        idx.append((int(r[fid_col]), g, g.bbox()))
     bc = spark.sparkContext.broadcast(idx)
     out_schema = input_df.withColumn(
         "method_fid", F.lit(0).cast("long")).schema
@@ -553,13 +554,12 @@ def spatial_join_polygons_intersect(
             mfids = []
             for i, wkb in enumerate(b[geom_col]):
                 g = parse_wkb(bytes(wkb))
-                rings = g.rings()
                 gx0, gy0, gx1, gy1 = g.bbox()
-                for mfid, mrings, (mx0, my0, mx1, my1) in meth:
+                for mfid, mg, (mx0, my0, mx1, my1) in meth:
                     if not (gx0 <= mx1 and mx0 <= gx1
                             and gy0 <= my1 and my0 <= gy1):
                         continue
-                    if polygons_intersect(list(rings), mrings):
+                    if geoms_intersect(g, mg):
                         out_rows.append(i)
                         mfids.append(mfid)
             if out_rows:
