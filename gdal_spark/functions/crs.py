@@ -17,6 +17,13 @@ pyproj, so the transforms are implemented directly:
   Equal-Area (EPSG:3035 LAEA Europe) and Polar Stereographic
   variant B (EPSG:3031/3413) from Snyder's USGS PP 1395 closed
   forms, on WGS84-equivalent datums (GRS80/ETRS89/NAD83).
+* DATUM-SHIFTED CRS via 7-parameter Helmert transforms (EPSG
+  guidance note 7-2, position-vector convention) composed through
+  geocentric cartesian: OSGB36 / British National Grid (EPSG:27700,
+  geographic 4277), NAD27 / UTM 17N (EPSG:26717, geographic 4267),
+  Belge 1972 / Belgian Lambert 72 (EPSG:31370, geographic 4313) —
+  projections run on each datum's own ellipsoid (Airy 1830,
+  Clarke 1866, International 1924).
 
 Every pair is routed through EPSG:4326 as the hub, so any supported
 src -> dst composes.  All functions are vectorized numpy over
@@ -25,64 +32,94 @@ is why the reference's approximate-transformer corner trick
 (alg/gdaltransformer.cpp:58) is unnecessary here.
 
 Accuracy: round-trip < 1e-9 deg (~0.1 mm) inside a zone's normal
-extent (tested), consistent with the series order.
+extent (tested), consistent with the series order.  Datum-shift
+absolute accuracy is bounded by the published single-Helmert
+parameters themselves (~2 m OSGB36, ~10 m NAD27 CONUS, ~0.2 m BD72
+— PROJ without grid files has the same bound); the projection math
+is still sub-mm (OS worked-example anchor tested to 0.1 mm).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-# WGS84
-_A = 6378137.0
-_F = 1.0 / 298.257223563
-_E2 = _F * (2.0 - _F)
-_E = np.sqrt(_E2)
-_N = _F / (2.0 - _F)
 
-# rectifying radius A = a/(1+n) (1 + n^2/4 + n^4/64 + n^6/256)
-_RECT_A = _A / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64 + _N**6 / 256)
+class Ellipsoid:
+    """Reference ellipsoid + derived constants, incl. the order-6
+    Krueger flattening series (Karney 2011, eqs. 35/36) so transverse
+    Mercator works on any datum's ellipsoid."""
 
-# Krueger flattening series, order 6 (Karney 2011, eqs. 35/36)
-_ALPHA = np.array([
-    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180
-    - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
-    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440
-    + 281 * _N**5 / 630 - 1983433 * _N**6 / 1935360,
-    61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880
-    + 167603 * _N**6 / 181440,
-    49561 * _N**4 / 161280 - 179 * _N**5 / 168
-    + 6601661 * _N**6 / 7257600,
-    34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
-    212378941 * _N**6 / 319334400,
-])
-_BETA = np.array([
-    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360
-    - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
-    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105
-    - 1118711 * _N**6 / 3870720,
-    17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480
-    + 5569 * _N**6 / 90720,
-    4397 * _N**4 / 161280 - 11 * _N**5 / 504
-    - 830251 * _N**6 / 7257600,
-    4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
-    20648693 * _N**6 / 638668800,
-])
+    __slots__ = ("a", "f", "e2", "e", "n", "rect_a", "alpha", "beta")
+
+    def __init__(self, a: float, inv_f: float):
+        self.a = a
+        self.f = 1.0 / inv_f
+        self.e2 = self.f * (2.0 - self.f)
+        self.e = np.sqrt(self.e2)
+        n = self.f / (2.0 - self.f)
+        self.n = n
+        self.rect_a = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64
+                                     + n**6 / 256)
+        self.alpha = np.array([
+            n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+            - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+            13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+            + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+            61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+            + 167603 * n**6 / 181440,
+            49561 * n**4 / 161280 - 179 * n**5 / 168
+            + 6601661 * n**6 / 7257600,
+            34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+            212378941 * n**6 / 319334400,
+        ])
+        self.beta = np.array([
+            n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+            - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+            n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+            - 1118711 * n**6 / 3870720,
+            17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+            + 5569 * n**6 / 90720,
+            4397 * n**4 / 161280 - 11 * n**5 / 504
+            - 830251 * n**6 / 7257600,
+            4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+            20648693 * n**6 / 638668800,
+        ])
+
+
+# EPSG-registry ellipsoid constants (public)
+WGS84 = Ellipsoid(6378137.0, 298.257223563)
+AIRY1830 = Ellipsoid(6377563.396, 299.3249646)        # EPSG:7001
+CLARKE1866 = Ellipsoid(6378206.4, 294.978698213898)   # EPSG:7008
+INTL1924 = Ellipsoid(6378388.0, 297.0)                # EPSG:7022
+
+# WGS84 aliases kept for the existing projection code
+_A = WGS84.a
+_F = WGS84.f
+_E2 = WGS84.e2
+_E = WGS84.e
+_N = WGS84.n
+_RECT_A = WGS84.rect_a
+_ALPHA = WGS84.alpha
+_BETA = WGS84.beta
 
 _K0 = 0.9996
 _FE = 500000.0
 _FN_SOUTH = 10000000.0
 
 
-def tm_forward(lon: np.ndarray, lat: np.ndarray, lon0_deg: float
+def tm_forward(lon: np.ndarray, lat: np.ndarray, lon0_deg: float,
+               ell: Ellipsoid = WGS84, k0: float = None
                ) -> tuple[np.ndarray, np.ndarray]:
     """Geographic (deg) -> transverse-Mercator (x east, y north in
     meters, no false offsets, scale k0 applied)."""
+    if k0 is None:
+        k0 = _K0
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0_deg)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     sphi = np.sin(phi)
     # conformal latitude tau' (exact forward)
     tau = np.tan(phi)
-    sigma = np.sinh(_E * np.arctanh(_E * sphi))
+    sigma = np.sinh(ell.e * np.arctanh(ell.e * sphi))
     taup = tau * np.sqrt(1 + sigma**2) - sigma * np.sqrt(1 + tau**2)
     xi_p = np.arctan2(taup, np.cos(lam))
     eta_p = np.arcsinh(np.sin(lam) / np.hypot(taup, np.cos(lam)))
@@ -90,29 +127,32 @@ def tm_forward(lon: np.ndarray, lat: np.ndarray, lon0_deg: float
     eta = eta_p.copy()
     for j in range(6):
         k = 2.0 * (j + 1)
-        xi += _ALPHA[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
-        eta += _ALPHA[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
-    return _K0 * _RECT_A * eta, _K0 * _RECT_A * xi
+        xi += ell.alpha[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
+        eta += ell.alpha[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
+    return k0 * ell.rect_a * eta, k0 * ell.rect_a * xi
 
 
-def tm_inverse(x: np.ndarray, y: np.ndarray, lon0_deg: float
+def tm_inverse(x: np.ndarray, y: np.ndarray, lon0_deg: float,
+               ell: Ellipsoid = WGS84, k0: float = None
                ) -> tuple[np.ndarray, np.ndarray]:
     """Transverse-Mercator meters (no false offsets) -> (lon, lat)
     degrees."""
-    eta = np.asarray(x, dtype=np.float64) / (_K0 * _RECT_A)
-    xi = np.asarray(y, dtype=np.float64) / (_K0 * _RECT_A)
+    if k0 is None:
+        k0 = _K0
+    eta = np.asarray(x, dtype=np.float64) / (k0 * ell.rect_a)
+    xi = np.asarray(y, dtype=np.float64) / (k0 * ell.rect_a)
     xi_p = xi.copy()
     eta_p = eta.copy()
     for j in range(6):
         k = 2.0 * (j + 1)
-        xi_p -= _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
-        eta_p -= _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
+        xi_p -= ell.beta[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p -= ell.beta[j] * np.cos(k * xi) * np.sinh(k * eta)
     taup = np.sin(xi_p) / np.sqrt(np.sinh(eta_p)**2 + np.cos(xi_p)**2)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     # conformal -> geodetic latitude (standard sine series in chi)
     chi = np.arctan(taup)
-    e2, e4 = _E2, _E2**2
-    e6, e8 = _E2**3, _E2**4
+    e2 = ell.e2
+    e4, e6, e8 = e2**2, e2**3, e2**4
     phi = (
         chi
         + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360)
@@ -236,15 +276,16 @@ def supported(crs: str) -> bool:
 # --------------------------------------------------------------------
 
 
-def _m(phi):
+def _m(phi, e2: float = _E2):
     s = np.sin(phi)
-    return np.cos(phi) / np.sqrt(1 - _E2 * s * s)
+    return np.cos(phi) / np.sqrt(1 - e2 * s * s)
 
 
-def _t(phi):
+def _t(phi, e2: float = _E2):
+    e = np.sqrt(e2)
     s = np.sin(phi)
     return (np.tan(np.pi / 4 - phi / 2)
-            / ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+            / ((1 - e * s) / (1 + e * s)) ** (e / 2))
 
 
 def _q(phi):
@@ -254,13 +295,14 @@ def _q(phi):
                         / (2 * _E))
 
 
-def _phi_from_t(t):
+def _phi_from_t(t, e2: float = _E2):
     """Inverse of _t by fixed-point iteration (Snyder 7-9)."""
+    e = np.sqrt(e2)
     phi = np.pi / 2 - 2 * np.arctan(t)
     for _ in range(8):
-        s = _E * np.sin(phi)
+        s = e * np.sin(phi)
         phi = np.pi / 2 - 2 * np.arctan(
-            t * ((1 - s) / (1 + s)) ** (_E / 2))
+            t * ((1 - s) / (1 + s)) ** (e / 2))
     return phi
 
 
@@ -278,19 +320,20 @@ def _phi_from_q(q):
 
 
 def lcc_2sp(lat1: float, lat2: float, lat0: float, lon0: float,
-            fe: float, fn: float):
+            fe: float, fn: float, ell: Ellipsoid = WGS84):
     """Lambert Conformal Conic, 2 standard parallels (Snyder 15).
     Returns (fwd(lon, lat) -> x, y; inv(x, y) -> lon, lat)."""
+    a, e2 = ell.a, ell.e2
     p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
-    n = (np.log(_m(p1)) - np.log(_m(p2))) / (np.log(_t(p1))
-                                             - np.log(_t(p2)))
-    big_f = _m(p1) / (n * _t(p1) ** n)
-    rho0 = _A * big_f * _t(p0) ** n
+    n = (np.log(_m(p1, e2)) - np.log(_m(p2, e2))) \
+        / (np.log(_t(p1, e2)) - np.log(_t(p2, e2)))
+    big_f = _m(p1, e2) / (n * _t(p1, e2) ** n)
+    rho0 = a * big_f * _t(p0, e2) ** n
 
     def fwd(lon, lat):
         phi = np.radians(np.asarray(lat, np.float64))
         lam = np.radians(np.asarray(lon, np.float64) - lon0)
-        rho = _A * big_f * _t(phi) ** n
+        rho = a * big_f * _t(phi, e2) ** n
         th = n * lam
         return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
 
@@ -299,8 +342,9 @@ def lcc_2sp(lat1: float, lat2: float, lat0: float, lon0: float,
         yp = rho0 - (np.asarray(y, np.float64) - fn)
         rho = np.sign(n) * np.hypot(xp, yp)
         th = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
-        t = (rho / (_A * big_f)) ** (1 / n)
-        return np.degrees(th / n) + lon0, np.degrees(_phi_from_t(t))
+        t = (rho / (a * big_f)) ** (1 / n)
+        return (np.degrees(th / n) + lon0,
+                np.degrees(_phi_from_t(t, e2)))
 
     return fwd, inv
 
@@ -414,8 +458,119 @@ def polar_stereo(lat_ts: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
-# EPSG registry of supported non-UTM projected CRS (all on
-# WGS84-equivalent datums; parameters from the public EPSG registry)
+# --------------------------------------------------------------------
+# datum shifts: geodetic <-> geocentric + 7-parameter Helmert
+# (the transform family PROJ applies inside OGRProjCT,
+# ogr/ogrct.cpp:665; formulas are the public EPSG guidance-note-7-2
+# methods 9606 position vector / 9603 geocentric translations)
+# --------------------------------------------------------------------
+
+
+def geodetic_to_ecef(lon, lat, ell: Ellipsoid):
+    """(deg, deg, h=0) -> geocentric cartesian meters."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    s = np.sin(phi)
+    nu = ell.a / np.sqrt(1 - ell.e2 * s * s)
+    cphi = np.cos(phi)
+    return (nu * cphi * np.cos(lam), nu * cphi * np.sin(lam),
+            nu * (1 - ell.e2) * s)
+
+
+def ecef_to_geodetic(x, y, z, ell: Ellipsoid):
+    """Geocentric cartesian -> (lon, lat) degrees at h~0 (Bowring's
+    closed form; sub-mm for near-surface points)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    b = ell.a * (1 - ell.f)
+    ep2 = (ell.a**2 - b**2) / b**2
+    p = np.hypot(x, y)
+    th = np.arctan2(z * ell.a, p * b)
+    phi = np.arctan2(z + ep2 * b * np.sin(th) ** 3,
+                     p - ell.e2 * ell.a * np.cos(th) ** 3)
+    return np.degrees(np.arctan2(y, x)), np.degrees(phi)
+
+
+def helmert_7(x, y, z, tx, ty, tz, rx_as, ry_as, rz_as, s_ppm):
+    """7-parameter Helmert, POSITION VECTOR rotation convention
+    (EPSG method 9606; rotations in arc-seconds, scale in ppm)."""
+    rx = np.radians(rx_as / 3600.0)
+    ry = np.radians(ry_as / 3600.0)
+    rz = np.radians(rz_as / 3600.0)
+    m = 1.0 + s_ppm * 1e-6
+    x2 = tx + m * (x - rz * y + ry * z)
+    y2 = ty + m * (rz * x + y - rx * z)
+    z2 = tz + m * (-ry * x + rx * y + z)
+    return x2, y2, z2
+
+
+class Datum:
+    """Ellipsoid + Helmert parameters TO WGS84 (position vector).
+    The inverse applies negated parameters — second-order error
+    O(rot*scale) < 0.1 mm for real-world parameter sizes."""
+
+    __slots__ = ("ell", "params")
+
+    def __init__(self, ell: Ellipsoid, params: tuple):
+        self.ell = ell
+        self.params = params
+
+    def to_wgs84(self, lon, lat):
+        x, y, z = geodetic_to_ecef(lon, lat, self.ell)
+        x, y, z = helmert_7(x, y, z, *self.params)
+        return ecef_to_geodetic(x, y, z, WGS84)
+
+    def from_wgs84(self, lon, lat):
+        x, y, z = geodetic_to_ecef(lon, lat, WGS84)
+        x, y, z = helmert_7(x, y, z, *[-p for p in self.params])
+        return ecef_to_geodetic(x, y, z, self.ell)
+
+
+# EPSG-published datum->WGS84 parameters (position vector):
+# OSGB36 -> WGS84: EPSG tfm 1314 (OSTN-free single Helmert, ~2 m)
+OSGB36 = Datum(AIRY1830, (446.448, -125.157, 542.060,
+                          0.1502, 0.2470, 0.8421, -20.4894))
+# NAD27 -> WGS84 (CONUS): EPSG tfm 1173, geocentric translations
+# (~10 m vs NADCON grids)
+NAD27 = Datum(CLARKE1866, (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0))
+# BD72 (Reseau National Belge 1972) -> WGS84: EPSG tfm 15929 (~0.2 m)
+BD72 = Datum(INTL1924, (-106.8686, 52.2978, -103.7239,
+                        0.3366, -0.4570, 1.8422, -1.2747))
+
+
+def tm_crs(lat0: float, lon0: float, k0: float, fe: float, fn: float,
+           ell: Ellipsoid):
+    """Transverse-Mercator CRS with a natural-origin latitude (e.g.
+    British National Grid's 49N): false offsets absorb the northing
+    of the origin parallel."""
+    # origin northing is evaluated ON the central meridian
+    _, y0 = tm_forward(np.array([lon0]), np.array([lat0]), lon0,
+                       ell, k0)
+    y0 = float(y0[0])
+
+    def fwd(lon, lat):
+        x, y = tm_forward(lon, lat, lon0, ell, k0)
+        return x + fe, y - y0 + fn
+
+    def inv(x, y):
+        return tm_inverse(np.asarray(x, np.float64) - fe,
+                          np.asarray(y, np.float64) - fn + y0,
+                          lon0, ell, k0)
+
+    return fwd, inv
+
+
+def _ident_pair():
+    def f(a, b):
+        return np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return f, f
+
+
+# EPSG registry of supported non-UTM projected CRS (parameters from
+# the public EPSG registry).  Entries return (fwd, inv) on a
+# WGS84-equivalent datum, or (fwd, inv, datum) when a Helmert shift
+# applies — _registry_fns composes the shift through the 4326 hub.
 _PROJ_REGISTRY = {
     # RGF93 / Lambert-93 (France)
     2154: lambda: lcc_2sp(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
@@ -427,11 +582,53 @@ _PROJ_REGISTRY = {
     3031: lambda: polar_stereo(-71.0, 0.0, 0.0, 0.0, south=True),
     # WGS84 / NSIDC Sea Ice Polar Stereographic North (lat_ts 70)
     3413: lambda: polar_stereo(70.0, -45.0, 0.0, 0.0, south=False),
+    # --- datum-shifted CRS (Helmert through the 4326 hub) ---
+    # OSGB36 / British National Grid
+    27700: lambda: (*tm_crs(49.0, -2.0, 0.9996012717,
+                            400000.0, -100000.0, AIRY1830), OSGB36),
+    # OSGB36 geographic
+    4277: lambda: (*_ident_pair(), OSGB36),
+    # NAD27 / UTM zone 17N
+    26717: lambda: (*_utm_pair(-81.0, 0.0, CLARKE1866), NAD27),
+    # NAD27 geographic
+    4267: lambda: (*_ident_pair(), NAD27),
+    # Belge 1972 / Belgian Lambert 72
+    31370: lambda: (*lcc_2sp(51.16666723, 49.8333339, 90.0,
+                             4.367486667, 150000.013, 5400088.438,
+                             INTL1924), BD72),
+    # Belge 1972 geographic
+    4313: lambda: (*_ident_pair(), BD72),
 }
 _PROJ_CACHE: dict = {}
 
 
+def _utm_pair(lon0: float, fn: float, ell: Ellipsoid):
+    def fwd(lon, lat):
+        x, y = tm_forward(lon, lat, lon0, ell, _K0)
+        return x + _FE, y + fn
+
+    def inv(x, y):
+        return tm_inverse(np.asarray(x, np.float64) - _FE,
+                          np.asarray(y, np.float64) - fn, lon0, ell,
+                          _K0)
+    return fwd, inv
+
+
 def _registry_fns(code: int):
     if code not in _PROJ_CACHE and code in _PROJ_REGISTRY:
-        _PROJ_CACHE[code] = _PROJ_REGISTRY[code]()
+        entry = _PROJ_REGISTRY[code]()
+        if len(entry) == 2:
+            _PROJ_CACHE[code] = entry
+        else:
+            fwd, inv, datum = entry
+
+            def from4326(lon, lat, _f=fwd, _d=datum):
+                lo, la = _d.from_wgs84(lon, lat)
+                return _f(lo, la)
+
+            def to4326(x, y, _i=inv, _d=datum):
+                lo, la = _i(x, y)
+                return _d.to_wgs84(lo, la)
+
+            _PROJ_CACHE[code] = (from4326, to4326)
     return _PROJ_CACHE.get(code)

@@ -59,7 +59,11 @@ def test_supported():
     for code in ("EPSG:2154", "EPSG:5070", "EPSG:3035", "EPSG:3031",
                  "EPSG:3413"):
         assert crs.supported(code)
-    assert not crs.supported("EPSG:27700")  # datum-shifted: out of scope
+    # datum-shifted CRS supported since round 3 (Helmert hub)
+    for code in ("EPSG:27700", "EPSG:26717", "EPSG:31370",
+                 "EPSG:4277", "EPSG:4267", "EPSG:4313"):
+        assert crs.supported(code)
+    assert not crs.supported("EPSG:9999")
 
 
 def test_warp_utm_to_4326_matches_single_array(spark):
@@ -150,3 +154,130 @@ def test_albers_preserves_area():
     n = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
     area_true = np.radians(d) * m * np.radians(d) * n * np.cos(phi)
     assert area_proj / area_true == pytest.approx(1.0, abs=1e-5)
+
+
+def test_osgb36_projection_anchor():
+    """OS worked example (A guide to coordinate systems in Great
+    Britain, Annex C): OSGB36 geodetic -> National Grid to 0.5 mm."""
+    import numpy as np
+
+    from gdal_spark.functions import crs
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    fwd, inv = crs.tm_crs(49.0, -2.0, 0.9996012717,
+                          400000.0, -100000.0, crs.AIRY1830)
+    x, y = fwd(np.array([lon]), np.array([lat]))
+    assert abs(x[0] - 651409.903) < 5e-4
+    assert abs(y[0] - 313177.270) < 5e-4
+    lon2, lat2 = inv(x, y)
+    assert abs(lon2[0] - lon) < 1e-11
+    assert abs(lat2[0] - lat) < 1e-11
+
+
+def test_greenwich_datum_shift_anchor():
+    """The OSGB36 zero meridian sits ~5.3 arcsec (~102 m) east of the
+    WGS84 meridian at Greenwich — the most publicized datum-shift
+    anchor; single-Helmert tolerance is a few arcsec tenths."""
+    import numpy as np
+
+    from gdal_spark.functions import crs
+
+    lon, lat = crs.OSGB36.to_wgs84(np.array([0.0]),
+                                   np.array([51.4778]))
+    assert -0.0020 < lon[0] < -0.0010          # ~ -0.00147 deg
+    assert abs(lat[0] - 51.4778) < 0.002
+
+
+def test_datum_crs_roundtrips():
+    """Projected + geographic datum CRS round-trip through the 4326
+    hub to < 5 mm (Helmert inverse second-order + series order)."""
+    import numpy as np
+
+    from gdal_spark.functions import crs
+
+    cases = {
+        "EPSG:27700": (np.array([400000.0, 651409.9]),
+                       np.array([300000.0, 313177.3]), 5e-3),
+        "EPSG:26717": (np.array([500000.0, 630000.0]),
+                       np.array([4500000.0, 4700000.0]), 5e-3),
+        "EPSG:31370": (np.array([150000.0, 200000.0]),
+                       np.array([170000.0, 120000.0]), 5e-3),
+        "EPSG:4277": (np.array([1.5, -3.0]),
+                      np.array([51.0, 55.0]), 1e-7),
+        "EPSG:4267": (np.array([-98.0, -81.0]),
+                      np.array([39.0, 42.0]), 1e-7),
+        "EPSG:4313": (np.array([4.35, 5.5]),
+                      np.array([50.85, 50.0]), 1e-7),
+    }
+    for code, (xs, ys, tol) in cases.items():
+        lon, lat = crs.to_4326(code)(xs, ys)
+        x2, y2 = crs.from_4326(code)(lon, lat)
+        assert np.abs(x2 - xs).max() < tol, code
+        assert np.abs(y2 - ys).max() < tol, code
+        assert crs.supported(code)
+
+
+def test_datum_shift_magnitudes():
+    """Shift magnitudes at well-known places fall in the published
+    ranges (OSGB36 ~120 m East Anglia, NAD27 ~30 m Kansas,
+    BD72 ~110 m Brussels)."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark.functions import crs
+
+    def shift_m(datum, lon, lat):
+        lo, la = datum.to_wgs84(np.array([lon]), np.array([lat]))
+        return math.hypot((lo[0] - lon) * 111320
+                          * math.cos(math.radians(lat)),
+                          (la[0] - lat) * 111320)
+
+    assert 80 < shift_m(crs.OSGB36, 1.7, 52.66) < 180
+    assert 10 < shift_m(crs.NAD27, -98.0, 39.0) < 120
+    assert 60 < shift_m(crs.BD72, 4.35, 50.85) < 160
+
+
+def test_warp_osgb_to_4326(spark):
+    """Raster warp across a DATUM SHIFT (EPSG:27700 -> 4326, Airy ->
+    WGS84 via Helmert): distributed result equals the single-array
+    reference path, same pattern as the UTM warp test."""
+    import numpy as np
+
+    from gdal_spark.operators.rasterize import GridSpec, assemble_raster
+    from gdal_spark.operators.warp import (
+        resample_patch, tiles_from_array, transform_fn, warp_tiles,
+    )
+
+    sw, sh = 128, 128
+    # ~1 km pixels over southern England in British National Grid
+    src_grid = GridSpec(400000.0, 300000.0, 1000.0, 1000.0, sw, sh)
+    ii, jj = np.meshgrid(np.arange(sw), np.arange(sh))
+    arr = (np.cos(ii / 11.0) * 30 + jj * 0.5 + 60).astype(np.float64)
+    tiles, _, _ = tiles_from_array(spark, arr, tile_size=64)
+
+    inv = transform_fn("EPSG:27700", "EPSG:4326")   # dst->src world
+    fwd = transform_fn("EPSG:4326", "EPSG:27700")   # src->dst world
+    cx = np.array([400000.0, 528000.0, 400000.0, 528000.0])
+    cy = np.array([172000.0, 172000.0, 300000.0, 300000.0])
+    lons, lats = fwd(cx, cy)
+    dw, dh = 150, 120
+    dst_grid = GridSpec(lons.min(), lats.max(),
+                        (lons.max() - lons.min()) / dw,
+                        (lats.max() - lats.min()) / dh, dw, dh)
+
+    out = warp_tiles(tiles, src_grid, dst_grid,
+                     "EPSG:27700", "EPSG:4326",
+                     resample="near", nodata=-1.0, tile_size=64)
+    got = assemble_raster(out.toPandas(), dst_grid)
+
+    jj2, ii2 = np.mgrid[0:dh, 0:dw]
+    wx = dst_grid.x0 + (ii2 + 0.5) * dst_grid.px_w
+    wy = dst_grid.y1 - (jj2 + 0.5) * dst_grid.px_h
+    sxw, syw = inv(wx, wy)
+    spx = (sxw - src_grid.x0) / src_grid.px_w
+    spy = (src_grid.y1 - syw) / src_grid.px_h
+    want = resample_patch(arr, 0, 0, spx, spy, "near", -1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+    assert (got != -1.0).sum() > 0.5 * got.size
