@@ -1155,18 +1155,27 @@ def _golden_oracles() -> dict[str, str]:
     except ImportError:
         return {}
     dbl_cols = {"value", "level", "level_min", "level_max"}
+    str_cols = {"source"}
+
+    def lit(c, v):
+        if c in dbl_cols:
+            return f"CAST({v!r} AS DOUBLE)"
+        if c in str_cols:
+            esc = str(v).replace("'", "''")
+            return f"'{esc}'"
+        return f"({int(v)})"
+
     out = {}
     for name, (cols, rows) in GOLDENS.items():
         if not rows:
             continue
         body = ", ".join(
-            "(" + ", ".join(
-                (f"CAST({v!r} AS DOUBLE)" if c in dbl_cols
-                 else str(int(v)))
-                for c, v in zip(cols, row)) + ")"
+            "(" + ", ".join(lit(c, v) for c, v in zip(cols, row)) + ")"
             for row in rows)
         sel = ", ".join(
-            (c if c in dbl_cols else f"CAST({c} AS BIGINT) AS {c}")
+            (c if c in dbl_cols
+             else f"CAST({c} AS VARCHAR) AS {c}" if c in str_cols
+             else f"CAST({c} AS BIGINT) AS {c}")
             for c in cols)
         order = ", ".join(cols)
         out[name] = (f"SELECT {sel} FROM (VALUES {body})"
@@ -1662,10 +1671,10 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(o_totalprice), 4) AS avg_price
             FROM orders WHERE o_orderpriority = '1-URGENT'
         """,
-        # q19/q20 (minhash/simhash signatures) stay rows-only: their
-        # deep parity is asserted in pytest (recall fixtures); the
-        # former rows-only checksum queries (q23/q24/q25/q29/q33/q34)
-        # are pinned above by single-array-kernel golden tables.
+        # every query is oracle-paired: q19/q20 and the checksum
+        # queries (q23/q24/q25/q29/q33/q34) are pinned by literal
+        # golden tables derived single-node in tools/make_goldens.py
+        # (no distributed code involved) — see _golden_oracles.
     })
     return out
 

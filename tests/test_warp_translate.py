@@ -118,3 +118,51 @@ def test_warp_4326_3857_samples_correctly(spark):
     want = np.where(inside, arr[np.clip(sy, 0, h4 - 1),
                                 np.clip(sx, 0, w4 - 1)], -1.0)
     np.testing.assert_array_equal(got[jj, ii], want)
+
+
+def test_cutline_clip_blend_matches_single_array(spark):
+    """Cutline clip with blend distance (gdalcutline.cpp:397
+    semantics): distributed tiles == the single-array kernel
+    (rasterize mask -> signed EDT -> feathered alpha -> blend),
+    for both the hard cut and a fractional blend."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.cutline import blend_alpha, cutline_clip
+    from gdal_spark.operators.rasterize import (
+        GridSpec, assemble_raster, rasterize_chunk,
+    )
+    from gdal_spark.operators.warp import tiles_from_array
+
+    ts = 64
+    w = h = 3 * ts
+    grid = GridSpec(0.0, float(h), 1.0, 1.0, w, h)
+    rng = np.random.RandomState(5)
+    src = rng.randint(1, 255, (h, w)).astype(np.float64)
+    tiles, _, _ = tiles_from_array(spark, src, tile_size=ts)
+
+    ring = np.array([(20.0, 30.0), (170.0, 50.0), (150.0, 160.0),
+                     (60.0, 170.0), (20.0, 30.0)])
+    cut = pd.DataFrame({"fid": np.array([0], dtype=np.int64),
+                        "geometry": [polygon_wkb([ring])]})
+
+    # single-array oracle, zero-padded k beyond the raster edge
+    ring_px = np.column_stack([ring[:, 0] - grid.x0,
+                               grid.y1 - ring[:, 1]])
+    mask_arr = rasterize_chunk((h, w), [([ring_px], 1.0)],
+                               "uint8") > 0
+    for blend in (0.0, 3.5):
+        k = max(1, int(np.ceil(blend)))
+        padded = np.zeros((h + 2 * k, w + 2 * k), dtype=bool)
+        padded[k:-k, k:-k] = mask_arr
+        alpha = blend_alpha(padded, blend)[k:-k, k:-k]
+        want = alpha * src + (1 - alpha) * (-9.0)
+
+        out = cutline_clip(spark, tiles, cut, grid, blend_px=blend,
+                           nodata=-9.0, tile_size=ts)
+        got = assemble_raster(out.toPandas(), grid)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+        if blend > 0:
+            frac = (alpha > 0) & (alpha < 1)
+            assert frac.sum() > 100  # feather band actually exercised

@@ -237,6 +237,93 @@ def q34_golden(con):
     return (["level", "n_segments"], [[0.5, int(len(segs))]])
 
 
+def q19_golden(con):
+    """Single-node re-derivation of minhash-LSH dedup (threshold 0.6,
+    the q19 parameters): same gram stream, same seeded permutations,
+    banding by the signature-slice VALUES (Spark buckets on
+    xxhash64(slice) — same grouping up to 2^-64 collisions), star
+    pairs, estimate prefilter, exact n-gram Jaccard verify, drop every
+    key that is the larger side of a verified pair.  numpy/pandas
+    only — no SparkSession."""
+    import pandas as pd
+
+    from gdal_spark.operators.dedup import (
+        _MERSENNE, _gram_stream, _shingle_hashes,
+    )
+
+    docs = con.execute(
+        "SELECT doc_id, text, source FROM documents ORDER BY doc_id"
+    ).fetchdf()
+    num_hashes, shingle, bands, threshold, seed = 64, 5, 16, 0.6, 42
+    rows_per_band = num_hashes // bands
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes,
+                    dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes,
+                    dtype=np.int64).astype(np.uint64)
+    flat, bounds = _gram_stream(docs["text"], shingle)
+    mins = np.empty((num_hashes, len(docs)), dtype=np.uint64)
+    for i in range(num_hashes):
+        hv = (a[i] * flat + b[i]) % _MERSENNE
+        mins[i] = np.minimum.reduceat(hv, bounds[:-1])
+    sigs = mins.astype(np.int64).T                      # (n, H)
+    keys = docs["doc_id"].to_numpy(np.int64)
+
+    pairs = set()
+    for band in range(bands):
+        sl = sigs[:, band * rows_per_band:(band + 1) * rows_per_band]
+        buckets: dict = {}
+        for i in range(len(keys)):
+            buckets.setdefault(tuple(sl[i]), []).append(i)
+        for members in buckets.values():
+            rep = min(members, key=lambda i: keys[i])
+            for m in members:
+                if keys[m] != keys[rep]:
+                    pairs.add((int(keys[rep]), int(keys[m])))
+    idx = {int(k): i for i, k in enumerate(keys)}
+    est_keep = [
+        (pa, pb) for pa, pb in pairs
+        if (sigs[idx[pa]] == sigs[idx[pb]]).mean()
+        >= max(threshold - 0.25, 0.0)
+    ]
+    shingles = _shingle_hashes(docs["text"], shingle)
+    drop = set()
+    for pa, pb in est_keep:
+        sa, sb = shingles[idx[pa]], shingles[idx[pb]]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= threshold:
+            drop.add(pb)
+    out = docs[~docs["doc_id"].isin(drop)].sort_values("doc_id")
+    return (["doc_id", "source"],
+            [[int(d), str(s)] for d, s in
+             zip(out["doc_id"], out["source"])])
+
+
+def q20_golden(con):
+    """Single-node simhash signatures (shingle=4) — the same
+    splitmix-spread sign-sum as the distributed kernel, over the
+    shared gram-stream helper."""
+    from gdal_spark.operators.dedup import _shingle_hashes
+
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchdf()
+    shingles = _shingle_hashes(docs["text"], 4)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    rows = []
+    for did, grams in zip(docs["doc_id"], shingles):
+        g = grams * np.uint64(0x9E3779B97F4A7C15)
+        g ^= g >> np.uint64(31)
+        bits = (g[:, None] >> bit_idx[None, :]) & np.uint64(1)
+        score = bits.sum(axis=0) * 2 - len(g)
+        word = np.uint64(0)
+        for bi in np.nonzero(score > 0)[0]:
+            word |= np.uint64(1) << np.uint64(bi)
+        rows.append([int(did), int(np.int64(word.astype(np.int64)))])
+    return (["doc_id", "simhash"], rows)
+
+
 def main() -> None:
     con = duckdb.connect()
     for t in entry.TABLES:
@@ -249,6 +336,8 @@ def main() -> None:
         "q29_dem_hillshade": q29_golden(con),
         "q33_proximity": q33_golden(),
         "q34_contour": q34_golden(con),
+        "q19_minhash_lsh_dedup": q19_golden(con),
+        "q20_simhash": q20_golden(con),
     }
     path = os.path.join(ROOT, "goldens_sf001.py")
     with open(path, "w") as f:
