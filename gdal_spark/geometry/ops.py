@@ -201,7 +201,8 @@ def simplify_preserve_topology(rings: list[np.ndarray], tol: float,
             t /= 2.0
         if cand is None:
             cand = np.asarray(ring, dtype=np.float64)
-        # holes must stay inside the (simplified) shell and not cross
+        # holes must stay inside the (simplified) shell and not
+        # cross; retried candidates must also stay SIMPLE
         if idx > 0 and out:
             shell = out[0]
             t = tol
@@ -210,8 +211,23 @@ def simplify_preserve_topology(rings: list[np.ndarray], tol: float,
                 t /= 2.0
                 cand = douglas_peucker(
                     np.asarray(ring, dtype=np.float64), t)
+                if len(cand) < 5 or _ring_self_intersects(cand):
+                    # a finer tolerance reintroduced an invalid
+                    # hole: skip straight to the original ring
+                    t = 0.0
                 if t < tol / (2 ** max_halvings):
                     cand = np.asarray(ring, dtype=np.float64)
                     break
+            if (_seg_cross_any(segs(cand), segs(shell))
+                    or not ring_contains_ring(shell, cand)):
+                # even the ORIGINAL hole conflicts with the
+                # simplified shell: validity wins over vertex
+                # count — revert the shell (and every previously
+                # accepted hole was valid against the original
+                # shell by construction, so re-base them)
+                out = [np.asarray(rings[0], dtype=np.float64)] + [
+                    np.asarray(rings[j + 1], dtype=np.float64)
+                    for j in range(len(out) - 1)
+                ]
         out.append(cand)
     return out

@@ -265,11 +265,19 @@ def _grid_all_points(points: DataFrame, grid: GridSpec, algorithm: str,
                     acc_a[s:e] += wgt.sum(axis=1)
                     acc_b[s:e] += (wgt * vs[None, :]).sum(axis=1)
                 else:
-                    k = np.argmin(d2, axis=1)
-                    dk = d2[np.arange(e - s), k]
-                    closer = dk < acc_a[s:e]
-                    acc_a[s:e] = np.where(closer, dk, acc_a[s:e])
-                    acc_b[s:e] = np.where(closer, vs[k], acc_b[s:e])
+                    # deterministic tie-break: among equidistant
+                    # points take the SMALLEST VALUE, so the output
+                    # cannot depend on partition arrival order (the
+                    # distributed == single-array golden invariant)
+                    dk = d2.min(axis=1)
+                    vk = np.where(d2 == dk[:, None], vs[None, :],
+                                  np.inf).min(axis=1)
+                    cur_a = acc_a[s:e]
+                    cur_b = acc_b[s:e]
+                    closer = (dk < cur_a) | ((dk == cur_a)
+                                             & (vk < cur_b))
+                    acc_a[s:e] = np.where(closer, dk, cur_a)
+                    acc_b[s:e] = np.where(closer, vk, cur_b)
         if not seen:
             return
         # emit per-tile partial rows
@@ -313,7 +321,9 @@ def _grid_all_points(points: DataFrame, grid: GridSpec, algorithm: str,
             for a_buf, b_buf in zip(pdf["a"], pdf["b"]):
                 da = np.frombuffer(a_buf, np.float64).reshape(h, w)
                 va = np.frombuffer(b_buf, np.float64).reshape(h, w)
-                closer = da < dmin
+                # same (distance, value) lexicographic rule as the
+                # partial pass — reduce order cannot change the result
+                closer = (da < dmin) | ((da == dmin) & (va < vmin))
                 dmin = np.where(closer, da, dmin)
                 vmin = np.where(closer, va, vmin)
             out = vmin

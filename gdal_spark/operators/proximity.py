@@ -392,6 +392,7 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
 
     # iterative distributed merge over component roots
     roots = sizes.select("label", F.col("label").alias("root")).cache()
+    converged = False
     for _ in range(20):
         eff = roots.join(sizes, "label").groupBy("root") \
             .agg(F.sum("n_pix").alias("eff"))
@@ -423,6 +424,7 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
         ).select(F.col("ra").alias("root"),
                  (-F.col("tk.negid")).alias("tgt")).cache()
         if moved.limit(1).count() == 0:
+            converged = True
             break
         stepped = roots.join(moved, "root", "left").select(
             "label", F.coalesce("tgt", F.col("root")).alias("root"))
@@ -434,6 +436,18 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
         roots = stepped.join(jump, "root", "left").select(
             "label", F.coalesce("root2", F.col("root")).alias("root")
         ).localCheckpoint()
+
+    if not converged:
+        # the 20-round cap is a guard (pointer jumping contracts
+        # ~2^20-long merge chains), not the convergence criterion: a
+        # silent early exit would be an unflagged parity break vs
+        # GDALSieveFilter's run-to-fixpoint union-find
+        import warnings
+
+        warnings.warn(
+            "sieve merge hit the 20-round cap before convergence; "
+            "undersized components may remain unmerged",
+            RuntimeWarning, stacklevel=2)
 
     final = roots.join(
         sizes.select(F.col("label").alias("root"),

@@ -210,3 +210,35 @@ def test_poly_op_union_with_holes():
            & ~((X >= 8) & (X <= 12) & (Y >= 4) & (Y <= 6)))
     want = (inA | inB).mean() * 150
     assert abs(got - want) < 0.1
+
+
+def test_simplify_topology_shell_fallback():
+    """When even the ORIGINAL hole conflicts with the simplified
+    shell, the shell reverts to the original ring: validity is never
+    traded for vertex count (TopologyPreservingSimplifier contract)."""
+    import numpy as np
+
+    from gdal_spark.geometry.ops import simplify_preserve_topology
+    from gdal_spark.geometry.overlay import (
+        ring_contains_ring, _seg_cross_any,
+    )
+
+    # shell: square with a small outward BUMP on the top edge;
+    # tolerance 2 straightens the bump away, which SHRINKS the
+    # polygon across the hole placed inside the bump
+    shell = np.array([
+        (0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+        (6.0, 10.0), (5.0, 11.5), (4.0, 10.0),
+        (0.0, 10.0), (0.0, 0.0),
+    ])
+    hole = np.array([(4.6, 10.2), (5.4, 10.2), (5.0, 11.0),
+                     (4.6, 10.2)])
+    out = simplify_preserve_topology([shell, hole], tol=2.0)
+    def segs(r):
+        rr = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+        return np.stack([rr[:-1], rr[1:]], axis=1)
+    # invariants: hole inside shell, no crossing — always
+    assert ring_contains_ring(out[0], out[1])
+    assert not _seg_cross_any(segs(out[0]), segs(out[1]))
+    # the shell reverted (the simplified square would exclude the hole)
+    assert len(out[0]) >= 8

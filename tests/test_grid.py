@@ -89,3 +89,25 @@ def test_sample_at_points_near_and_bilinear(spark):
               + arr[y0 + 1, x0 + 1] * tx * ty)
     np.testing.assert_allclose(bil["sample"].to_numpy(), want_b,
                                rtol=1e-12)
+
+
+def test_nearest_tie_break_deterministic(spark):
+    """Two points exactly equidistant from a pixel center must
+    resolve by the (distance, value) lexicographic rule — the same
+    result for every partitioning / point order."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.grid import grid_interpolate
+    from gdal_spark.operators.rasterize import (
+        GridSpec, assemble_raster,
+    )
+
+    grid = GridSpec(0.0, 2.0, 2.0, 2.0, 1, 1)  # one pixel, center (1,1)
+    for order in ([(0.0, 1.0, 9.0), (2.0, 1.0, 4.0)],
+                  [(2.0, 1.0, 4.0), (0.0, 1.0, 9.0)]):
+        pts = spark.createDataFrame(
+            pd.DataFrame(order, columns=["x", "y", "v"])).repartition(2)
+        out = grid_interpolate(pts, grid, "nearest", radius=0.0)
+        arr = assemble_raster(out.toPandas(), grid)
+        assert arr[0, 0] == 4.0  # smaller value wins the exact tie

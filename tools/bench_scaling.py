@@ -27,7 +27,7 @@ Protocol (declared up front; all numbers below follow it):
   ceiling the join protocol isolates).
 
 * Inputs are sized so every timed stage runs multiple seconds per
-  config (32M join pages / 16M tiling pages at the defaults); every
+  config (64M join pages / 16M tiling pages at the defaults); every
   number is the best of BENCH_REPS warm in-process repetitions
   (pytest-benchmark's min-time convention; the box drifts 10-40%).
 

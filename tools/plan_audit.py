@@ -126,6 +126,67 @@ def main() -> None:
                    "CartesianProduct" not in p5
                    and "BroadcastNestedLoopJoin" not in p5))
 
+    # polygon x polygon ST_Intersects with a LARGE method layer: the
+    # distributed cell-cover fallback (no driver collect anywhere) —
+    # a shuffle equi-join on cell, never a nested-loop pair scan
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.spatial_join import (
+        spatial_join_polygons_intersect_big,
+    )
+
+    def _sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)])
+
+    rect_rows = pd.DataFrame({
+        "fid": np.arange(64, dtype=np.int64),
+        "geometry": [polygon_wkb([_sq(i % 8 * 3.0, i // 8 * 3.0,
+                                      i % 8 * 3.0 + 2.0,
+                                      i // 8 * 3.0 + 2.0)])
+                     for i in range(64)],
+    })
+    big_a = spark.createDataFrame(rect_rows)
+    big_b = spark.createDataFrame(rect_rows)
+    p6 = plan_of(spatial_join_polygons_intersect_big(
+        spark, big_a, big_b).groupBy("method_fid").count())
+    sections.append(("polygon x polygon join, big method layer "
+                     "(cell-cover equi-join, corner-cell dedup)", p6))
+    checks.append(("big polygon join has no nested-loop pair scan",
+                   "BroadcastNestedLoopJoin" not in p6
+                   and "CartesianProduct" not in p6))
+    checks.append(("big polygon join never collects to the driver",
+                   "CollectLimit" not in p6))
+
+    # overlay_general's bbox prefilter must stay O(1) in expression
+    # size at ANY method count (broadcast LEFT SEMI, not an OR chain)
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    meth_rows = pd.DataFrame({
+        "fid": np.arange(2000, dtype=np.int64),
+        "geometry": [polygon_wkb([_sq(float(i % 50) * 2.0,
+                                      float(i // 50) * 2.0,
+                                      float(i % 50) * 2.0 + 1.5,
+                                      float(i // 50) * 2.0 + 1.5)])
+                     for i in range(2000)],
+    })
+    inp = spark.createDataFrame(pd.DataFrame({
+        "fid": np.arange(4, dtype=np.int64),
+        "geometry": [polygon_wkb([_sq(0.2, 0.2, 0.9, 0.9)])] * 4,
+        "x0": [0.2] * 4, "y0": [0.2] * 4,
+        "x1": [0.9] * 4, "y1": [0.9] * 4,
+    }))
+    ov = overlay_general(spark, inp, meth_rows, "intersection",
+                         bbox_cols=("x0", "y0", "x1", "y1"))
+    p7_opt = ov._jdf.queryExecution().optimizedPlan().toString()
+    sections.append(("overlay_general prefilter @ 2000 method "
+                     "features (optimized plan head)",
+                     "\n".join(p7_opt.splitlines()[:40])))
+    checks.append(("overlay prefilter is not a per-feature OR chain "
+                   f"(plan mentions bbox cols {p7_opt.count('_mx0')}x"
+                   " < 20)", p7_opt.count("_mx0") < 20))
+    checks.append(("overlay prefilter uses a broadcast LEFT SEMI",
+                   "LeftSemi" in p7_opt))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
