@@ -231,3 +231,121 @@ def simplify_preserve_topology(rings: list[np.ndarray], tol: float,
                 ]
         out.append(cand)
     return out
+
+
+def concave_hull(points: np.ndarray, ratio: float = 0.3,
+                 max_iters: int = 100000) -> np.ndarray:
+    """Concave hull of a point set (closed ring, CCW).
+
+    OGRGeometry::ConcaveHull(ratio, allowHoles=False)
+    (ogr/ogrgeometry.cpp:4569) delegates to GEOS's Delaunay-erosion
+    hull; without a triangulator this uses the public edge-digging
+    formulation (Park & Oh 2012 / mapbox concaveman): start from the
+    convex hull and repeatedly replace the longest edge above the
+    length threshold with two edges through the interior point
+    nearest to it, provided both new edges are strictly shorter and
+    cross nothing.  ``ratio`` follows the GEOS maximum-edge-length
+    convention: threshold = min_edge + ratio * (max_edge - min_edge)
+    of the initial convex hull (ratio 1 -> convex hull, smaller ->
+    tighter).  Invariants shared with the reference: a simple
+    polygon, every input point inside or on it, area <= convex hull.
+    """
+    from gdal_spark.geometry.overlay import _seg_cross_any
+
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) < 3:
+        raise ValueError("concave hull needs >= 3 distinct points")
+    ch = convex_hull(pts)[:-1]                       # open, CCW
+    # hull as an index list into pts
+    def find_idx(v):
+        return int(np.where((np.abs(pts - v[None, :]) < 1e-12)
+                            .all(axis=1))[0][0])
+
+    hull = [find_idx(v) for v in ch]
+    on_hull = np.zeros(len(pts), dtype=bool)
+    on_hull[hull] = True
+    elens = np.sqrt(((ch - np.roll(ch, -1, axis=0)) ** 2).sum(axis=1))
+    thresh = float(elens.min()
+                   + np.clip(ratio, 0.0, 1.0)
+                   * (elens.max() - elens.min()))
+    undiggable: set = set()
+
+    for _ in range(max_iters):
+        n = len(hull)
+        hv = pts[np.array(hull)]
+        nxt = np.roll(hv, -1, axis=0)
+        lens = np.sqrt(((hv - nxt) ** 2).sum(axis=1))
+        order = np.argsort(-lens)
+        dug = False
+        for ei in order:
+            a_i, b_i = hull[ei], hull[(ei + 1) % n]
+            if lens[ei] <= thresh or (a_i, b_i) in undiggable:
+                continue
+            interior = np.flatnonzero(~on_hull)
+            if len(interior) == 0:
+                break
+            a, b = pts[a_i], pts[b_i]
+            d = point_segment_dist(pts[interior, 0], pts[interior, 1],
+                                   np.array([a, b]))
+            p_i = int(interior[np.argmin(d)])
+            p = pts[p_i]
+            la = float(np.hypot(*(p - a)))
+            lb = float(np.hypot(*(p - b)))
+            # strictly shorter edges guarantee termination
+            if max(la, lb) >= lens[ei]:
+                undiggable.add((a_i, b_i))
+                continue
+            new = np.array([[a, p], [p, b]])
+            others = np.stack(
+                [hv, nxt], axis=1)[np.arange(n) != ei]
+            # exclude edges incident to a or b (shared endpoints
+            # always "touch"); full-ring check against the rest
+            keep = []
+            for j in range(len(others)):
+                if (np.abs(others[j] - a[None, :]) < 1e-12)                         .all(axis=1).any() or                    (np.abs(others[j] - b[None, :]) < 1e-12)                         .all(axis=1).any():
+                    keep.append(False)
+                else:
+                    keep.append(True)
+            prior = others[np.array(keep, dtype=bool)]                 if any(keep) else np.zeros((0, 2, 2))
+            if len(prior) and _seg_cross_any(new, prior):
+                undiggable.add((a_i, b_i))
+                continue
+            hull.insert(ei + 1, p_i)
+            on_hull[p_i] = True
+            dug = True
+            break
+        if not dug:
+            break
+    ring = pts[np.array(hull)]
+    return np.vstack([ring, ring[:1]])
+
+
+def normalize_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """OGRGeometry::Normalize (ogr/ogrgeometry.cpp:4369 -> GEOS
+    Geometry::normalize): canonical vertex order so that equal
+    geometries compare equal —
+
+    * every ring is rotated to start at its lexicographically
+      smallest (x, y) vertex and closed;
+    * the exterior ring winds CW and holes CCW (the GEOS normal
+      form);
+    * holes are sorted by their start vertex.
+    """
+    from gdal_spark.geometry.packed import ring_signed_area
+
+    def norm_one(r: np.ndarray, ccw: bool) -> np.ndarray:
+        rr = np.asarray(r, dtype=np.float64)
+        if len(rr) and np.array_equal(rr[0], rr[-1]):
+            rr = rr[:-1]
+        if (ring_signed_area(np.vstack([rr, rr[:1]])) > 0) != ccw:
+            rr = rr[::-1]
+        i = int(np.lexsort((rr[:, 1], rr[:, 0]))[0])
+        rr = np.roll(rr, -i, axis=0)
+        return np.vstack([rr, rr[:1]])
+
+    if not rings:
+        return []
+    shell = norm_one(rings[0], ccw=False)         # exterior CW
+    holes = [norm_one(h, ccw=True) for h in rings[1:]]
+    holes.sort(key=lambda h: (h[0, 0], h[0, 1]))
+    return [shell] + holes

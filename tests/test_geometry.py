@@ -242,3 +242,67 @@ def test_simplify_topology_shell_fallback():
     assert not _seg_cross_any(segs(out[0]), segs(out[1]))
     # the shell reverted (the simplified square would exclude the hole)
     assert len(out[0]) >= 8
+
+
+def test_concave_hull_contract():
+    """ConcaveHull contract (ogrgeometry.cpp:4569): simple ring,
+    every point covered, area <= convex hull, ratio=1 == convex,
+    smaller ratio digs (strictly less area on a concave cloud)."""
+    import numpy as np
+
+    from gdal_spark.geometry.ops import (
+        _ring_self_intersects, concave_hull, convex_hull,
+    )
+    from gdal_spark.geometry.packed import ring_signed_area
+    from gdal_spark.geometry.pip import points_in_rings
+
+    rng = np.random.RandomState(0)
+    th = rng.uniform(0.5, 2 * np.pi - 0.5, 400)
+    r = rng.uniform(3.0, 5.0, 400)
+    pts = np.column_stack([np.cos(th) * r, np.sin(th) * r])
+    a_cv = abs(ring_signed_area(convex_hull(pts)))
+
+    full = concave_hull(pts, ratio=1.0)
+    assert abs(abs(ring_signed_area(full)) - a_cv) < 1e-9
+
+    dug = concave_hull(pts, ratio=0.1)
+    a_dug = abs(ring_signed_area(dug))
+    assert a_dug < a_cv
+    assert not _ring_self_intersects(dug)
+    inside = points_in_rings(pts[:, 0], pts[:, 1], [dug])
+    on_ring = np.zeros(len(pts), dtype=bool)
+    for v in dug[:-1]:
+        on_ring |= (np.abs(pts - v[None, :]) < 1e-12).all(axis=1)
+    assert (inside | on_ring).all()
+    assert ring_signed_area(dug) > 0  # CCW
+
+
+def test_normalize_canonical():
+    """Normalize (ogrgeometry.cpp:4369): rotated/reversed variants of
+    the same polygon normalize to identical vertex arrays; shell CW,
+    holes CCW, holes sorted by start vertex."""
+    import numpy as np
+
+    from gdal_spark.geometry.ops import normalize_rings
+    from gdal_spark.geometry.packed import ring_signed_area
+
+    sq = np.array([(0.0, 0), (0, 2), (2, 2), (2, 0), (0, 0)])
+    h1 = np.array([(0.4, 0.4), (0.4, 0.8), (0.8, 0.8), (0.8, 0.4),
+                   (0.4, 0.4)])
+    h2 = np.array([(1.2, 1.2), (1.6, 1.2), (1.6, 1.6), (1.2, 1.6),
+                   (1.2, 1.2)])
+    n1 = normalize_rings([sq, h2, h1])
+
+    def variant(r, k):
+        rr = np.roll(r[:-1][::-1], k, axis=0)
+        return np.vstack([rr, rr[:1]])
+
+    n2 = normalize_rings([variant(sq, 2), variant(h1, 1),
+                          variant(h2, 3)])
+    assert len(n1) == len(n2) == 3
+    for a, b in zip(n1, n2):
+        np.testing.assert_array_equal(a, b)
+    assert ring_signed_area(n1[0]) < 0          # shell CW
+    assert all(ring_signed_area(h) > 0 for h in n1[1:])  # holes CCW
+    # holes sorted by lexicographic start vertex
+    assert n1[1][0, 0] <= n1[2][0, 0]
