@@ -182,9 +182,49 @@ def main() -> None:
               "SELECT COUNT(st_buffer(geometry, CAST(0.5 AS DOUBLE)))"
               " AS n FROM bench_polys").collect())
 
+    # 7e. line-layer clip (round-3 lower-dimension layer algebra)
+    from gdal_spark.operators.layer_algebra import overlay_lines
+
+    lines_df = entrymod._overlay_lines_df(spark, SF_DIR)
+    timed("line_clip",
+          lambda: overlay_lines(spark, lines_df,
+                                entrymod._overlay_method_pdf(),
+                                "clip").count())
+
+    # 7f. cutline clip with blend distance over the z=6 density
+    from gdal_spark.geometry.wkb import polygon_wkb as _pw
+    from gdal_spark.operators.cutline import cutline_clip
+    from gdal_spark.operators.tiling import page_density_tiles
+
+    cut_tiles = page_density_tiles(
+        pages_coords_df(spark, int(1_000_000 * sf * mult)),
+        zoom=4).cache()
+    cut_tiles.count()
+    # continental-scale cutline (~1/10 of the world)
+    cring = np.array([(-6e6, -2e6), (2e6, -1.5e6), (1.5e6, 5e6),
+                      (-5e6, 4.5e6), (-6e6, -2e6)])
+    cut_pdf = pd.DataFrame({"fid": np.array([0], dtype=np.int64),
+                            "geometry": [_pw([cring])]})
+    from gdal_spark.operators.rasterize import GridSpec as _GS
+
+    zres = _geo.tile_span(4) / 256
+    cgrid = _GS(-_geo.ORIGIN, _geo.ORIGIN, zres, zres,
+                16 * 256, 16 * 256)
+    timed("cutline_blend",
+          lambda: cutline_clip(spark, cut_tiles, cut_pdf, cgrid,
+                               blend_px=3.0, nodata=0.0).count())
+    cut_tiles.unpersist()
+
     # 8. minhash dedup over documents
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())
+
+    # 8b. embedding-cosine dedup, banded-LSH 100-TB path
+    emb_d = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from gdal_spark.operators.similarity import embedding_dedup
+
+    timed("embedding_dedup_lsh",
+          lambda: embedding_dedup(emb_d, 0.95, method="lsh").count())
 
     # 9. ANN cosine top-k
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

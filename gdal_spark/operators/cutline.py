@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdal_spark.operators.proximity import (
-    assemble_halo_canvas, edt_squared, emit_halos_k,
+    assemble_halo_canvas, emit_halos_k,
 )
 from gdal_spark.operators.rasterize import GridSpec, rasterize
 from gdal_spark.operators.tiling import (
@@ -43,12 +43,40 @@ from gdal_spark.operators.tiling import (
 
 def blend_alpha(mask: np.ndarray, blend_px: float) -> np.ndarray:
     """Feathered alpha from a boolean inside-mask (single-array
-    reference kernel; the distributed path must reproduce it)."""
+    reference kernel; the distributed path must reproduce it).
+
+    Alpha only depends on distances <= blend_px (it saturates
+    beyond), so instead of a full EDT the signed distance comes from
+    an exact (2k+1)^2 window min-sweep of vectorized shifts — equal
+    output, and ~1000x cheaper per tile than the Python-loop EDT
+    when hundreds of small tiles land in one task."""
     if blend_px <= 0:
         return mask.astype(np.float64)
-    d_out2, _, _ = edt_squared(mask)        # dist to inside, for out px
-    d_in2, _, _ = edt_squared(~mask)        # dist to outside, for in px
-    signed = np.where(mask, np.sqrt(d_in2), -np.sqrt(d_out2))
+    k = int(np.ceil(blend_px))
+    h, w = mask.shape
+    d2_in = np.full((h, w), np.inf)    # nearest OUTSIDE px, for in px
+    d2_out = np.full((h, w), np.inf)   # nearest INSIDE px, for out px
+    inv = ~mask
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            dd = dy * dy + dx * dx
+            if dd == 0 or dd > k * k:
+                continue
+            ys0, ys1 = max(dy, 0), h + min(dy, 0)
+            xs0, xs1 = max(dx, 0), w + min(dx, 0)
+            # candidate window shifted by (dy, dx); beyond-array has
+            # no candidates (the EDT convention)
+            sl_dst = (slice(ys0, ys1), slice(xs0, xs1))
+            sl_src = (slice(ys0 - dy, ys1 - dy),
+                      slice(xs0 - dx, xs1 - dx))
+            d2_in[sl_dst] = np.where(
+                inv[sl_src], np.minimum(d2_in[sl_dst], dd),
+                d2_in[sl_dst])
+            d2_out[sl_dst] = np.where(
+                mask[sl_src], np.minimum(d2_out[sl_dst], dd),
+                d2_out[sl_dst])
+    with np.errstate(invalid="ignore"):
+        signed = np.where(mask, np.sqrt(d2_in), -np.sqrt(d2_out))
     return np.clip(0.5 + signed / (2.0 * blend_px), 0.0, 1.0)
 
 
@@ -70,7 +98,11 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
     mdat = mask.select("tile_x", "tile_y",
                        F.col("data").alias("m_data"),
                        F.col("dtype").alias("m_dtype"))
-    with_mask = keys.join(mdat, ["tile_x", "tile_y"], "left")
+    # explicit partitioning: AQE coalesces these small joins to ONE
+    # partition and would serialize every per-tile kernel downstream
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    with_mask = keys.join(mdat, ["tile_x", "tile_y"], "left") \
+        .repartition(par)
 
     def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -113,7 +145,7 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
         })
 
     alpha_tiles = (
-        halos.repartition("tile_x", "tile_y")
+        halos.repartition(par, "tile_x", "tile_y")
         .groupBy("tile_x", "tile_y")
         .applyInPandas(render_alpha, TILE_SCHEMA)
         .select("tile_x", "tile_y",
@@ -121,7 +153,8 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
                 F.col("dtype").alias("a_dtype"))
     )
 
-    blended_in = src_tiles.join(alpha_tiles, ["tile_x", "tile_y"])
+    blended_in = src_tiles.join(alpha_tiles, ["tile_x", "tile_y"]) \
+        .repartition(par)
 
     def blend(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
