@@ -367,8 +367,10 @@ def albers_2sp(lat1: float, lat2: float, lat0: float, lon0: float,
     def inv(x, y):
         xp = np.asarray(x, np.float64) - fe
         yp = rho0 - (np.asarray(y, np.float64) - fn)
-        rho = np.hypot(xp, yp)
-        th = np.arctan2(xp, yp)
+        # southern cone (n < 0): rho and theta take n's sign
+        # (Snyder 14-10/14-11 sign convention, as in the LCC inverse)
+        rho = np.sign(n) * np.hypot(xp, yp)
+        th = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
         q = (big_c - (rho * n / _A) ** 2) / n
         return (np.degrees(th / n) + lon0,
                 np.degrees(_phi_from_q(q)))
@@ -598,6 +600,20 @@ _PROJ_REGISTRY = {
                              INTL1924), BD72),
     # Belge 1972 geographic
     4313: lambda: (*_ident_pair(), BD72),
+    # --- further WGS84-equivalent projected CRS (GRS80 datums differ
+    # from WGS84 by < 1 mm flattening; registry params are public) ---
+    # ETRS89 / UTM zones 32N, 33N (the German/Nordic workhorses)
+    25832: lambda: _utm_pair(9.0, 0.0, WGS84),
+    25833: lambda: _utm_pair(15.0, 0.0, WGS84),
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    2193: lambda: tm_crs(0.0, 173.0, 0.9996, 1600000.0, 10000000.0,
+                         WGS84),
+    # GDA94 / Australian Albers
+    3577: lambda: albers_2sp(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
+    # NAD83 / UTM zones 10-19N (EPSG 26910-26919)
+    **{26900 + z: (lambda z=z: _utm_pair(z * 6.0 - 183.0, 0.0,
+                                         WGS84))
+       for z in range(10, 20)},
 }
 _PROJ_CACHE: dict = {}
 

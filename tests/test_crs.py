@@ -281,3 +281,30 @@ def test_warp_osgb_to_4326(spark):
     want = resample_patch(arr, 0, 0, spx, spy, "near", -1.0)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
     assert (got != -1.0).sum() > 0.5 * got.size
+
+
+def test_extended_epsg_registry_roundtrips():
+    """Round-3 registry widening: ETRS89 UTM 32/33N, NZTM2000,
+    Australian Albers (southern cone — exercises the sign(n) inverse),
+    NAD83 UTM 10-19N. All round-trip < 1e-9 deg in-zone."""
+    import numpy as np
+
+    from gdal_spark.functions import crs
+
+    cases = {
+        "EPSG:25832": ([9.5, 11.0], [50.0, 54.0]),
+        "EPSG:25833": ([15.5, 13.5], [52.5, 48.0]),
+        "EPSG:2193": ([174.8, 168.0], [-36.8, -45.0]),
+        "EPSG:3577": ([133.0, 147.0, 115.0], [-25.0, -35.0, -32.0]),
+        "EPSG:26910": ([-123.0, -121.5], [45.0, 49.0]),
+        "EPSG:26917": ([-81.0, -79.5], [40.0, 43.7]),
+        "EPSG:26919": ([-69.0, -67.5], [44.0, 46.0]),
+    }
+    for code, (lons, lats) in cases.items():
+        lons = np.array(lons)
+        lats = np.array(lats)
+        x, y = crs.from_4326(code)(lons, lats)
+        lo, la = crs.to_4326(code)(x, y)
+        assert np.abs(lo - lons).max() < 1e-9, code
+        assert np.abs(la - lats).max() < 1e-9, code
+        assert crs.supported(code)
