@@ -992,6 +992,33 @@ def _overlay_lines_df(spark, sf_dir):
     return r.mapInPandas(to_wkb, schema)
 
 
+def q43_bpe_token_stats(spark, sf_dir):
+    """BPE-ish pretokenizer counts per language (the token budget an
+    LLM data pipeline meters; GPT-2-style pattern, JVM regexp_count,
+    oracle = DuckDB regexp_extract_all length on the same pattern)."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bpe", tf.token_count_bpe("text"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("bpe").alias("sum_bpe"),
+             F.round(F.avg("bpe"), 4).alias("avg_bpe"))
+        .orderBy("lang")
+    )
+
+
+def _bpe_oracle() -> str:
+    pat = tf.BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(length(regexp_extract_all(text, '{pat}')))
+                    AS BIGINT) AS sum_bpe,
+               ROUND(AVG(length(regexp_extract_all(text, '{pat}'))),
+                     4) AS avg_bpe
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
 def q41_line_clip_length(spark, sf_dir):
     """Line-layer Clip against the method polygons (the line case of
     layer algebra, ogrlayer.cpp:7537 with lower-dimension inputs):
@@ -1274,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_embedding_dedup": q40_embedding_dedup,
     "q41_line_clip_length": q41_line_clip_length,
     "q42_line_erase_length": q42_line_erase_length,
+    "q43_bpe_token_stats": q43_bpe_token_stats,
 }
 
 
@@ -1632,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "q40_embedding_dedup": _embedding_dedup_oracle(),
         "q41_line_clip_length": _line_clip_oracle(),
         "q42_line_erase_length": _line_erase_oracle(),
+        "q43_bpe_token_stats": _bpe_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -45,6 +45,22 @@ def token_count(col: str) -> Column:
     ).cast("long")
 
 
+# BPE-style pretokenizer pattern (the GPT-2 public pattern without
+# the \s+(?!\S) lookahead, which RE2/DuckDB cannot run): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# Shared verbatim between Spark (Java regex) and the DuckDB oracle.
+BPE_PATTERN = ("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+|"
+               " ?[^A-Za-z0-9\\s']+")
+
+
+def token_count_bpe(col: str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    regex (the subword-merge step changes token identity, not the
+    pretoken count bound LLM data pipelines budget with).  JVM-side
+    regexp_count — no Python."""
+    return F.regexp_count(F.col(col), F.lit(BPE_PATTERN)).cast("long")
+
+
 def alpha_ratio(col: str) -> Column:
     """Fraction of alphabetic chars — a quality-score component."""
     c = F.col(col)

@@ -290,9 +290,39 @@ def improve_dst(q, dst, dist, val, ok, qd, qv):
     qv[q][:, dst] = np.where(better, val, qv[q][:, dst])
 
 
+def smooth_filled(filled: np.ndarray, orig_valid: np.ndarray,
+                  nodata: float, iters: int) -> np.ndarray:
+    """GDALFillNodata's smoothing post-pass (alg/rasterfill.cpp,
+    nSmoothingIterations): N iterations of a 3x3 mean over pixels
+    that have data, applied to FILLED pixels only — original data is
+    never modified.  Beyond-array (and still-nodata) neighbors are
+    excluded from the mean."""
+    out = np.asarray(filled, dtype=np.float64).copy()
+    h, w = out.shape
+    for _ in range(int(iters)):
+        has = out != nodata
+        acc = np.zeros((h, w))
+        cnt = np.zeros((h, w))
+        vals = np.where(has, out, 0.0)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ys0, ys1 = max(dy, 0), h + min(dy, 0)
+                xs0, xs1 = max(dx, 0), w + min(dx, 0)
+                dst = (slice(ys0, ys1), slice(xs0, xs1))
+                src = (slice(ys0 - dy, ys1 - dy),
+                       slice(xs0 - dx, xs1 - dx))
+                acc[dst] += vals[src]
+                cnt[dst] += has[src]
+        avg = acc / np.where(cnt == 0, 1.0, cnt)
+        take = (~orig_valid) & has & (cnt > 0)
+        out[take] = avg[take]
+    return out
+
+
 def fillnodata_tiles(tiles: DataFrame, nodata: float,
                      max_dist: float = 16.0,
-                     method: str = "inv_dist") -> DataFrame:
+                     method: str = "inv_dist",
+                     smoothing_iterations: int = 0) -> DataFrame:
     """Fill nodata regions by interpolation from the edges
     (GDALFillNodata, alg/rasterfill.cpp).
 
@@ -300,8 +330,13 @@ def fillnodata_tiles(tiles: DataFrame, nodata: float,
     search + 1/dist weighting), "nearest" (the reference's bNearest
     over the same quadrant candidates), or "edt_nearest" (this
     engine's earlier exact-EDT variant, kept for callers that want
-    true nearest-site fill)."""
-    k = int(np.ceil(max_dist))
+    true nearest-site fill).
+
+    ``smoothing_iterations``: the reference's 3x3-mean post-pass over
+    filled pixels; each iteration widens the halo by one pixel so the
+    distributed result equals the single-array kernel."""
+    si = max(0, int(smoothing_iterations))
+    k = int(np.ceil(max_dist)) + si
     halos = emit_halos_k(tiles, k)
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -319,6 +354,16 @@ def fillnodata_tiles(tiles: DataFrame, nodata: float,
         else:
             filled = fill_quad_idw(canvas, valid, max_dist,
                                    nearest=(method == "nearest"))
+        if si:
+            # beyond-grid halo cells (no piece provided them) were
+            # nodata going in but the fill writes into them; reset so
+            # the smoothing means see exactly what the single-array
+            # kernel sees at grid borders
+            got_nan = assemble_halo_canvas(pdf, ts, k, fill=np.nan)
+            provided = ~np.isnan(got_nan[0])
+            filled = filled.copy()
+            filled[~provided] = nodata
+            filled = smooth_filled(filled, valid, nodata, si)
         out = filled[k:-k, k:-k]
         payload, dts = encode_tile(out.astype(np.float64), None)
         return pd.DataFrame({

@@ -133,3 +133,36 @@ def test_sieve_spanning_component_not_removed(spark):
     out2 = sieve_tiles(tiles, threshold=20, gt=grid.gt)
     got2 = assemble_raster(out2.toPandas(), grid)
     assert (got2[14:18, 14:18] == 0.0).all()
+
+
+def test_fillnodata_smoothing_iterations(spark):
+    """GDALFillNodata's smoothing post-pass (nSmoothingIterations):
+    distributed (halo widened by one pixel per iteration) == the
+    single-array fill + smooth kernels; original pixels untouched."""
+    from gdal_spark.operators.proximity import (
+        fill_quad_idw, smooth_filled,
+    )
+
+    arr = RNG.uniform(1, 9, (96, 96))
+    holes = RNG.rand(96, 96) < 0.35
+    arr[holes] = -999.0
+    tiles, w, h = tiles_from_array(spark, arr, tile_size=32)
+    grid = GridSpec(0.0, 96.0, 1.0, 1.0, 96, 96)
+
+    for iters in (1, 3):
+        out = fillnodata_tiles(tiles, nodata=-999.0, max_dist=6.0,
+                               method="inv_dist",
+                               smoothing_iterations=iters)
+        got = assemble_raster(out.toPandas(), grid)
+        valid = arr != -999.0
+        filled = fill_quad_idw(arr, valid, 6.0)
+        want = smooth_filled(filled, valid, -999.0, iters)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+        # original data never modified
+        np.testing.assert_array_equal(got[valid], arr[valid])
+        # smoothing actually changed some filled pixels
+        unsmoothed = fill_quad_idw(arr, valid, 6.0)
+        changed = (got != assemble_raster(
+            fillnodata_tiles(tiles, nodata=-999.0, max_dist=6.0,
+                             method="inv_dist").toPandas(), grid))
+        assert changed.sum() > 50
