@@ -992,6 +992,69 @@ def _overlay_lines_df(spark, sf_dir):
     return r.mapInPandas(to_wkb, schema)
 
 
+# cutline fixture: a z=6-pixel-aligned mercator rectangle (the same
+# center-rule alignment as the q22 zones, so the oracle is exact SQL)
+_CUTLINE_PX = (3000, 3000, 9000, 9000)
+
+
+def q44_cutline_mass(spark, sf_dir):
+    """Cutline clip (hard cut) of the z=6 page-density raster: the
+    surviving mass equals the count of points whose global pixel
+    falls inside the cutline rectangle (gdalcutline.cpp mask
+    semantics; the blend-distance feather is pinned to a single-array
+    oracle in pytest)."""
+    from typing import Iterator
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.cutline import cutline_clip
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import page_density_tiles
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=6)
+    res = geo.tile_span(6) / 256
+    n_px = 64 * 256
+    grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
+    x0, y0, x1, y1 = _CUTLINE_PX
+    ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)],
+                    dtype=np.float64)
+    gx = grid.x0 + ring[:, 0] * res
+    gy = grid.y1 - ring[:, 1] * res
+    cut = pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64),
+        "geometry": [polygon_wkb([np.column_stack([gx, gy])])],
+    })
+    out = cutline_clip(spark, tiles, cut, grid, blend_px=0.0,
+                       nodata=0.0)
+    schema = StructType([StructField("mass", LongType())])
+
+    def mass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vals = [
+                int(np.frombuffer(d, dtype=np.dtype(dt)).sum())
+                for d, dt in zip(b["data"], b["dtype"])
+            ]
+            yield pd.DataFrame({"mass": np.array(vals, dtype=np.int64)})
+
+    return out.mapInPandas(mass, schema).agg(
+        F.sum("mass").alias("n_points"))
+
+
+def _cutline_oracle() -> str:
+    px, py = _pixel6_sql()
+    x0, y0, x1, y1 = _CUTLINE_PX
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        pix AS (SELECT {px} AS px, {py} AS py FROM pts)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM pix
+        WHERE px >= {x0} AND px < {x1} AND py >= {y0} AND py < {y1}
+    """
+
+
 def q43_bpe_token_stats(spark, sf_dir):
     """BPE-ish pretokenizer counts per language (the token budget an
     LLM data pipeline meters; GPT-2-style pattern, JVM regexp_count,
@@ -1302,6 +1365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_line_clip_length": q41_line_clip_length,
     "q42_line_erase_length": q42_line_erase_length,
     "q43_bpe_token_stats": q43_bpe_token_stats,
+    "q44_cutline_mass": q44_cutline_mass,
 }
 
 
@@ -1661,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
         "q41_line_clip_length": _line_clip_oracle(),
         "q42_line_erase_length": _line_erase_oracle(),
         "q43_bpe_token_stats": _bpe_oracle(),
+        "q44_cutline_mass": _cutline_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -104,3 +104,54 @@ def test_hilbert_bijectivity_neighbors(x, y):
     if y + 1 < 2**16:
         c3 = hilbert_code_u16(np.array([x]), np.array([y + 1]))[0]
         assert c3 != c
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_overlay_area_partition_property(seed):
+    """Greiner-Hormann set identities on random star-shaped simple
+    polygons: area(A∩B) + area(A∖B) = area(A) and the
+    inclusion-exclusion area(A∪B) = area(A) + area(B) − area(A∩B),
+    to overlay-epsilon tolerance (perturbation retry moves areas by
+    O(1e-9·perimeter))."""
+    import numpy as np
+
+    from gdal_spark.geometry.overlay import poly_op
+    from gdal_spark.geometry.packed import ring_signed_area
+
+    rng = np.random.RandomState(seed)
+
+    def star(cx, cy, rmin, rmax, n):
+        # strictly increasing angles with every gap < pi (a sorted-
+        # angle polygon is only guaranteed simple when no angular gap
+        # exceeds pi — a larger gap makes the closing chord sweep
+        # back through the vertex fan)
+        k = np.arange(n)
+        th = 2 * np.pi * (k + rng.uniform(0.05, 0.95, n)) / n
+        r = rng.uniform(rmin, rmax, n)
+        ring = np.column_stack([cx + r * np.cos(th),
+                                cy + r * np.sin(th)])
+        return np.vstack([ring, ring[:1]])
+
+    a = [star(0.0, 0.0, 1.0, 3.0, rng.randint(4, 12))]
+    b = [star(rng.uniform(-2, 2), rng.uniform(-2, 2), 0.8, 2.5,
+              rng.randint(4, 12))]
+
+    def area(pieces):
+        tot = 0.0
+        for rings in pieces:
+            tot += abs(ring_signed_area(rings[0]))
+            for h in rings[1:]:
+                tot -= abs(ring_signed_area(h))
+        return tot
+
+    a_area = abs(ring_signed_area(a[0]))
+    b_area = abs(ring_signed_area(b[0]))
+    inter = area(poly_op(a, b, "intersection"))
+    diff = area(poly_op(a, b, "difference"))
+    union = area(poly_op(a, b, "union"))
+    tol = 1e-6 * (a_area + b_area + 1.0)
+    assert abs((inter + diff) - a_area) < tol
+    assert abs(union - (a_area + b_area - inter)) < tol
+    assert inter >= -tol and diff >= -tol
+    assert union <= a_area + b_area + tol
