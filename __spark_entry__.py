@@ -997,6 +997,26 @@ def _overlay_lines_df(spark, sf_dir):
 _CUTLINE_PX = (3000, 3000, 9000, 9000)
 
 
+def q45_pipeline_buffer(spark, sf_dir):
+    """gdal-vector-pipeline geometry verbs end-to-end: the buffer
+    step (apps/gdalalg_vector_buffer.cpp) over the orders-derived
+    rectangles, aggregated like q38 — same closed-form oracle, but
+    the geometry op runs through the pipeline surface."""
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+    from gdal_spark.sql.ogrsql import _register_geom_udfs
+
+    _register_geom_udfs(spark)
+    rects = _overlay_rects_df(spark, sf_dir)
+    buffered = run_vector_pipeline(
+        spark, "read rects ! buffer 0.5", layers={"rects": rects})
+    buffered.createOrReplaceTempView("__q45_buffered")
+    return spark.sql("""
+        SELECT CAST(fid % 5 AS BIGINT) AS grp, COUNT(*) AS n,
+               ROUND(SUM(st_area(geometry)), 4) AS sum_area
+        FROM __q45_buffered GROUP BY 1 ORDER BY grp
+    """)
+
+
 def q44_cutline_mass(spark, sf_dir):
     """Cutline clip (hard cut) of the z=6 page-density raster: the
     surviving mass equals the count of points whose global pixel
@@ -1366,6 +1386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_line_erase_length": q42_line_erase_length,
     "q43_bpe_token_stats": q43_bpe_token_stats,
     "q44_cutline_mass": q44_cutline_mass,
+    "q45_pipeline_buffer": q45_pipeline_buffer,
 }
 
 
@@ -1726,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         "q42_line_erase_length": _line_erase_oracle(),
         "q43_bpe_token_stats": _bpe_oracle(),
         "q44_cutline_mass": _cutline_oracle(),
+        "q45_pipeline_buffer": _buffer_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -19,6 +19,19 @@ Steps:
   partition col                 — hive-partitioned write key
   write <path>                  — parquet sink
 
+Geometry verbs (the ``gdal vector <verb>`` standalone algorithms,
+apps/gdalalg_vector_*.cpp — per-feature WKB transforms, map-only):
+  buffer <dist> [quad_segs]     — round-join buffer
+  simplify <tol>                — Douglas-Peucker
+  simplify-preserve-topology <tol>
+  make-valid                    — planar-arrangement repair
+  segmentize <max_len>          — densify
+  convex-hull / concave-hull [ratio]
+  swap-xy
+  clip-bbox x0 y0 x1 y1         — rect clip (polygons + lines)
+  explode                       — multi-part -> one row per part
+  make-point <xcol> <ycol>      — columns -> POINT geometry
+
 Each step is a DataFrame transformation; Catalyst fuses the chain
 exactly as the reference streams features through decorated layers.
 """
@@ -83,6 +96,38 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
             df = df.limit(int(args[0]))
         elif verb == "offset":
             df = df.offset(int(args[0]))
+        elif verb == "buffer":
+            df = _geom_map(df, _mk_buffer(float(args[0]),
+                                          int(args[1]) if len(args) > 1
+                                          else 8))
+        elif verb == "simplify":
+            df = _geom_map(df, _mk_simplify(float(args[0]),
+                                            preserve=False))
+        elif verb == "simplify-preserve-topology":
+            df = _geom_map(df, _mk_simplify(float(args[0]),
+                                            preserve=True))
+        elif verb == "make-valid":
+            df = _geom_map(df, _do_make_valid)
+        elif verb == "segmentize":
+            df = _geom_map(df, _mk_segmentize(float(args[0])))
+        elif verb == "convex-hull":
+            df = _geom_map(df, _do_convex_hull)
+        elif verb == "concave-hull":
+            df = _geom_map(df, _mk_concave_hull(
+                float(args[0]) if args else 0.3))
+        elif verb == "swap-xy":
+            df = _geom_map(df, _do_swap_xy)
+        elif verb == "clip-bbox":
+            x0, y0, x1, y1 = (float(a) for a in args[:4])
+            df = _geom_map(df, _mk_clip_bbox(x0, y0, x1, y1),
+                           drop_empty=True)
+        elif verb == "explode":
+            df = _explode_parts(df)
+        elif verb == "make-point":
+            from gdal_spark.geometry.wkb import point_wkb as _pw  # noqa
+
+            xc, yc = args[0], args[1]
+            df = _make_point(df, xc, yc)
         elif verb == "partition":
             partition_col = args[0]
         elif verb == "write":
@@ -102,3 +147,220 @@ def _ogr_expr(expr: str):
 
     parsed = _Parser(_tokenize(expr)).parse_expr()
     return F.expr(parsed)
+
+
+# --------------------------------------------------------------------
+# geometry verbs — the ``gdal vector <verb>`` standalone-algorithm
+# family (apps/gdalalg_vector_buffer.cpp, _simplify.cpp,
+# _make_valid.cpp, _segmentize.cpp, _convex_hull.cpp,
+# _concave_hull.cpp, _swap_xy.cpp, _clip.cpp --bbox, _explode.cpp,
+# _make_point.cpp), each a per-feature WKB transform over an
+# Arrow-batched kernel — no per-row Python, no shuffle.
+# --------------------------------------------------------------------
+
+
+def _geom_map(df: DataFrame, fn, geom_col: str = "geometry",
+              drop_empty: bool = False) -> DataFrame:
+    """Apply ``fn(Geom) -> wkb bytes | None`` to every feature."""
+    schema = df.schema
+
+    def kernel(batches):
+        import pandas as pd
+
+        from gdal_spark.geometry.wkb import parse_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            out = []
+            keep = []
+            for i, wkb in enumerate(b[geom_col]):
+                res = fn(parse_wkb(bytes(wkb)))
+                out.append(res)
+                keep.append(res is not None)
+            bb = b.copy()
+            bb[geom_col] = out
+            if drop_empty:
+                bb = bb[pd.Series(keep, index=bb.index)]
+            if len(bb):
+                yield bb
+
+    return df.mapInPandas(kernel, schema)
+
+
+def _poly_kinds(g) -> bool:
+    from gdal_spark.geometry import wkb as W
+
+    return g.kind in (W.POLYGON, W.MULTIPOLYGON)
+
+
+def _mk_buffer(dist: float, quad_segs: int):
+    def fn(g):
+        from gdal_spark.geometry import wkb as W
+        from gdal_spark.geometry.buffer import (
+            buffer_line, buffer_point, buffer_polygon,
+        )
+
+        if g.kind == W.POINT:
+            return W.polygon_wkb([buffer_point(
+                float(g.parts[0][0, 0]), float(g.parts[0][0, 1]),
+                dist, quad_segs)])
+        if g.kind in (W.LINESTRING, W.MULTILINESTRING):
+            return W.multipolygon_wkb(
+                [[buffer_line(p, dist, quad_segs)] for p in g.parts])
+        pieces = buffer_polygon(list(g.rings()), dist, quad_segs)
+        return W.multipolygon_wkb(pieces) if pieces else None
+    return fn
+
+
+def _mk_simplify(tol: float, preserve: bool):
+    def fn(g):
+        from gdal_spark.geometry import wkb as W
+        from gdal_spark.geometry.ops import (
+            douglas_peucker, simplify_preserve_topology,
+        )
+
+        if _poly_kinds(g):
+            if preserve:
+                return W.polygon_wkb(
+                    simplify_preserve_topology(list(g.rings()), tol))
+            return W.polygon_wkb(
+                [douglas_peucker(r, tol) for r in g.rings()])
+        return W.multilinestring_wkb(
+            [douglas_peucker(p, tol) for p in g.parts])
+    return fn
+
+
+def _do_make_valid(g):
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.valid import make_valid
+
+    pieces = make_valid(list(g.rings()))
+    return W.multipolygon_wkb(pieces) if pieces else None
+
+
+def _mk_segmentize(max_len: float):
+    def fn(g):
+        from gdal_spark.geometry import wkb as W
+        from gdal_spark.geometry.ops import segmentize
+
+        if _poly_kinds(g):
+            return W.polygon_wkb(
+                [segmentize(r, max_len) for r in g.rings()])
+        return W.multilinestring_wkb(
+            [segmentize(p, max_len) for p in g.parts])
+    return fn
+
+
+def _do_convex_hull(g):
+    import numpy as np
+
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.ops import convex_hull
+
+    return W.polygon_wkb([convex_hull(np.vstack(g.parts))])
+
+
+def _mk_concave_hull(ratio: float):
+    def fn(g):
+        import numpy as np
+
+        from gdal_spark.geometry import wkb as W
+        from gdal_spark.geometry.ops import concave_hull
+
+        return W.polygon_wkb([concave_hull(np.vstack(g.parts),
+                                           ratio=ratio)])
+    return fn
+
+
+def _do_swap_xy(g):
+    from gdal_spark.geometry import wkb as W
+
+    parts = [p[:, ::-1] for p in g.parts]
+    if g.kind == W.POINT:
+        return W.point_wkb(float(parts[0][0, 0]),
+                           float(parts[0][0, 1]))
+    if g.kind in (W.LINESTRING, W.MULTILINESTRING):
+        return W.multilinestring_wkb(parts)
+    return W.polygon_wkb(parts)
+
+
+def _mk_clip_bbox(x0: float, y0: float, x1: float, y1: float):
+    def fn(g):
+        from gdal_spark.geometry import wkb as W
+        from gdal_spark.geometry.lines import clip_line_to_rings
+        from gdal_spark.geometry.ops import clip_ring_rect
+        import numpy as np
+
+        rect = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)])
+        if g.kind in (W.LINESTRING, W.MULTILINESTRING):
+            parts = []
+            for p in g.parts:
+                parts.extend(clip_line_to_rings(p, [rect]))
+            return W.multilinestring_wkb(parts) if parts else None
+        rings = [clip_ring_rect(r, x0, y0, x1, y1)
+                 for r in g.rings()]
+        rings = [r for r in rings if len(r)]
+        return W.polygon_wkb(rings) if rings else None
+    return fn
+
+
+def _explode_parts(df: DataFrame, geom_col: str = "geometry"
+                   ) -> DataFrame:
+    """Multi-part -> one row per part (gdalalg_vector_explode.cpp)."""
+    schema = df.schema
+
+    def kernel(batches):
+        import pandas as pd
+
+        from gdal_spark.geometry import wkb as W
+        from gdal_spark.geometry.wkb import parse_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            rows = []
+            for _, r in b.iterrows():
+                g = parse_wkb(bytes(r[geom_col]))
+                po = g.part_offsets
+                if g.kind == W.MULTIPOLYGON:
+                    subs = [W.polygon_wkb(g.parts[po[i]:po[i + 1]])
+                            for i in range(len(po) - 1)]
+                elif g.kind == W.MULTILINESTRING:
+                    subs = [W.linestring_wkb(p) for p in g.parts]
+                elif g.kind == W.MULTIPOINT:
+                    subs = [W.point_wkb(float(p[0, 0]), float(p[0, 1]))
+                            for p in g.parts]
+                else:
+                    subs = [bytes(r[geom_col])]
+                for s in subs:
+                    rr = r.copy()
+                    rr[geom_col] = s
+                    rows.append(rr)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema)
+
+
+def _make_point(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """(x, y) columns -> POINT geometry column
+    (gdalalg_vector_make_point.cpp)."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField("geometry", BinaryType())])
+
+    def kernel(batches):
+        from gdal_spark.geometry.wkb import point_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            b = b.copy()
+            b["geometry"] = [point_wkb(float(x), float(y))
+                             for x, y in zip(b[xcol], b[ycol])]
+            yield b
+
+    return df.mapInPandas(kernel, schema)

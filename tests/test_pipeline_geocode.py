@@ -57,3 +57,100 @@ def test_geocode_cache_roundtrip(spark, tmp_path):
     a = first.set_index("url")[["lat", "lon"]].sort_index()
     b = second.set_index("url")[["lat", "lon"]].sort_index()
     assert ((a - b).abs().to_numpy() < 1e-12).all()
+
+
+def test_pipeline_geometry_verbs(spark):
+    """gdal vector <verb> family through the pipeline surface:
+    make-point, buffer (closed-form area), clip-bbox, segmentize,
+    convex-hull, swap-xy, explode, make-valid, simplify."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from gdal_spark.geometry.packed import geom_area
+    from gdal_spark.geometry.wkb import (
+        linestring_wkb, multipolygon_wkb, parse_wkb, polygon_wkb,
+    )
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)])
+
+    polys = spark.createDataFrame(pd.DataFrame({
+        "fid": np.arange(3, dtype=np.int64),
+        "geometry": [polygon_wkb([sq(0, 0, 2, 1)]),
+                     polygon_wkb([sq(5, 5, 8, 9)]),
+                     polygon_wkb([sq(20, 20, 21, 21)])],
+    }))
+
+    # buffer: closed-form area w*h + 2d(w+h) + 16 sin(pi/16) d^2
+    out = run_vector_pipeline(
+        spark, "read polys ! buffer 0.5", layers={"polys": polys}
+    ).toPandas().sort_values("fid")
+    fan = 16 * np.sin(np.pi / 16) * 0.25
+    for (w, h), wkb in zip([(2, 1), (3, 4), (1, 1)], out["geometry"]):
+        assert geom_area(parse_wkb(bytes(wkb))) == pytest.approx(
+            w * h + 2 * 0.5 * (w + h) + fan, rel=1e-9)
+
+    # clip-bbox drops non-overlapping features, clips the rest
+    out = run_vector_pipeline(
+        spark, "read polys ! clip-bbox 1 0 6 6",
+        layers={"polys": polys}).toPandas().sort_values("fid")
+    assert out["fid"].tolist() == [0, 1]
+    areas = [geom_area(parse_wkb(bytes(w))) for w in out["geometry"]]
+    assert areas[0] == pytest.approx(1.0)   # [1,2]x[0,1]
+    assert areas[1] == pytest.approx(1.0)   # [5,6]x[5,6]
+
+    # segmentize + convex-hull + swap-xy round trip structure
+    out = run_vector_pipeline(
+        spark, "read polys ! segmentize 0.25 ! convex-hull ! swap-xy",
+        layers={"polys": polys}).toPandas().sort_values("fid")
+    g0 = parse_wkb(bytes(out.iloc[0]["geometry"]))
+    assert g0.kind == 3
+    assert geom_area(g0) == pytest.approx(2.0)  # swap keeps area
+    xs = np.vstack(g0.rings())[:, 0]
+    assert xs.min() == pytest.approx(0.0) and xs.max() == \
+        pytest.approx(1.0)  # swapped: x now spans the old y range
+
+    # explode: multipolygon -> rows per part
+    multi = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([7], dtype=np.int64),
+        "geometry": [multipolygon_wkb(
+            [[sq(0, 0, 1, 1)], [sq(3, 3, 4, 4)]])],
+    }))
+    out = run_vector_pipeline(spark, "read m ! explode",
+                              layers={"m": multi}).toPandas()
+    assert len(out) == 2
+    assert all(parse_wkb(bytes(w)).kind == 3 for w in out["geometry"])
+
+    # make-valid on a bowtie: area w*h/2 of the figure-eight square
+    bow = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64),
+        "geometry": [polygon_wkb([np.array(
+            [(0, 0), (2, 2), (0, 2), (2, 0), (0, 0)], float)])],
+    }))
+    out = run_vector_pipeline(spark, "read b ! make-valid",
+                              layers={"b": bow}).toPandas()
+    assert geom_area(parse_wkb(bytes(out.iloc[0]["geometry"]))) \
+        == pytest.approx(2.0)
+
+    # make-point from columns, then clip-bbox on lines via simplify
+    pts = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2], "x": [1.5, 9.0], "y": [2.5, 9.0]}))
+    out = run_vector_pipeline(spark, "read p ! make-point x y",
+                              layers={"p": pts}).toPandas()
+    g = parse_wkb(bytes(out.iloc[0]["geometry"]))
+    assert g.kind == 1 and g.parts[0][0, 0] == 1.5
+
+    # simplify a densified line
+    lines = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64),
+        "geometry": [linestring_wkb(
+            np.column_stack([np.linspace(0, 10, 101),
+                             np.zeros(101)]))],
+    }))
+    out = run_vector_pipeline(spark, "read l ! simplify 0.01",
+                              layers={"l": lines}).toPandas()
+    g = parse_wkb(bytes(out.iloc[0]["geometry"]))
+    assert len(g.parts[0]) == 2  # collinear chain collapses
