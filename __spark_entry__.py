@@ -1017,6 +1017,43 @@ def q45_pipeline_buffer(spark, sf_dir):
     """)
 
 
+def q46_raster_pipeline(spark, sf_dir):
+    """gdal-raster-pipeline end-to-end (read ! reclassify !
+    polygonize, apps/gdalalg_raster_pipeline.cpp): density pixels
+    classify into 1-page / multi-page bands, polygonize aggregates
+    per band — per-band pixel totals are exact SQL."""
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import page_density_tiles
+    from gdal_spark.plans.raster_pipeline import run_raster_pipeline
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=1)
+    res = geo.tile_span(1) / 256
+    grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, 2 * 256, 2 * 256)
+    polys = run_raster_pipeline(
+        spark,
+        "read d ! reclassify 1:2:1,2:1000000000:2 0 ! polygonize 0",
+        layers={"d": tiles}, gt=grid.gt)
+    return (
+        polys.groupBy(F.col("value").cast("long").alias("band"))
+        .agg(F.sum("n_pixels").alias("n_pixels"))
+        .orderBy("band")
+    )
+
+
+def _raster_pipeline_oracle() -> str:
+    px, py = _pixel_sql(1)
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        pix AS (SELECT {px} AS px, {py} AS py FROM pts),
+        cells AS (SELECT px, py, COUNT(*) AS cnt FROM pix
+                  GROUP BY px, py)
+        SELECT (CASE WHEN cnt >= 2 THEN 2 ELSE 1 END) AS band,
+               COUNT(*) AS n_pixels
+        FROM cells GROUP BY 1 ORDER BY band
+    """
+
+
 def q44_cutline_mass(spark, sf_dir):
     """Cutline clip (hard cut) of the z=6 page-density raster: the
     surviving mass equals the count of points whose global pixel
@@ -1387,6 +1424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_bpe_token_stats": q43_bpe_token_stats,
     "q44_cutline_mass": q44_cutline_mass,
     "q45_pipeline_buffer": q45_pipeline_buffer,
+    "q46_raster_pipeline": q46_raster_pipeline,
 }
 
 
@@ -1748,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "q43_bpe_token_stats": _bpe_oracle(),
         "q44_cutline_mass": _cutline_oracle(),
         "q45_pipeline_buffer": _buffer_oracle(),
+        "q46_raster_pipeline": _raster_pipeline_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -1,0 +1,122 @@
+"""gdal-style raster pipeline: ``read ... ! step ... ! write ...``.
+
+Mirrors the reference's raster pipeline surface
+(``gdal raster pipeline read ... ! hillshade ... ! write ...``,
+apps/gdalalg_raster_pipeline.cpp) over the engine's TILE_SCHEMA
+frames, with the same validation rules as the vector pipeline.
+
+Steps (each cites its standalone algorithm):
+  read <path|layer>              — tile parquet scan / named layer
+  hillshade | slope | aspect | tpi | tri | roughness
+                                 — DEM focal ops
+                                   (apps/gdalalg_raster_hillshade.cpp
+                                   etc. -> operators/dem.focal_tiles)
+  calc "<numpy expr in A>"       — pixel function
+                                   (apps/gdalalg_raster_calc.cpp)
+  scale <mul> <add>              — linear rescale
+                                   (apps/gdalalg_raster_scale.cpp)
+  reclassify lo:hi:out[,...] [default]
+                                 — range LUT
+                                   (apps/gdalalg_raster_reclassify.cpp)
+  proximity <target> <max_dist>  — distance raster
+                                   (apps/gdalalg_raster_proximity.cpp)
+  fill-nodata <nodata> <max_dist> [smoothing_iters]
+                                 — (apps/gdalalg_raster_fill_nodata.cpp)
+  sieve <threshold>              — (apps/gdalalg_raster_sieve.cpp)
+  overview <agg>                 — one 2x reduction level
+                                   (apps/gdalalg_raster_overview.cpp)
+  polygonize [nodata]            — raster -> vector terminal step
+                                   (apps/gdalalg_raster_polygonize.cpp)
+  write <path>                   — partitioned tile sink
+
+``calc`` expressions run vectorized numpy with the current raster
+bound to ``A`` — never per-pixel Python.  Every step is a tile-frame
+transformation; chains fuse into one Catalyst plan exactly as the
+reference streams blocks through its pipeline algorithms.
+"""
+
+from __future__ import annotations
+
+import shlex
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_raster_pipeline(spark: SparkSession, pipeline: str,
+                        layers: dict[str, DataFrame] | None = None,
+                        gt: list[float] | None = None
+                        ) -> DataFrame | None:
+    """Execute a raster pipeline.  ``gt`` (geotransform) is required
+    by the polygonize step."""
+    from gdal_spark.operators.dem import focal_tiles, raster_calc, \
+        reclassify
+    from gdal_spark.operators.polygonize import polygonize_tiles
+    from gdal_spark.operators.proximity import (
+        fillnodata_tiles, proximity_tiles, sieve_tiles,
+    )
+    from gdal_spark.operators.tiling import overview_reduce, write_tiles
+
+    steps = [s.strip() for s in pipeline.split("!")]
+    if not steps or not steps[0].startswith("read"):
+        raise ValueError("pipeline must start with a read step")
+    writes = [i for i, s in enumerate(steps) if s.startswith("write")]
+    if writes and writes != [len(steps) - 1]:
+        raise ValueError("write must be the last step")
+    for s in steps[1:-1]:
+        if s.startswith("read"):
+            raise ValueError("read must be the first step")
+
+    focal_ops = {"hillshade", "slope", "aspect", "tpi", "tri",
+                 "roughness"}
+    df: DataFrame | None = None
+    for step in steps:
+        argv = shlex.split(step)
+        verb, args = argv[0], argv[1:]
+        if verb == "read":
+            name = args[0]
+            if layers and name in layers:
+                df = layers[name]
+            else:
+                df = spark.read.parquet(name)
+        elif verb in focal_ops:
+            df = focal_tiles(df, verb)
+        elif verb == "calc":
+            expr = args[0]
+            code = compile(expr, "<raster-calc>", "eval")
+
+            def fn(A, _code=code):
+                return eval(_code, {"np": np, "A": A})  # noqa: S307
+            df = raster_calc({"A": df}, fn)
+        elif verb == "scale":
+            mul, add = float(args[0]), float(args[1])
+            df = raster_calc({"A": df},
+                             lambda A, m=mul, a=add: A * m + a)
+        elif verb == "reclassify":
+            rules = [tuple(float(v) for v in part.split(":"))
+                     for part in args[0].split(",")]
+            default = float(args[1]) if len(args) > 1 else None
+            df = reclassify(df, rules, default=default)
+        elif verb == "proximity":
+            df = proximity_tiles(df, [float(args[0])],
+                                 max_dist=float(args[1]))
+        elif verb == "fill-nodata":
+            df = fillnodata_tiles(
+                df, nodata=float(args[0]), max_dist=float(args[1]),
+                smoothing_iterations=(int(args[2]) if len(args) > 2
+                                      else 0))
+        elif verb == "sieve":
+            df = sieve_tiles(df, int(args[0]), gt=gt)
+        elif verb == "overview":
+            df = overview_reduce(df, agg=(args[0] if args else "sum"))
+        elif verb == "polygonize":
+            if gt is None:
+                raise ValueError("polygonize needs the gt= argument")
+            df = polygonize_tiles(
+                df, gt, nodata=(float(args[0]) if args else None))
+        elif verb == "write":
+            write_tiles(df, args[0])
+            return None
+        else:
+            raise ValueError(f"unknown raster pipeline step {verb}")
+    return df

@@ -1,0 +1,89 @@
+"""gdal raster pipeline surface: chains == direct operator calls."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.operators.rasterize import GridSpec, assemble_raster
+from gdal_spark.operators.warp import tiles_from_array
+from gdal_spark.plans.raster_pipeline import run_raster_pipeline
+
+RNG = np.random.RandomState(9)
+
+
+def _tiles(spark, arr, ts=32):
+    t, _, _ = tiles_from_array(spark, arr, tile_size=ts)
+    return t
+
+
+def test_calc_scale_chain(spark):
+    arr = RNG.uniform(1, 9, (64, 64))
+    tiles = _tiles(spark, arr)
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    out = run_raster_pipeline(
+        spark, 'read t ! calc "np.sqrt(A) + 1" ! scale 2 1',
+        layers={"t": tiles})
+    got = assemble_raster(out.toPandas(), grid)
+    np.testing.assert_allclose(got, (np.sqrt(arr) + 1) * 2 + 1,
+                               rtol=1e-12)
+
+
+def test_focal_and_overview(spark):
+    arr = RNG.uniform(0, 100, (64, 64))
+    tiles = _tiles(spark, arr)
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    from gdal_spark.operators.dem import focal_tiles
+
+    direct = assemble_raster(
+        focal_tiles(tiles, "hillshade").toPandas(), grid)
+    piped = assemble_raster(
+        run_raster_pipeline(spark, "read t ! hillshade",
+                            layers={"t": tiles}).toPandas(), grid)
+    np.testing.assert_allclose(piped, direct)
+
+    # one 2x overview level conserves summed mass
+    ov = run_raster_pipeline(spark, "read t ! overview sum",
+                             layers={"t": tiles})
+    pdf = ov.toPandas()
+    tot = sum(np.frombuffer(r["data"], np.dtype(r["dtype"])).sum()
+              for _, r in pdf.iterrows())
+    assert tot == pytest.approx(arr.sum(), rel=1e-12)
+
+
+def test_reclassify_polygonize_chain(spark):
+    arr = np.zeros((64, 64))
+    arr[8:24, 8:24] = 7.0
+    arr[40:56, 40:48] = 42.0
+    tiles = _tiles(spark, arr)
+    gt = [0.0, 1.0, 0.0, 64.0, 0.0, -1.0]
+    polys = run_raster_pipeline(
+        spark, "read t ! reclassify 1:10:1,10:100:2 0 ! polygonize 0",
+        layers={"t": tiles}, gt=gt)
+    pdf = polys.toPandas()
+    got = pdf.groupby("value")["n_pixels"].sum().to_dict()
+    assert got == {1.0: 16 * 16, 2.0: 16 * 8}
+
+
+def test_fill_nodata_step(spark):
+    arr = RNG.uniform(1, 9, (64, 64))
+    holes = RNG.rand(64, 64) < 0.2
+    arr[holes] = -5.0
+    tiles = _tiles(spark, arr)
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    out = run_raster_pipeline(
+        spark, "read t ! fill-nodata -5 8 1", layers={"t": tiles})
+    got = assemble_raster(out.toPandas(), grid)
+    assert (got == -5.0).sum() < holes.sum() * 0.1
+    np.testing.assert_array_equal(got[~holes], arr[~holes])
+
+
+def test_pipeline_validation(spark):
+    tiles = _tiles(spark, np.ones((32, 32)))
+    with pytest.raises(ValueError):
+        run_raster_pipeline(spark, "hillshade ! write /tmp/x",
+                            layers={"t": tiles})
+    with pytest.raises(ValueError):
+        run_raster_pipeline(spark, "read t ! bogus",
+                            layers={"t": tiles})
+    with pytest.raises(ValueError):
+        run_raster_pipeline(spark, "read t ! polygonize",
+                            layers={"t": tiles})
