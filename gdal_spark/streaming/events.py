@@ -125,6 +125,56 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(stream: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup: FIRST ARRIVAL WINS per normalized-text
+    fingerprint, via applyInPandasWithState — the ingestion-time
+    dedup stage of an LLM training-data pipeline (the batch analog is
+    dedup.exact_dedup; near-dup minhash runs downstream in batch).
+
+    State per fingerprint group is a single seen marker; within one
+    microbatch the smallest key represents the group (deterministic).
+    At a 100-TB firehose the state store shards by the fingerprint
+    hash exactly like the batch groupBy — no broadcast, no rescan of
+    history.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from gdal_spark.operators.dedup import normalized_fingerprint
+
+    src = stream.withColumn("__fp", normalized_fingerprint(text_col))
+    out_schema = StructType(
+        [f for f in stream.schema.fields])
+    state_schema = StructType([]).add("seen", "long")
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(key_col).iloc[:1]
+            if first is None or (cand[key_col].iloc[0]
+                                 < first[key_col].iloc[0]):
+                first = cand
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists or first is None:
+            return
+        state.update((1,))
+        yield first.drop(columns=["__fp"])
+
+    return (
+        src.groupBy("__fp")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def spatial_join_stream(
     stream: DataFrame, polys_pdf: pd.DataFrame, out_path: str,
     checkpoint: str, res: int = 6, lon: str = "lon", lat: str = "lat",

@@ -128,3 +128,45 @@ def test_stateful_sessionize_stream(spark, tmp_path, sf_dir):
     for uid, row in got_per_user.iterrows():
         # closed sessions = all sessions minus the one still open
         assert row["n_closed"] == batch.loc[uid, "n_sessions"] - 1
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-wins exact dedup == batch exact_dedup on the
+    same corpus, including duplicates split ACROSS microbatches (the
+    state store carries the seen markers between triggers)."""
+    import numpy as np
+
+    from gdal_spark.operators.dedup import exact_dedup
+    from gdal_spark.streaming.events import dedup_stream
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    texts = [f"document body {i % 7}  with   spaces" for i in range(60)]
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": texts,
+    })
+    # two files so duplicates straddle microbatches
+    docs = spark.createDataFrame(pdf)
+    docs.filter("doc_id < 30").coalesce(1).write.parquet(
+        src, mode="append")
+    docs.filter("doc_id >= 30").coalesce(1).write.parquet(
+        src, mode="append")
+
+    stream = stream_parquet_source(spark, src, docs.schema,
+                                   max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet").option("path", out).start()
+    )
+    q.awaitTermination(120)
+
+    got = set(spark.read.parquet(out).toPandas()["doc_id"])
+    want = set(exact_dedup(docs).toPandas()["doc_id"])
+    assert got == want
+    assert len(got) == 7          # one survivor per distinct body
+    assert got == set(range(7))   # first arrival (min key) wins
