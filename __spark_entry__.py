@@ -1017,6 +1017,62 @@ def q45_pipeline_buffer(spark, sf_dir):
     """)
 
 
+def q47_dissolve_cells(spark, sf_dir):
+    """Dissolve (group-wise union, gdalalg_vector_dissolve.cpp):
+    orders-derived UNIT GRID CELLS fuse per group — shared edges and
+    duplicates vanish in the union, so the dissolved area is exactly
+    COUNT(DISTINCT cell), an exact SQL oracle for a real planar
+    union."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.layer_algebra import dissolve
+
+    o = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 23 == 0)
+    r = o.select(
+        (F.col("o_orderkey") % 5).cast("long").alias("grp"),
+        (F.col("o_orderkey") % 41).cast("double").alias("cx"),
+        (F.col("o_orderkey") % 37).cast("double").alias("cy"),
+    )
+    schema = StructType([StructField("grp", LongType()),
+                         StructField("geometry", BinaryType())])
+
+    def to_wkb(batches):
+        from gdal_spark.geometry.wkb import polygon_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            geoms = [
+                polygon_wkb([np.array(
+                    [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1),
+                     (x, y)], dtype=np.float64)])
+                for x, y in zip(b["cx"], b["cy"])
+            ]
+            yield pd.DataFrame({"grp": b["grp"].to_numpy(np.int64),
+                                "geometry": geoms})
+
+    cells = r.mapInPandas(to_wkb, schema)
+    out = dissolve(spark, cells, by="grp")
+    return out.select(
+        F.col("key").alias("grp"),
+        F.round("area", 4).alias("area"),
+    ).orderBy("grp")
+
+
+def _dissolve_oracle() -> str:
+    return """
+        SELECT CAST(o_orderkey % 5 AS BIGINT) AS grp,
+               ROUND(CAST(COUNT(DISTINCT
+                   (o_orderkey % 41) * 1000 + (o_orderkey % 37))
+                   AS DOUBLE), 4) AS area
+        FROM orders WHERE o_orderkey % 23 = 0
+        GROUP BY 1 ORDER BY grp
+    """
+
+
 def q46_raster_pipeline(spark, sf_dir):
     """gdal-raster-pipeline end-to-end (read ! reclassify !
     polygonize, apps/gdalalg_raster_pipeline.cpp): density pixels
@@ -1425,6 +1481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_cutline_mass": q44_cutline_mass,
     "q45_pipeline_buffer": q45_pipeline_buffer,
     "q46_raster_pipeline": q46_raster_pipeline,
+    "q47_dissolve_cells": q47_dissolve_cells,
 }
 
 
@@ -1787,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "q44_cutline_mass": _cutline_oracle(),
         "q45_pipeline_buffer": _buffer_oracle(),
         "q46_raster_pipeline": _raster_pipeline_oracle(),
+        "q47_dissolve_cells": _dissolve_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -303,6 +303,81 @@ def overlay_lines(spark: SparkSession, lines_df: DataFrame,
 
 
 # --------------------------------------------------------------------
+# dissolve — group-wise geometry union
+# --------------------------------------------------------------------
+
+DISSOLVE_SCHEMA = StructType([
+    StructField("key", LongType()),
+    StructField("geometry", BinaryType()),
+    StructField("area", DoubleType()),
+])
+
+
+def dissolve(spark: SparkSession, df: DataFrame,
+             by: str | None = None, geom_col: str = "geometry",
+             n_salt: int = 8) -> DataFrame:
+    """gdal vector dissolve (apps/gdalalg_vector_dissolve.cpp):
+    union every geometry sharing a ``by`` value (the whole layer when
+    None) — the admin-units roll-up the reference runs through GEOS
+    UnaryUnion.
+
+    Distributed shape: union is associative, so it tree-reduces —
+    stage 1 unions each (group, salt) slice via the exact
+    planar-arrangement resolver (rule='positive' keeps the covered
+    region; its noding handles the shared-edge adjacency dissolve
+    exists for), stage 2 unions the ≤ n_salt partials per group.
+    Output: (key, MULTIPOLYGON WKB, area); ``key`` is the by-column
+    cast to long (-1 for a whole-layer dissolve).
+    """
+    from gdal_spark.geometry.overlay import _close, _orient
+    from gdal_spark.geometry.valid import resolve_rings
+
+    def _oriented_rings(g) -> list[np.ndarray]:
+        o = g.part_offsets
+        out = []
+        for i in range(len(o) - 1):
+            rings = g.parts[o[i]:o[i + 1]]
+            out.append(_orient(_close(rings[0]), True))
+            out.extend(_orient(_close(h), False) for h in rings[1:])
+        return out
+
+    def _union_rows(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        k = int(key[0])
+        rings: list[np.ndarray] = []
+        for wkb in pdf["geometry"]:
+            rings.extend(_oriented_rings(parse_wkb(bytes(wkb))))
+        pieces = [p for p in resolve_rings(rings, rule="positive")
+                  if p]
+        if not pieces:
+            return pd.DataFrame({
+                "key": pd.Series(dtype=np.int64),
+                "geometry": pd.Series(dtype=object),
+                "area": pd.Series(dtype=np.float64),
+            })
+        wkb = multipolygon_wkb(pieces)
+        return pd.DataFrame({
+            "key": np.array([k], dtype=np.int64),
+            "geometry": [wkb],
+            "area": np.array([geom_area(parse_wkb(wkb))],
+                             dtype=np.float64),
+        })
+
+    key_col = (F.col(by).cast("long") if by
+               else F.lit(-1).cast("long"))
+    src = df.select(key_col.alias("key"),
+                    F.col(geom_col).alias("geometry"))
+    partials = (
+        src.withColumn("salt",
+                       F.pmod(F.xxhash64("geometry"), F.lit(n_salt)))
+        .groupBy("key", "salt")
+        .applyInPandas(lambda k, p: _union_rows(k, p),
+                       DISSOLVE_SCHEMA)
+    )
+    return partials.groupBy("key").applyInPandas(
+        _union_rows, DISSOLVE_SCHEMA)
+
+
+# --------------------------------------------------------------------
 # general (concave/holed) overlay — Greiner-Hormann backed
 # --------------------------------------------------------------------
 

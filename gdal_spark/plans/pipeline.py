@@ -123,6 +123,10 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
                            drop_empty=True)
         elif verb == "explode":
             df = _explode_parts(df)
+        elif verb == "dissolve":
+            from gdal_spark.operators.layer_algebra import dissolve
+
+            df = dissolve(spark, df, by=(args[0] if args else None))
         elif verb == "make-point":
             from gdal_spark.geometry.wkb import point_wkb as _pw  # noqa
 

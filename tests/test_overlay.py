@@ -283,3 +283,57 @@ def test_intersection_prefilter_bounded_expression(spark):
     got = out.toPandas().sort_values("fid")
     # fids 0 (in method 0), 1 (in method 5), 3 (in method 2) intersect
     assert got["fid"].tolist() == [0, 1, 3]
+
+
+def test_dissolve_groups(spark):
+    """Dissolve: shared-edge cells fuse per group with exact areas;
+    a ring of cells produces the holed union; salting parity."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from gdal_spark.geometry.wkb import parse_wkb, polygon_wkb
+    from gdal_spark.operators.layer_algebra import dissolve
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)])
+
+    rows = []
+    fid = 0
+    # group 0: a 3x3 block of adjacent unit cells minus the center
+    # (dissolves to an 8-cell donut with one hole)
+    for i in range(3):
+        for j in range(3):
+            if i == 1 and j == 1:
+                continue
+            rows.append({"fid": fid, "grp": 0,
+                         "geometry": polygon_wkb(
+                             [sq(i, j, i + 1, j + 1)])})
+            fid += 1
+    # group 1: two overlapping rects + one disjoint
+    for r in (sq(10, 0, 12, 2), sq(11, 1, 13, 3), sq(20, 0, 21, 1)):
+        rows.append({"fid": fid, "grp": 1, "geometry": polygon_wkb([r])})
+        fid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    for salt in (1, 8):
+        out = dissolve(spark, df, by="grp", n_salt=salt).toPandas() \
+            .sort_values("key").reset_index(drop=True)
+        assert out["key"].tolist() == [0, 1]
+        assert out["area"][0] == pytest.approx(8.0)
+        assert out["area"][1] == pytest.approx(4 + 4 - 1 + 1)
+        g0 = parse_wkb(bytes(out["geometry"][0]))
+        # donut: one part with outer + hole
+        po = g0.part_offsets
+        assert len(po) - 1 == 1 and po[1] - po[0] == 2
+        g1 = parse_wkb(bytes(out["geometry"][1]))
+        assert len(g1.part_offsets) - 1 == 2  # merged + disjoint
+
+    # whole-layer dissolve through the pipeline verb
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+
+    out = run_vector_pipeline(spark, "read d ! dissolve",
+                              layers={"d": df}).toPandas()
+    assert len(out) == 1
+    assert out["area"][0] == pytest.approx(8.0 + 7.0 + 1.0)
