@@ -127,6 +127,8 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
             from gdal_spark.operators.layer_algebra import dissolve
 
             df = dissolve(spark, df, by=(args[0] if args else None))
+        elif verb == "check-geometry":
+            df = _check_geometry(df)
         elif verb == "make-point":
             from gdal_spark.geometry.wkb import point_wkb as _pw  # noqa
 
@@ -344,6 +346,48 @@ def _explode_parts(df: DataFrame, geom_col: str = "geometry"
                     rows.append(rr)
             if rows:
                 yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema)
+
+
+def _check_geometry(df: DataFrame, geom_col: str = "geometry"
+                    ) -> DataFrame:
+    """Append a ``geom_valid`` flag (gdalalg_vector_check_geometry
+    .cpp semantics, without GEOS: self-intersection of any ring, ring
+    collapse below 4 points, or unparseable WKB mark invalid)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # integer 0/1 flag: OGR SQL has no boolean type, so the flag is
+    # filterable with the dialect's integer comparisons
+    schema = StructType(list(df.schema.fields)
+                        + [StructField("geom_valid", IntegerType())])
+
+    def kernel(batches):
+        from gdal_spark.geometry import wkb as W
+        from gdal_spark.geometry.ops import _ring_self_intersects
+        from gdal_spark.geometry.wkb import parse_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            flags = []
+            for wkb in b[geom_col]:
+                try:
+                    g = parse_wkb(bytes(wkb))
+                    if g.kind in (W.POLYGON, W.MULTIPOLYGON):
+                        ok = all(len(r) >= 4
+                                 and not _ring_self_intersects(r)
+                                 for r in g.rings())
+                    else:
+                        ok = all(len(p) >= 1 for p in g.parts)
+                except Exception:
+                    ok = False
+                flags.append(1 if ok else 0)
+            b = b.copy()
+            import numpy as _np
+
+            b["geom_valid"] = _np.array(flags, dtype=_np.int32)
+            yield b
 
     return df.mapInPandas(kernel, schema)
 

@@ -154,3 +154,29 @@ def test_pipeline_geometry_verbs(spark):
                               layers={"l": lines}).toPandas()
     g = parse_wkb(bytes(out.iloc[0]["geometry"]))
     assert len(g.parts[0]) == 2  # collinear chain collapses
+
+
+def test_pipeline_check_geometry(spark):
+    """check-geometry flags bowties and truncated WKB, passes valid
+    rings (gdalalg_vector_check_geometry.cpp)."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)])
+
+    bow = np.array([(0, 0), (2, 2), (0, 2), (2, 0), (0, 0)], float)
+    df = spark.createDataFrame(pd.DataFrame({
+        "fid": np.arange(3, dtype=np.int64),
+        "geometry": [polygon_wkb([sq(0, 0, 1, 1)]),
+                     polygon_wkb([bow]),
+                     b"\x01\x03\x00"],
+    }))
+    out = run_vector_pipeline(spark, "read g ! check-geometry",
+                              layers={"g": df}).toPandas() \
+        .sort_values("fid")
+    assert out["geom_valid"].tolist() == [1, 0, 0]
