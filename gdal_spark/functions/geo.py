@@ -36,8 +36,16 @@ MERC_LAT_MAX = 85.05112877980659
 # --- SQL fragment templates (shared Spark <-> DuckDB) ----------------
 
 MERC_X_SQL = "(({lon}) * {origin} / 180.0)"
+# lat clamps to the Web-Mercator domain (+-MERC_LAT_MAX) exactly like
+# the Python _merc_y: without it a pole-touching bbox corner computes
+# NULL/inf JVM-side while the Python cell cover clipped, silently
+# dropping the pair at the corner-cell dedup filter.  Shared with the
+# DuckDB oracles through this same template (lockstep by construction).
 MERC_Y_SQL = (
-    "(LN(TAN((90.0 + ({lat})) * PI() / 360.0)) / PI() * {origin})"
+    "(LN(TAN((90.0 + LEAST(GREATEST(({lat}),"
+    " CAST(-85.05112877980659 AS DOUBLE)),"
+    " CAST(85.05112877980659 AS DOUBLE))) * PI() / 360.0))"
+    " / PI() * {origin})"
 )
 
 INV_MERC_LON_SQL = "(({x}) / {origin} * 180.0)"

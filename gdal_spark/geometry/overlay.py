@@ -154,6 +154,13 @@ def _isect(p1, p2, q1, q2):
     return t, u
 
 
+# element budget for one dense (chunk x m) temporary — bounds the
+# ~10 float64 intermediates below to ~300 MB worst case per task even
+# for post-segmentize rings with 10^4+ edges each (same pattern as
+# pip.py's _CHUNK_BUDGET)
+_PAIR_CHUNK_BUDGET = 1 << 22
+
+
 def _isect_pairs(sa: np.ndarray, ca: np.ndarray
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                             np.ndarray]:
@@ -162,7 +169,27 @@ def _isect_pairs(sa: np.ndarray, ca: np.ndarray
     Returns (i, j, t, u) index/parameter arrays of the PROPER
     crossings; raises Degenerate under exactly the same conditions as
     the scalar kernel (collinear overlap, endpoint hit, coincident
-    intersections are caught later by _insert_sorted)."""
+    intersections are caught later by _insert_sorted).  The subject
+    axis is chunked so the dense temporaries stay memory-bounded for
+    huge rings."""
+    n, m = len(sa), len(ca)
+    step = max(1, _PAIR_CHUNK_BUDGET // max(m, 1))
+    if n > step:
+        sis, cjs, ts, us = [], [], [], []
+        for lo in range(0, n, step):
+            si, cj, t, u = _isect_pairs_block(sa[lo:lo + step], ca)
+            sis.append(si + lo)
+            cjs.append(cj)
+            ts.append(t)
+            us.append(u)
+        return (np.concatenate(sis), np.concatenate(cjs),
+                np.concatenate(ts), np.concatenate(us))
+    return _isect_pairs_block(sa, ca)
+
+
+def _isect_pairs_block(sa: np.ndarray, ca: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
     p = sa[:, None, 0]
     r = sa[:, None, 1] - p
     q = ca[None, :, 0]

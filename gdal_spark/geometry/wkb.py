@@ -142,6 +142,14 @@ def polygon_wkb(rings) -> bytes:
     return b"".join(out)
 
 
+def multipoint_wkb(points) -> bytes:
+    """points: iterable of (x, y)."""
+    out = [struct.pack("<BII", 1, MULTIPOINT, len(points))]
+    for p in points:
+        out.append(point_wkb(float(p[0]), float(p[1])))
+    return b"".join(out)
+
+
 def multilinestring_wkb(parts) -> bytes:
     out = [struct.pack("<BII", 1, MULTILINESTRING, len(parts))]
     for c in parts:

@@ -13,9 +13,13 @@ composition.  Output pixel = alpha * src + (1 - alpha) * nodata,
 always float64 (the blend is fractional by definition).
 
 Distributed shape: the cutline rasterizes to mask tiles on the same
-grid (zero-filled over the full src tile lattice), each mask tile
-gets a ceil(blend)-pixel halo from its neighbors, and the signed
-distance runs per tile over the haloed canvas.  Exactness: alpha
+grid; every src tile is then classified inside / outside / boundary
+from per-mask-tile stats exploded over the 3x3 neighbor offsets
+(all JVM joins after one bounded stats kernel), and ONLY the
+boundary band — O(perimeter) tiles — enters the halo exchange and
+the signed-distance sweep.  Inside tiles pass through (alpha == 1),
+outside tiles emit constant nodata (alpha == 0), both as single map
+passes with no shuffle beyond the classification semi-joins.  Exactness: alpha
 saturates for |signed_dist| >= blend, and any boundary pixel within
 blend is inside the halo window, so the per-tile EDT equals the
 global one wherever alpha is fractional (same argument as
@@ -31,6 +35,9 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType, StructField, StructType,
+)
 
 from gdal_spark.operators.proximity import (
     assemble_halo_canvas, emit_halos_k,
@@ -80,28 +87,126 @@ def blend_alpha(mask: np.ndarray, blend_px: float) -> np.ndarray:
     return np.clip(0.5 + signed / (2.0 * blend_px), 0.0, 1.0)
 
 
+CLASS_SCHEMA_DOC = """Tile classes (classify_cutline_tiles):
+inside   — this tile and its 8 neighbors are all fully inside the
+           cutline, so every pixel is >= tile_size >= blend from the
+           boundary: alpha == 1, the tile passes through (as float64)
+           with no halo exchange or distance sweep.
+outside  — no cutline pixel anywhere in the 3x3 neighborhood: every
+           pixel is >= tile_size >= blend from the inside region,
+           alpha == 0, the output is a constant-nodata tile (no src
+           decode at all).
+boundary — everything else (partial mask, raster edge, or a full/
+           empty tile adjacent to the other kind): only these enter
+           the haloed signed-distance pipeline.  On a continental
+           raster with one cutline this is O(perimeter) tiles, not
+           O(area)."""
+
+
+def classify_cutline_tiles(spark: SparkSession, keys: DataFrame,
+                           mask: DataFrame) -> DataFrame:
+    """Classify src tile keys against the rasterized cutline mask.
+
+    Per-mask-tile stats (full / any-inside, decoded once per mask
+    tile — bounded by tiles the cutline touches) explode over the
+    3x3 neighbor offsets JVM-side; a groupBy then counts full
+    neighbors and ORs any-inside per target tile.  Absent tiles
+    (beyond the cutline's bbox or beyond the raster edge) count as
+    not-full / no-inside, which conservatively classes raster-edge
+    tiles as boundary — matching the zero-padding world outside the
+    raster."""
+    STATS = StructType([
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("m_full", IntegerType()),
+        StructField("m_any", IntegerType()),
+    ])
+
+    def stats_kernel(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            rows = {n: [] for n in ("tile_x", "tile_y",
+                                    "m_full", "m_any")}
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                arr = decode_tile(r["data"], r["dtype"], ts) >= 0.5
+                rows["tile_x"].append(int(r["tile_x"]))
+                rows["tile_y"].append(int(r["tile_y"]))
+                rows["m_full"].append(int(arr.all()))
+                rows["m_any"].append(int(arr.any()))
+            yield pd.DataFrame(rows)
+
+    stats = mask.select("tile_x", "tile_y", "data", "dtype",
+                        "tile_size").mapInPandas(stats_kernel, STATS)
+    offs = spark.createDataFrame(
+        pd.DataFrame([(dx, dy) for dx in (-1, 0, 1)
+                      for dy in (-1, 0, 1)], columns=["dx", "dy"]))
+    nbr = stats.join(F.broadcast(offs)).select(
+        (F.col("tile_x") + F.col("dx")).alias("tile_x"),
+        (F.col("tile_y") + F.col("dy")).alias("tile_y"),
+        "m_full", "m_any")
+    agg = nbr.groupBy("tile_x", "tile_y").agg(
+        F.sum("m_full").alias("n_full"),
+        F.max("m_any").alias("any_in"))
+    return keys.join(agg, ["tile_x", "tile_y"], "left").withColumn(
+        "cls",
+        F.when(F.col("n_full") == 9, F.lit("inside"))
+        .when(F.col("any_in").isNull() | (F.col("any_in") == 0),
+              F.lit("outside"))
+        .otherwise(F.lit("boundary"))) \
+        .select("zoom", "tile_x", "tile_y", "tile_size", "cls")
+
+
 def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
                  cutline_pdf: pd.DataFrame, grid: GridSpec,
                  blend_px: float = 0.0, nodata: float = 0.0,
                  tile_size: int = 256) -> DataFrame:
     """Clip ``src_tiles`` to the cutline polygons, feathering
-    ``blend_px`` pixels across the edge (0 = hard cut)."""
+    ``blend_px`` pixels across the edge (0 = hard cut).
+
+    Boundary-band execution: the halo exchange + signed-distance
+    sweep run ONLY on boundary-class tiles (see CLASS_SCHEMA_DOC);
+    inside tiles pass through, outside tiles emit constant nodata —
+    both single cheap map passes, so a continental raster with one
+    cutline does O(perimeter) distance work, not O(area)."""
     k = max(1, int(np.ceil(blend_px)))
+    if k > tile_size:
+        raise ValueError(
+            f"blend_px={blend_px} exceeds tile_size={tile_size}: the "
+            "1-ring halo/classification machinery needs blend <= "
+            "tile_size (retile coarser or shrink the blend)")
     mask = rasterize(spark, cutline_pdf, grid, burn_value=1.0,
                      dtype="uint8", tile_size=tile_size)
 
-    # zero-fill the mask over the src tile lattice so every src tile
-    # owns a center canvas (tiles the cutline never touches are
-    # all-outside, not absent)
     keys = src_tiles.select("zoom", "tile_x", "tile_y",
                             "tile_size").distinct()
-    mdat = mask.select("tile_x", "tile_y",
-                       F.col("data").alias("m_data"),
-                       F.col("dtype").alias("m_dtype"))
     # explicit partitioning: AQE coalesces these small joins to ONE
     # partition and would serialize every per-tile kernel downstream
     par = max(spark.sparkContext.defaultParallelism, 8)
-    with_mask = keys.join(mdat, ["tile_x", "tile_y"], "left") \
+
+    cls = classify_cutline_tiles(spark, keys, mask) \
+        .localCheckpoint(eager=False)
+    b_keys = cls.filter(F.col("cls") == "boundary") \
+        .select("zoom", "tile_x", "tile_y", "tile_size")
+    # the halo band: boundary tiles plus their in-lattice neighbors
+    # (an inside neighbor's border strips are all-ones and must be
+    # present, or the canvas fill would fake an outside edge)
+    offs = spark.createDataFrame(
+        pd.DataFrame([(dx, dy) for dx in (-1, 0, 1)
+                      for dy in (-1, 0, 1)], columns=["dx", "dy"]))
+    band_xy = b_keys.join(F.broadcast(offs)).select(
+        (F.col("tile_x") + F.col("dx")).alias("tile_x"),
+        (F.col("tile_y") + F.col("dy")).alias("tile_y")).distinct()
+    band_keys = keys.join(band_xy, ["tile_x", "tile_y"], "left_semi")
+
+    # zero-fill the mask over the band (band tiles the cutline never
+    # touches are all-outside, not absent)
+    mdat = mask.select("tile_x", "tile_y",
+                       F.col("data").alias("m_data"),
+                       F.col("dtype").alias("m_dtype"))
+    with_mask = band_keys.join(mdat, ["tile_x", "tile_y"], "left") \
         .repartition(par)
 
     def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -125,10 +230,13 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
                 rows["tile_size"].append(ts)
             yield pd.DataFrame(rows)
 
-    mask_full = with_mask.mapInPandas(fill, TILE_SCHEMA)
+    mask_band = with_mask.mapInPandas(fill, TILE_SCHEMA)
 
-    # per-tile alpha over a k-haloed canvas
-    halos = emit_halos_k(mask_full, k)
+    # per-tile alpha over a k-haloed canvas — assembled ONLY for
+    # boundary tiles (neighbors contribute strips, never a canvas)
+    halos = emit_halos_k(mask_band, k) \
+        .join(b_keys.select("tile_x", "tile_y"),
+              ["tile_x", "tile_y"], "left_semi")
 
     def render_alpha(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ts = int(pdf["tile_size"].iloc[0])
@@ -177,4 +285,62 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
                 rows["tile_size"].append(ts)
             yield pd.DataFrame(rows)
 
-    return blended_in.mapInPandas(blend, TILE_SCHEMA)
+    boundary_out = blended_in.mapInPandas(blend, TILE_SCHEMA)
+
+    # inside tiles: alpha == 1 everywhere -> src as float64, no halo
+    inside_in = src_tiles.join(
+        cls.filter(F.col("cls") == "inside")
+        .select("tile_x", "tile_y"), ["tile_x", "tile_y"], "left_semi")
+
+    def passthrough(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            rows = {f.name: [] for f in TILE_SCHEMA.fields}
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                src = decode_tile(r["data"], r["dtype"], ts) \
+                    .astype(np.float64)
+                payload, dts = encode_tile(src, None)
+                rows["zoom"].append(int(r["zoom"]))
+                rows["tile_x"].append(int(r["tile_x"]))
+                rows["tile_y"].append(int(r["tile_y"]))
+                rows["band"].append(int(r["band"]))
+                rows["data"].append(payload)
+                rows["dtype"].append(dts)
+                rows["tile_size"].append(ts)
+            yield pd.DataFrame(rows)
+
+    inside_out = inside_in.mapInPandas(passthrough, TILE_SCHEMA)
+
+    # outside tiles: alpha == 0 everywhere -> constant nodata, the
+    # src payload is never even decoded
+    outside_in = src_tiles.join(
+        cls.filter(F.col("cls") == "outside")
+        .select("tile_x", "tile_y"), ["tile_x", "tile_y"], "left_semi")
+
+    def fill_nodata(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        nd = float(nodata)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            rows = {f.name: [] for f in TILE_SCHEMA.fields}
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                payload, dts = encode_tile(
+                    np.full((ts, ts), nd, dtype=np.float64), None)
+                rows["zoom"].append(int(r["zoom"]))
+                rows["tile_x"].append(int(r["tile_x"]))
+                rows["tile_y"].append(int(r["tile_y"]))
+                rows["band"].append(int(r["band"]))
+                rows["data"].append(payload)
+                rows["dtype"].append(dts)
+                rows["tile_size"].append(ts)
+            yield pd.DataFrame(rows)
+
+    outside_out = outside_in.mapInPandas(fill_nodata, TILE_SCHEMA)
+
+    return boundary_out.unionByName(inside_out) \
+        .unionByName(outside_out)

@@ -217,6 +217,57 @@ LINE_OVERLAY_SCHEMA = StructType([
 ])
 
 
+def _method_grid_index(meth):
+    """Uniform grid over the broadcast method layer's extent:
+    (x0, y0, x1, y1, inv_cw, inv_ch, nc, cells) where cells maps
+    (ix, iy) -> method indices whose bbox covers that cell.
+    Replaces the O(|method|) per-line scan with an O(cells-covered)
+    candidate lookup (the in-memory analog of the cell-cover join's
+    prefilter; reference keeps a per-layer envelope index too,
+    ogrlayer.cpp:4004)."""
+    if not meth:
+        return None
+    boxes = [b for _, _, b in meth]
+    x0 = min(b[0] for b in boxes)
+    y0 = min(b[1] for b in boxes)
+    x1 = max(b[2] for b in boxes)
+    y1 = max(b[3] for b in boxes)
+    nc = int(np.clip(np.ceil(np.sqrt(len(meth))), 1, 256))
+    cw = max((x1 - x0) / nc, 1e-300)
+    ch = max((y1 - y0) / nc, 1e-300)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for i, (_, _, (bx0, by0, bx1, by1)) in enumerate(meth):
+        ix0 = int(np.clip((bx0 - x0) / cw, 0, nc - 1))
+        ix1 = int(np.clip((bx1 - x0) / cw, 0, nc - 1))
+        iy0 = int(np.clip((by0 - y0) / ch, 0, nc - 1))
+        iy1 = int(np.clip((by1 - y0) / ch, 0, nc - 1))
+        for ix in range(ix0, ix1 + 1):
+            for iy in range(iy0, iy1 + 1):
+                cells.setdefault((ix, iy), []).append(i)
+    return (x0, y0, x1, y1, 1.0 / cw, 1.0 / ch, nc, cells)
+
+
+def _grid_candidates(index, gx0, gy0, gx1, gy1):
+    """Sorted, deduped method indices whose grid cells the query bbox
+    touches (a superset of bbox-overlappers; the exact bbox test
+    still runs per candidate); a bbox disjoint from the layer extent
+    short-circuits to []."""
+    x0, y0, x1, y1, icw, ich, nc, cells = index
+    if gx1 < x0 or gx0 > x1 or gy1 < y0 or gy0 > y1:
+        return []
+    ix0 = int(np.clip((gx0 - x0) * icw, 0, nc - 1))
+    ix1 = int(np.clip((gx1 - x0) * icw, 0, nc - 1))
+    iy0 = int(np.clip((gy0 - y0) * ich, 0, nc - 1))
+    iy1 = int(np.clip((gy1 - y0) * ich, 0, nc - 1))
+    out: set[int] = set()
+    for ix in range(ix0, ix1 + 1):
+        for iy in range(iy0, iy1 + 1):
+            got = cells.get((ix, iy))
+            if got:
+                out.update(got)
+    return sorted(out)
+
+
 def overlay_lines(spark: SparkSession, lines_df: DataFrame,
                   method_pdf: pd.DataFrame, op: str,
                   geom_col: str = "geometry") -> DataFrame:
@@ -236,8 +287,11 @@ def overlay_lines(spark: SparkSession, lines_df: DataFrame,
 
     Output: (fid, method_fid, MULTILINESTRING WKB, length).  Lengths
     partition exactly: clip + erase == input length per feature.
-    The method layer is broadcast; the input layer is map-only (no
-    shuffle at any size).
+    The method layer is broadcast behind a grid index (each line
+    tests only the candidates of the cells its bbox covers, never the
+    whole layer); the input layer is map-only (no shuffle at any
+    size).  For a method layer too big to broadcast use
+    overlay_lines_big / overlay_lines_auto.
     """
     from gdal_spark.geometry.lines import (
         clip_line_to_rings, erase_line_from_rings, polyline_length,
@@ -255,6 +309,7 @@ def overlay_lines(spark: SparkSession, lines_df: DataFrame,
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         meth = bc.value
+        index = _method_grid_index(meth)
         for b in batches:
             rows = {"fid": [], "method_fid": [], "geometry": [],
                     "length": []}
@@ -274,7 +329,10 @@ def overlay_lines(spark: SparkSession, lines_df: DataFrame,
                 g = parse_wkb(bytes(wkb))
                 gx0, gy0, gx1, gy1 = g.bbox()
                 remain = list(g.parts)
-                for mfid, mrings, (mx0, my0, mx1, my1) in meth:
+                cand = (_grid_candidates(index, gx0, gy0, gx1, gy1)
+                        if index else [])
+                for ci in cand:
+                    mfid, mrings, (mx0, my0, mx1, my1) = meth[ci]
                     overlaps = (gx0 <= mx1 and mx0 <= gx1
                                 and gy0 <= my1 and my0 <= gy1)
                     if not overlaps:
@@ -302,6 +360,168 @@ def overlay_lines(spark: SparkSession, lines_df: DataFrame,
         kernel, LINE_OVERLAY_SCHEMA)
 
 
+def overlay_lines_big(spark: SparkSession, lines_df: DataFrame,
+                      method_df: DataFrame, op: str,
+                      geom_col: str = "geometry",
+                      method_geom_col: str | None = None,
+                      res: int = 6) -> DataFrame:
+    """overlay_lines with a DISTRIBUTED method layer — neither side
+    ever collects to the driver (reference FilterGeometry handles any
+    pair at any size, ogrlayer.cpp:4004-4076).
+
+    Shape: both layers explode into the cell cover of their bboxes
+    (the spatial-join machinery), a plain equi-join on cell + JVM
+    bbox-overlap reject + corner-cell pair dedup yields one row per
+    candidate (line, method) pair; pairs then hash-partition by line
+    fid and sort within partitions, and a single mapInPandas pass
+    with a cross-batch carry runs the split-at-crossings kernel —
+    intersection rows per pair, the erase remainder sequentially per
+    line (groupBy().applyInPandas would pay ~ms per group at 10^7
+    lines).  Lines with NO candidate pair emit their whole geometry
+    as the erase remainder via a left-anti join.
+    """
+    from gdal_spark.functions import geo
+    from gdal_spark.geometry.lines import (
+        clip_line_to_rings, erase_line_from_rings, polyline_length,
+    )
+    from gdal_spark.geometry.wkb import multilinestring_wkb
+    from gdal_spark.operators.spatial_join import _geom_cell_cover
+
+    if op not in {"intersection", "clip", "erase", "identity"}:
+        raise ValueError(f"unknown line overlay op {op!r}")
+    want_isect = op in {"intersection", "clip", "identity"}
+    want_erase = op in {"erase", "identity"}
+
+    a = _geom_cell_cover(lines_df, res, "fid", geom_col, "fid_a")
+    b = _geom_cell_cover(method_df, res, "fid",
+                         method_geom_col or geom_col, "fid_b")
+    cand = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("minx_fid_a") <= F.col("maxx_fid_b"))
+            & (F.col("minx_fid_b") <= F.col("maxx_fid_a"))
+            & (F.col("miny_fid_a") <= F.col("maxy_fid_b"))
+            & (F.col("miny_fid_b") <= F.col("maxy_fid_a"))
+        )
+        .withColumn("_cx", F.greatest("minx_fid_a", "minx_fid_b"))
+        .withColumn("_cy", F.least("maxy_fid_a", "maxy_fid_b"))
+        .filter(F.col("cell") == geo.cell_id("_cx", "_cy", res))
+        .select("fid_a", "geom_fid_a", "fid_b", "geom_fid_b")
+    )
+    par = spark.sparkContext.defaultParallelism
+    cand = cand.repartition(par, "fid_a") \
+        .sortWithinPartitions("fid_a", "fid_b")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_fid = None
+        cur_parts: list = []
+        cur_remain: list = []
+        rows = {"fid": [], "method_fid": [], "geometry": [],
+                "length": []}
+
+        def emit(fid, mfid, parts):
+            parts = [p for p in parts if len(p) >= 2]
+            if not parts:
+                return
+            rows["fid"].append(fid)
+            rows["method_fid"].append(mfid)
+            rows["geometry"].append(multilinestring_wkb(parts))
+            rows["length"].append(polyline_length(parts))
+
+        def flush_line():
+            if cur_fid is not None and want_erase:
+                emit(int(cur_fid), -1, cur_remain)
+
+        for bt in batches:
+            for fa, ga, fb, gb in zip(bt["fid_a"], bt["geom_fid_a"],
+                                      bt["fid_b"], bt["geom_fid_b"]):
+                if fa != cur_fid:
+                    flush_line()
+                    cur_fid = fa
+                    g = parse_wkb(bytes(ga))
+                    cur_parts = list(g.parts)
+                    cur_remain = list(g.parts)
+                mrings = [np.ascontiguousarray(x, dtype=np.float64)
+                          for x in parse_wkb(bytes(gb)).rings()]
+                if want_isect:
+                    pieces = []
+                    for part in cur_parts:
+                        pieces.extend(clip_line_to_rings(part, mrings))
+                    emit(int(fa), int(fb), pieces)
+                if want_erase:
+                    nxt = []
+                    for part in cur_remain:
+                        nxt.extend(erase_line_from_rings(part, mrings))
+                    cur_remain = nxt
+            if rows["fid"]:
+                yield pd.DataFrame(rows)
+                rows = {"fid": [], "method_fid": [], "geometry": [],
+                        "length": []}
+        flush_line()
+        if rows["fid"]:
+            yield pd.DataFrame(rows)
+
+    out = cand.mapInPandas(kernel, LINE_OVERLAY_SCHEMA)
+
+    if want_erase:
+        # lines the cover join never paired: whole line is remainder
+        unpaired = lines_df.select("fid", geom_col).join(
+            cand.select(F.col("fid_a").alias("fid")).distinct(),
+            "fid", "left_anti")
+
+        def whole(batches: Iterator[pd.DataFrame]) \
+                -> Iterator[pd.DataFrame]:
+            for bt in batches:
+                rows = {"fid": [], "method_fid": [], "geometry": [],
+                        "length": []}
+                for fid, wkb in zip(bt["fid"], bt[geom_col]):
+                    parts = [p for p in parse_wkb(bytes(wkb)).parts
+                             if len(p) >= 2]
+                    if not parts:
+                        continue
+                    rows["fid"].append(int(fid))
+                    rows["method_fid"].append(-1)
+                    rows["geometry"].append(multilinestring_wkb(parts))
+                    rows["length"].append(polyline_length(parts))
+                if rows["fid"]:
+                    yield pd.DataFrame(rows)
+
+        out = out.unionByName(
+            unpaired.mapInPandas(whole, LINE_OVERLAY_SCHEMA))
+    return out
+
+
+# Method layers over either bound take the distributed path; both
+# overridable via spark.conf (gdal_spark.sql.methodBroadcastRowLimit /
+# methodBroadcastByteLimit).
+_LINES_BROADCAST_ROW_LIMIT = 50_000
+_LINES_BROADCAST_BYTE_LIMIT = 128 << 20
+
+
+def overlay_lines_auto(spark: SparkSession, lines_df: DataFrame,
+                       method_df: DataFrame, op: str,
+                       geom_col: str = "geometry",
+                       method_geom_col: str | None = None) -> DataFrame:
+    """Broadcast the method layer when provably small in rows AND
+    bytes (JVM-side probe, nothing unbounded through the driver),
+    else run fully distributed."""
+    from gdal_spark.operators.spatial_join import bounded_layer_pdf
+
+    rb = int(spark.conf.get("gdal_spark.sql.methodBroadcastRowLimit",
+                            str(_LINES_BROADCAST_ROW_LIMIT)))
+    bb = int(spark.conf.get("gdal_spark.sql.methodBroadcastByteLimit",
+                            str(_LINES_BROADCAST_BYTE_LIMIT)))
+    mcol = method_geom_col or geom_col
+    pdf = bounded_layer_pdf(method_df, rb, bb, mcol)
+    if pdf is None:
+        return overlay_lines_big(spark, lines_df, method_df, op,
+                                 geom_col=geom_col,
+                                 method_geom_col=method_geom_col)
+    if mcol != geom_col:
+        pdf = pdf.rename(columns={mcol: geom_col})
+    return overlay_lines(spark, lines_df, pdf, op, geom_col=geom_col)
+
+
 # --------------------------------------------------------------------
 # dissolve — group-wise geometry union
 # --------------------------------------------------------------------
@@ -311,6 +531,27 @@ DISSOLVE_SCHEMA = StructType([
     StructField("geometry", BinaryType()),
     StructField("area", DoubleType()),
 ])
+
+
+def _dissolve_key_type(df: DataFrame, by: str):
+    """Spark type the dissolve key is carried in — the by-column's own
+    type family (integral -> long, string -> string, fractional ->
+    double), never a silent cast-to-NULL. Raises on anything else so a
+    bad group column fails fast instead of fusing every row into one
+    NULL-keyed global union."""
+    from pyspark.sql.types import (ByteType, ShortType, IntegerType,
+                                   FloatType, StringType as _Str,
+                                   DoubleType as _Dbl)
+    dt = df.schema[by].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return LongType()
+    if isinstance(dt, _Str):
+        return _Str()
+    if isinstance(dt, (FloatType, _Dbl)):
+        return _Dbl()
+    raise TypeError(
+        f"dissolve(by={by!r}): unsupported group-key type {dt}; "
+        "use an integral, string, or floating-point column")
 
 
 def dissolve(spark: SparkSession, df: DataFrame,
@@ -326,11 +567,23 @@ def dissolve(spark: SparkSession, df: DataFrame,
     planar-arrangement resolver (rule='positive' keeps the covered
     region; its noding handles the shared-edge adjacency dissolve
     exists for), stage 2 unions the ≤ n_salt partials per group.
-    Output: (key, MULTIPOLYGON WKB, area); ``key`` is the by-column
-    cast to long (-1 for a whole-layer dissolve).
+    Output: (key, MULTIPOLYGON WKB, area); ``key`` keeps the
+    by-column's own type family (long / string / double — see
+    _dissolve_key_type; -1 for a whole-layer dissolve) so a string
+    group column dissolves per group instead of NULL-collapsing.
     """
     from gdal_spark.geometry.overlay import _close, _orient
     from gdal_spark.geometry.valid import resolve_rings
+
+    key_type = _dissolve_key_type(df, by) if by else LongType()
+    key_dtype = {  # pandas dtype for an EMPTY key series
+        "bigint": np.int64, "string": object, "double": np.float64,
+    }[key_type.simpleString()]
+    schema = StructType([
+        StructField("key", key_type),
+        StructField("geometry", BinaryType()),
+        StructField("area", DoubleType()),
+    ])
 
     def _oriented_rings(g) -> list[np.ndarray]:
         o = g.part_offsets
@@ -342,7 +595,7 @@ def dissolve(spark: SparkSession, df: DataFrame,
         return out
 
     def _union_rows(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        k = int(key[0])
+        k = key[0]
         rings: list[np.ndarray] = []
         for wkb in pdf["geometry"]:
             rings.extend(_oriented_rings(parse_wkb(bytes(wkb))))
@@ -350,19 +603,19 @@ def dissolve(spark: SparkSession, df: DataFrame,
                   if p]
         if not pieces:
             return pd.DataFrame({
-                "key": pd.Series(dtype=np.int64),
+                "key": pd.Series(dtype=key_dtype),
                 "geometry": pd.Series(dtype=object),
                 "area": pd.Series(dtype=np.float64),
             })
         wkb = multipolygon_wkb(pieces)
         return pd.DataFrame({
-            "key": np.array([k], dtype=np.int64),
+            "key": pd.Series([k], dtype=key_dtype),
             "geometry": [wkb],
             "area": np.array([geom_area(parse_wkb(wkb))],
                              dtype=np.float64),
         })
 
-    key_col = (F.col(by).cast("long") if by
+    key_col = (F.col(by).cast(key_type) if by
                else F.lit(-1).cast("long"))
     src = df.select(key_col.alias("key"),
                     F.col(geom_col).alias("geometry"))
@@ -370,11 +623,10 @@ def dissolve(spark: SparkSession, df: DataFrame,
         src.withColumn("salt",
                        F.pmod(F.xxhash64("geometry"), F.lit(n_salt)))
         .groupBy("key", "salt")
-        .applyInPandas(lambda k, p: _union_rows(k, p),
-                       DISSOLVE_SCHEMA)
+        .applyInPandas(lambda k, p: _union_rows(k, p), schema)
     )
     return partials.groupBy("key").applyInPandas(
-        _union_rows, DISSOLVE_SCHEMA)
+        _union_rows, schema)
 
 
 # --------------------------------------------------------------------
@@ -489,6 +741,12 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
         for b in batches:
             rows = {"fid": [], "method_fid": [], "geometry": [],
                     "area": []}
+            # per-FEATURE staging buffer: SKIP_FAILURES must drop the
+            # WHOLE feature, so nothing reaches `rows` until the
+            # feature's loop completes without raising (a failure
+            # mid-identity would otherwise keep already-emitted
+            # intersection rows while losing the remainder)
+            frows = None
 
             def emit(fid, mfid, pieces):
                 pieces = [p for p in pieces if p]
@@ -501,12 +759,14 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
                 area = geom_area(parse_wkb(wkb))
                 if area <= 0:
                     return
-                rows["fid"].append(fid)
-                rows["method_fid"].append(mfid)
-                rows["geometry"].append(wkb)
-                rows["area"].append(area)
+                frows["fid"].append(fid)
+                frows["method_fid"].append(mfid)
+                frows["geometry"].append(wkb)
+                frows["area"].append(area)
 
             for fid, wkb in zip(b["fid"], b[geom_col]):
+                frows = {"fid": [], "method_fid": [], "geometry": [],
+                         "area": []}
                 try:
                     g = parse_wkb(bytes(wkb))
                     gx0, gy0, gx1, gy1 = g.bbox()
@@ -534,9 +794,13 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
                         emit(int(fid), -1, remain)
                 except Exception:
                     # SKIP_FAILURES semantics (ogrlayer.cpp:5385):
-                    # a failing feature is skipped, not fatal
+                    # the failing feature is skipped WHOLE (its staged
+                    # rows are discarded), not fatal
                     if not skip_failures:
                         raise
+                else:
+                    for k in rows:
+                        rows[k].extend(frows[k])
             if rows["fid"]:
                 yield pd.DataFrame(rows)
 

@@ -319,6 +319,13 @@ def embedding_dedup(
     spark = emb.sparkSession
     if method == "exact":
         nb = int(n_blocks)
+        key_dt = emb.schema[key_col].dataType.simpleString()
+        if key_dt not in ("tinyint", "smallint", "int", "bigint"):
+            # pmod on a non-numeric key casts to NULL -> every row
+            # lands in one NULL block; fail fast instead
+            raise TypeError(
+                f"embedding_dedup exact mode needs an integral "
+                f"{key_col!r}; got {key_dt}")
         src = emb.select(key_col, vec_col).withColumn(
             "blk", F.pmod(F.col(key_col), F.lit(nb)).cast("int"))
         # one row per (block pair, participating block): the build

@@ -148,6 +148,28 @@ def polygon_cell_cover_pdf(polys_pdf: pd.DataFrame, res: int,
     })
 
 
+def bounded_layer_pdf(df: DataFrame, row_bound: int,
+                      byte_bound: int, geom_col: str = "geometry"):
+    """Collect a method layer only when it is provably small in ROWS
+    AND BYTES; returns None when the caller must stay distributed.
+
+    The size probe runs JVM-side on limit(row_bound+1) — count plus
+    sum(length(geom)) — so neither an unbounded row count NOR
+    few-but-huge geometries (50k multipolygons at 1 MB WKB = 50 GB)
+    ever reach the driver.  The geometry column dominates layer size,
+    so its byte sum is the estimate — the analog of
+    autoBroadcastJoinThreshold's byte gate (a row gate alone has no
+    such analog)."""
+    row = (df.limit(row_bound + 1)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.length(F.col(geom_col).cast("binary")))
+                .alias("nbytes"))
+           .collect()[0])
+    if row["n"] > row_bound or (row["nbytes"] or 0) > byte_bound:
+        return None
+    return df.toPandas()
+
+
 def _merc_x(lon: float) -> float:
     return lon * geo.ORIGIN / 180.0
 

@@ -200,6 +200,28 @@ def _poly_kinds(g) -> bool:
     return g.kind in (W.POLYGON, W.MULTIPOLYGON)
 
 
+def _poly_groups(g):
+    """Rings grouped per polygon PART via part_offsets — a
+    MULTIPOLYGON's second shell is a new part, NOT a hole of the
+    first (the same interpretation geom_area and _explode_parts
+    use)."""
+    po = g.part_offsets
+    return [g.parts[po[i]:po[i + 1]] for i in range(len(po) - 1)]
+
+
+def _emit_poly(groups):
+    """polygon WKB for a single part, multipolygon for several;
+    None when nothing survives."""
+    from gdal_spark.geometry import wkb as W
+
+    groups = [gr for gr in groups if gr]
+    if not groups:
+        return None
+    if len(groups) == 1:
+        return W.polygon_wkb(list(groups[0]))
+    return W.multipolygon_wkb([list(gr) for gr in groups])
+
+
 def _mk_buffer(dist: float, quad_segs: int):
     def fn(g):
         from gdal_spark.geometry import wkb as W
@@ -207,14 +229,24 @@ def _mk_buffer(dist: float, quad_segs: int):
             buffer_line, buffer_point, buffer_polygon,
         )
 
-        if g.kind == W.POINT:
-            return W.polygon_wkb([buffer_point(
-                float(g.parts[0][0, 0]), float(g.parts[0][0, 1]),
-                dist, quad_segs)])
+        if g.kind in (W.POINT, W.MULTIPOINT):
+            # buffer_point returns PIECES (list of ring-lists)
+            pieces = []
+            for p in g.parts:
+                pieces.extend(buffer_point(
+                    float(p[0, 0]), float(p[0, 1]), dist, quad_segs))
+            return W.multipolygon_wkb(pieces) if pieces else None
         if g.kind in (W.LINESTRING, W.MULTILINESTRING):
-            return W.multipolygon_wkb(
-                [[buffer_line(p, dist, quad_segs)] for p in g.parts])
-        pieces = buffer_polygon(list(g.rings()), dist, quad_segs)
+            # buffer_line returns PIECES (list of ring-lists) too
+            pieces = []
+            for p in g.parts:
+                pieces.extend(buffer_line(p, dist, quad_segs))
+            return W.multipolygon_wkb(pieces) if pieces else None
+        # per polygon PART: a multipolygon's later shells must not
+        # become holes of the first
+        pieces = []
+        for grp in _poly_groups(g):
+            pieces.extend(buffer_polygon(list(grp), dist, quad_segs))
         return W.multipolygon_wkb(pieces) if pieces else None
     return fn
 
@@ -228,10 +260,12 @@ def _mk_simplify(tol: float, preserve: bool):
 
         if _poly_kinds(g):
             if preserve:
-                return W.polygon_wkb(
-                    simplify_preserve_topology(list(g.rings()), tol))
-            return W.polygon_wkb(
-                [douglas_peucker(r, tol) for r in g.rings()])
+                return _emit_poly(
+                    [simplify_preserve_topology(list(grp), tol)
+                     for grp in _poly_groups(g)])
+            return _emit_poly(
+                [[douglas_peucker(r, tol) for r in grp]
+                 for grp in _poly_groups(g)])
         return W.multilinestring_wkb(
             [douglas_peucker(p, tol) for p in g.parts])
     return fn
@@ -251,8 +285,9 @@ def _mk_segmentize(max_len: float):
         from gdal_spark.geometry.ops import segmentize
 
         if _poly_kinds(g):
-            return W.polygon_wkb(
-                [segmentize(r, max_len) for r in g.rings()])
+            return _emit_poly(
+                [[segmentize(r, max_len) for r in grp]
+                 for grp in _poly_groups(g)])
         return W.multilinestring_wkb(
             [segmentize(p, max_len) for p in g.parts])
     return fn
@@ -286,9 +321,13 @@ def _do_swap_xy(g):
     if g.kind == W.POINT:
         return W.point_wkb(float(parts[0][0, 0]),
                            float(parts[0][0, 1]))
+    if g.kind == W.MULTIPOINT:
+        return W.multipoint_wkb([(p[0, 0], p[0, 1]) for p in parts])
     if g.kind in (W.LINESTRING, W.MULTILINESTRING):
         return W.multilinestring_wkb(parts)
-    return W.polygon_wkb(parts)
+    po = g.part_offsets
+    return _emit_poly([parts[po[i]:po[i + 1]]
+                       for i in range(len(po) - 1)])
 
 
 def _mk_clip_bbox(x0: float, y0: float, x1: float, y1: float):
@@ -305,10 +344,13 @@ def _mk_clip_bbox(x0: float, y0: float, x1: float, y1: float):
             for p in g.parts:
                 parts.extend(clip_line_to_rings(p, [rect]))
             return W.multilinestring_wkb(parts) if parts else None
-        rings = [clip_ring_rect(r, x0, y0, x1, y1)
-                 for r in g.rings()]
-        rings = [r for r in rings if len(r)]
-        return W.polygon_wkb(rings) if rings else None
+        groups = []
+        for grp in _poly_groups(g):
+            rings = [clip_ring_rect(r, x0, y0, x1, y1) for r in grp]
+            rings = [r for r in rings if len(r)]
+            if rings:
+                groups.append(rings)
+        return _emit_poly(groups)
     return fn
 
 

@@ -411,22 +411,14 @@ _SPATIAL_JOIN_RE = re.compile(
     r"^st_intersects\(\s*(\w+)\.(\w+)\s*,\s*(\w+)\.(\w+)\s*\)$", re.I)
 _SJ_COUNTER = [0]
 
-# Method layers up to this many rows are collected and broadcast (the
-# prepared-geometry path); larger layers take the fully distributed
-# cell-cover join — the driver never holds an unbounded layer.
-# Override with spark.conf "gdal_spark.sql.methodBroadcastRowLimit".
+# Method layers up to this many rows AND this many geometry bytes are
+# collected and broadcast (the prepared-geometry path); larger layers
+# take the fully distributed cell-cover join — the driver never holds
+# an unbounded layer (a row gate alone would pass 50k multipolygons at
+# 1 MB WKB each = 50 GB through the driver).  Override with spark.conf
+# "gdal_spark.sql.methodBroadcastRowLimit" / "methodBroadcastByteLimit".
 _METHOD_BROADCAST_ROW_LIMIT = 50_000
-
-
-def _bounded_method_pdf(df: DataFrame, bound: int):
-    """Collect the method layer only when it is provably small: pull
-    bound+1 rows; one extra row means the layer exceeds the bound and
-    the caller must stay distributed (returns None).  The analog of
-    autoBroadcastJoinThreshold's size gate for the dialect rewrite."""
-    head = df.limit(bound + 1).toPandas()
-    if len(head) > bound:
-        return None
-    return head
+_METHOD_BROADCAST_BYTE_LIMIT = 128 << 20
 
 
 def _rewrite_spatial_joins(spark: SparkSession, sel: _Select,
@@ -446,12 +438,16 @@ def _rewrite_spatial_joins(spark: SparkSession, sel: _Select,
     spatial_join_polygons_intersect_big, and the driver never
     materializes the layer)."""
     from gdal_spark.operators.spatial_join import (
+        bounded_layer_pdf,
         spatial_join_polygons_intersect,
         spatial_join_polygons_intersect_big,
     )
 
     bound = int(spark.conf.get("gdal_spark.sql.methodBroadcastRowLimit",
                                str(_METHOD_BROADCAST_ROW_LIMIT)))
+    byte_bound = int(spark.conf.get(
+        "gdal_spark.sql.methodBroadcastByteLimit",
+        str(_METHOD_BROADCAST_BYTE_LIMIT)))
     new_joins = []
     for kind, tbl, cond in sel.joins:
         m = _SPATIAL_JOIN_RE.match(cond.strip())
@@ -470,7 +466,8 @@ def _rewrite_spatial_joins(spark: SparkSession, sel: _Select,
         if "fid" not in layers[tbl].columns:
             new_joins.append((kind, tbl, cond))
             continue
-        method_pdf = _bounded_method_pdf(layers[tbl], bound)
+        method_pdf = bounded_layer_pdf(layers[tbl], bound,
+                                       byte_bound, geom_col=methg)
         if method_pdf is None:
             pairs = spatial_join_polygons_intersect_big(
                 spark, layers[sel.table], layers[tbl],

@@ -161,6 +161,90 @@ def test_overlay_lines_clip_erase_identity(spark):
     assert g.kind == 5
 
 
+def test_method_grid_index_prefilter():
+    """The broadcast path's grid index returns only nearby method
+    candidates — a query bbox in an empty region tests NOTHING (the
+    per-line full-layer scan is gone)."""
+    from gdal_spark.operators.layer_algebra import (
+        _grid_candidates, _method_grid_index,
+    )
+
+    meth = []
+    for i in range(100):
+        x = float(i % 10)
+        y = float(i // 10)
+        meth.append((i, [sq(x, y, x + 0.9, y + 0.9)],
+                     (x, y, x + 0.9, y + 0.9)))
+    idx = _method_grid_index(meth)
+    # empty far corner: no candidates at all
+    assert _grid_candidates(idx, 50.0, 50.0, 51.0, 51.0) == []
+    # a 1-cell query returns a small local subset, not the layer
+    got = _grid_candidates(idx, 3.1, 3.1, 3.2, 3.2)
+    assert 33 in got and len(got) <= 9
+    # candidates are a superset of true bbox overlappers
+    got_wide = _grid_candidates(idx, 0.0, 0.0, 9.9, 0.5)
+    assert set(range(10)) <= set(got_wide)
+
+
+def test_overlay_lines_big_parity(spark):
+    """overlay_lines_big (distributed method layer, cell-cover join +
+    per-line carry kernel) matches the broadcast path pair-for-pair
+    and length-for-length on a 10^4-feature method layer; the auto
+    selector picks each path by the byte/row gate."""
+    from gdal_spark.operators.layer_algebra import (
+        overlay_lines, overlay_lines_auto, overlay_lines_big,
+    )
+
+    # 10^4 unit squares on a 100x100 lattice mapped into the
+    # geographic window [-60,40] x [-25,25]
+    n_side = 100
+    mrows = {"fid": [], "geometry": []}
+    for i in range(n_side * n_side):
+        x = -60.0 + (i % n_side) * 1.0
+        y = -25.0 + (i // n_side) * 0.5
+        mrows["fid"].append(i)
+        mrows["geometry"].append(
+            polygon_wkb([sq(x, y, x + 0.9, y + 0.45)]))
+    method_pdf = pd.DataFrame({
+        "fid": np.array(mrows["fid"], dtype=np.int64),
+        "geometry": mrows["geometry"]})
+    method_df = spark.createDataFrame(method_pdf)
+
+    paths = []
+    rng = np.random.RandomState(11)
+    for _ in range(25):
+        x0, y0 = rng.uniform(-60, 35), rng.uniform(-25, 20)
+        paths.append([(x0, y0), (x0 + rng.uniform(1, 8), y0),
+                      (x0 + rng.uniform(1, 8), y0 + rng.uniform(1, 4))])
+    lines = _lines_df(spark, paths)
+
+    for op in ("clip", "erase", "identity"):
+        want = overlay_lines(spark, lines, method_pdf, op) \
+            .toPandas().sort_values(["fid", "method_fid"]) \
+            .reset_index(drop=True)
+        got = overlay_lines_big(spark, lines, method_df, op) \
+            .toPandas().sort_values(["fid", "method_fid"]) \
+            .reset_index(drop=True)
+        assert got[["fid", "method_fid"]].values.tolist() \
+            == want[["fid", "method_fid"]].values.tolist(), op
+        np.testing.assert_allclose(got["length"], want["length"],
+                                   rtol=1e-9, atol=1e-9)
+
+    # auto: tiny byte bound -> distributed; default -> broadcast
+    spark.conf.set("gdal_spark.sql.methodBroadcastByteLimit", "64")
+    try:
+        got = overlay_lines_auto(spark, lines, method_df, "clip") \
+            .toPandas().sort_values(["fid", "method_fid"]) \
+            .reset_index(drop=True)
+    finally:
+        spark.conf.unset("gdal_spark.sql.methodBroadcastByteLimit")
+    want = overlay_lines(spark, lines, method_pdf, "clip") \
+        .toPandas().sort_values(["fid", "method_fid"]) \
+        .reset_index(drop=True)
+    np.testing.assert_allclose(got["length"], want["length"],
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_overlay_general_options(spark):
     from gdal_spark.operators.layer_algebra import overlay_general
 
@@ -180,6 +264,21 @@ def test_overlay_general_options(spark):
     out = overlay_general(spark, inputs, method, "intersection",
                           options={"SKIP_FAILURES": True}).toPandas()
     assert out["fid"].tolist() == [0]
+
+    # identity (multi-row emit per feature): a failing feature must
+    # contribute NO rows at all, while a good feature keeps both its
+    # intersection row and its remainder row (per-feature staging)
+    half_in = polygon_wkb([sq(8.0, 8.0, 12.0, 12.0)])
+    inputs2 = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([0, 1], dtype=np.int64),
+        "geometry": [half_in, bad],
+    }))
+    out = overlay_general(spark, inputs2, method, "identity",
+                          options={"SKIP_FAILURES": True}).toPandas()
+    assert sorted(out["fid"].unique().tolist()) == [0]
+    got = out.set_index("method_fid")["area"]
+    assert got[0] == pytest.approx(4.0)    # inside 10x10
+    assert got[-1] == pytest.approx(12.0)  # remainder
 
     # PROMOTE_TO_MULTI=False -> single-part results are POLYGON
     single = spark.createDataFrame(pd.DataFrame({

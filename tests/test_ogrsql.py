@@ -304,6 +304,34 @@ def test_spatial_join_rewrite_distributed(spark, monkeypatch):
     pd.testing.assert_frame_equal(got, expected)
 
 
+def test_spatial_join_rewrite_byte_bound(spark, monkeypatch):
+    """FEW-but-huge method geometries must also take the distributed
+    path: the gate bounds bytes, not just rows (the probe runs
+    JVM-side — the layer never reaches the driver)."""
+    import gdal_spark.operators.spatial_join as sj
+
+    a = _rect_layer(spark, _det_rects(80, 17))
+    b = _rect_layer(spark, _det_rects(5, 5), extra={
+        "name": [f"z{i}" for i in range(5)]})  # 5 rows << row bound
+    sql = ("SELECT a.fid, b.name FROM a JOIN b"
+           " ON ST_Intersects(a.geometry, b.geometry)")
+
+    expected = execute_ogr_sql(spark, sql, {"a": a, "b": b}) \
+        .toPandas().sort_values(["fid", "name"]).reset_index(drop=True)
+
+    def forbidden(*args, **kwargs):
+        raise AssertionError("broadcast path (driver collect) used")
+
+    monkeypatch.setattr(sj, "spatial_join_polygons_intersect", forbidden)
+    spark.conf.set("gdal_spark.sql.methodBroadcastByteLimit", "64")
+    try:
+        got = execute_ogr_sql(spark, sql, {"a": a, "b": b}) \
+            .toPandas().sort_values(["fid", "name"]).reset_index(drop=True)
+    finally:
+        spark.conf.unset("gdal_spark.sql.methodBroadcastByteLimit")
+    pd.testing.assert_frame_equal(got, expected)
+
+
 def test_polygons_intersect_big_parity(spark):
     """spatial_join_polygons_intersect_big == broadcast operator on a
     200 x 12 rect workload (pair-set equality, incl. corner-cell

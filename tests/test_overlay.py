@@ -337,3 +337,87 @@ def test_dissolve_groups(spark):
                               layers={"d": df}).toPandas()
     assert len(out) == 1
     assert out["area"][0] == pytest.approx(8.0 + 7.0 + 1.0)
+
+
+def test_isect_pairs_chunked_equals_block(monkeypatch):
+    """Subject-axis chunking of the vectorized pair search returns
+    identical crossings (memory stays bounded for huge rings)."""
+    import gdal_spark.geometry.overlay as ov
+
+    def ring_edges(cx, n, r):
+        a = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        pts = np.column_stack([cx + r * np.cos(a), r * np.sin(a)])
+        closed = np.vstack([pts, pts[:1]])
+        return np.stack([closed[:-1], closed[1:]], axis=1)
+
+    sa = ring_edges(0.0, 157, 1.0)
+    ca = ring_edges(1.0, 131, 1.0)
+    want = ov._isect_pairs(sa, ca)
+    monkeypatch.setattr(ov, "_PAIR_CHUNK_BUDGET", 512)
+    got = ov._isect_pairs(sa, ca)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_dissolve_string_and_double_keys(spark):
+    """A non-numeric `by` column must dissolve per group (carried in
+    its own type), never NULL-collapse into one global union; an
+    unsupported key type raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.layer_algebra import dissolve
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)])
+
+    rows = []
+    for fid, (cty, r) in enumerate([
+            ("fr", sq(0, 0, 1, 1)), ("fr", sq(1, 0, 2, 1)),
+            ("de", sq(10, 0, 11, 1)),
+            ("de", sq(10.5, 0, 11.5, 1))]):
+        rows.append({"fid": fid, "country": cty,
+                     "w": float(fid % 2),
+                     "geometry": polygon_wkb([r])})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    out = dissolve(spark, df, by="country").toPandas() \
+        .sort_values("key").reset_index(drop=True)
+    assert out["key"].tolist() == ["de", "fr"]
+    assert out["area"][0] == pytest.approx(1.5)
+    assert out["area"][1] == pytest.approx(2.0)
+
+    # same layer through the pipeline verb with a string key
+    pout = run_vector_pipeline(spark, "read d ! dissolve country",
+                               layers={"d": df}).toPandas()
+    assert sorted(pout["key"]) == ["de", "fr"]
+
+    # double key passes through as double
+    dout = dissolve(spark, df, by="w").toPandas()
+    assert sorted(dout["key"].tolist()) == [0.0, 1.0]
+
+    # binary key -> fail fast, not NULL-collapse
+    from pyspark.sql import functions as F
+    with pytest.raises(TypeError, match="dissolve"):
+        dissolve(spark, df.withColumnRenamed("geometry", "g")
+                 .withColumn("geometry", F.col("g")), by="g")
+
+
+def test_embedding_dedup_exact_key_dtype_guard(spark):
+    """exact-mode block keying pmod's the key: a string key would
+    NULL-block every row, so it must raise instead."""
+    import pandas as pd
+    import pytest
+
+    from gdal_spark.operators.similarity import embedding_dedup
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": ["a", "b"],
+        "vec": [[1.0, 0.0], [0.0, 1.0]]}))
+    with pytest.raises(TypeError, match="integral"):
+        embedding_dedup(df, key_col="vec_id", vec_col="vec",
+                        method="exact")

@@ -156,6 +156,80 @@ def test_pipeline_geometry_verbs(spark):
     assert len(g.parts[0]) == 2  # collinear chain collapses
 
 
+def test_pipeline_verbs_multipart_inputs(spark):
+    """Multi-part inputs through the geometry verbs: a MULTIPOLYGON's
+    later shells must stay shells (NOT demote to holes of the first),
+    and MULTIPOINT dispatches as points."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.packed import geom_area
+    from gdal_spark.geometry.wkb import (
+        multipoint_wkb, multipolygon_wkb, parse_wkb,
+    )
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+
+    def sq(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)])
+
+    # unit square + disjoint 2x2 square: total area 5.0
+    mp = multipolygon_wkb([[sq(0, 0, 1, 1)], [sq(10, 0, 12, 2)]])
+    layer = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64), "geometry": [mp]}))
+
+    for verb, area in [("swap-xy", 5.0), ("segmentize 0.5", 5.0),
+                       ("simplify 0.001", 5.0),
+                       ("simplify-preserve-topology 0.001", 5.0),
+                       ("clip-bbox -1 -1 50 50", 5.0)]:
+        out = run_vector_pipeline(spark, f"read a ! {verb}",
+                                  layers={"a": layer}).toPandas()
+        g = parse_wkb(bytes(out["geometry"][0]))
+        assert g.kind == W.MULTIPOLYGON, verb
+        assert len(g.part_offsets) - 1 == 2, verb
+        assert geom_area(g) == pytest.approx(area, rel=1e-9), verb
+
+    # buffer: two disjoint rounded squares, area = sum of closed forms
+    out = run_vector_pipeline(spark, "read a ! buffer 0.25",
+                              layers={"a": layer}).toPandas()
+    g = parse_wkb(bytes(out["geometry"][0]))
+    fan = 16 * np.sin(np.pi / 16) * 0.0625
+    want = sum(w * h + 2 * 0.25 * (w + h) + fan
+               for (w, h) in [(1, 1), (2, 2)])
+    assert geom_area(g) == pytest.approx(want, rel=1e-9)
+
+    # MULTIPOINT: swap-xy stays a MULTIPOINT, buffer makes 2 discs
+    mpt = multipoint_wkb([(1.0, 2.0), (3.0, 4.0)])
+    ptl = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64), "geometry": [mpt]}))
+    out = run_vector_pipeline(spark, "read a ! swap-xy",
+                              layers={"a": ptl}).toPandas()
+    g = parse_wkb(bytes(out["geometry"][0]))
+    assert g.kind == W.MULTIPOINT
+    np.testing.assert_allclose(np.vstack(g.parts),
+                               [(2.0, 1.0), (4.0, 3.0)])
+    out = run_vector_pipeline(spark, "read a ! buffer 1",
+                              layers={"a": ptl}).toPandas()
+    g = parse_wkb(bytes(out["geometry"][0]))
+    assert g.kind == W.MULTIPOLYGON
+    assert geom_area(g) == pytest.approx(
+        2 * 32 * np.sin(np.pi / 32) * np.cos(np.pi / 32), rel=1e-6)
+
+    # LINESTRING buffer through the verb: rectangle + full cap circle
+    from gdal_spark.geometry.wkb import linestring_wkb
+    lin = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64),
+        "geometry": [linestring_wkb(
+            np.array([(0.0, 0.0), (2.0, 0.0)]))]}))
+    out = run_vector_pipeline(spark, "read a ! buffer 0.5",
+                              layers={"a": lin}).toPandas()
+    g = parse_wkb(bytes(out["geometry"][0]))
+    assert geom_area(g) == pytest.approx(
+        2 * 0.5 * 2 + 16 * np.sin(np.pi / 16) * 0.25, rel=1e-6)
+
+
 def test_pipeline_check_geometry(spark):
     """check-geometry flags bowties and truncated WKB, passes valid
     rings (gdalalg_vector_check_geometry.cpp)."""

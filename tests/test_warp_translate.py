@@ -166,3 +166,80 @@ def test_cutline_clip_blend_matches_single_array(spark):
         if blend > 0:
             frac = (alpha > 0) & (alpha < 1)
             assert frac.sum() > 100  # feather band actually exercised
+
+
+def test_cutline_boundary_band_classification(spark):
+    """Boundary-band execution: a big axis-aligned cutline on an 8x8
+    tile lattice yields pure-inside and pure-outside tiles; only the
+    boundary band does distance work, and the full output still
+    matches the single-array kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.cutline import (
+        blend_alpha, classify_cutline_tiles, cutline_clip,
+    )
+    from gdal_spark.operators.rasterize import (
+        GridSpec, assemble_raster, rasterize, rasterize_chunk,
+    )
+    from gdal_spark.operators.warp import tiles_from_array
+
+    ts = 32
+    n = 8
+    w = h = n * ts
+    grid = GridSpec(0.0, float(h), 1.0, 1.0, w, h)
+    rng = np.random.RandomState(7)
+    src = rng.randint(1, 255, (h, w)).astype(np.float64)
+    tiles, _, _ = tiles_from_array(spark, src, tile_size=ts)
+
+    # rectangle covering tiles [1..6) x [1..6) exactly on tile edges:
+    # tiles 2..4 in each axis are pure inside (self + 8 nbrs full),
+    # tile row/col 7 is pure outside (no mask within one ring)
+    ring = np.array([(1.0 * ts, h - 6.0 * ts), (6.0 * ts, h - 6.0 * ts),
+                     (6.0 * ts, h - 1.0 * ts), (1.0 * ts, h - 1.0 * ts),
+                     (1.0 * ts, h - 6.0 * ts)])
+    cut = pd.DataFrame({"fid": np.array([0], dtype=np.int64),
+                        "geometry": [polygon_wkb([ring])]})
+
+    mask = rasterize(spark, cut, grid, burn_value=1.0,
+                     dtype="uint8", tile_size=ts)
+    keys = tiles.select("zoom", "tile_x", "tile_y",
+                        "tile_size").distinct()
+    cls = classify_cutline_tiles(spark, keys, mask).toPandas()
+    by = {(int(r["tile_x"]), int(r["tile_y"])): r["cls"]
+          for _, r in cls.iterrows()}
+    assert len(by) == n * n
+    # center block pure inside
+    for t in ((2, 2), (3, 3), (4, 4), (2, 4)):
+        assert by[t] == "inside", (t, by[t])
+    # far corner pure outside
+    for t in ((7, 7), (7, 0), (0, 7)):
+        assert by[t] == "outside", (t, by[t])
+    # the rectangle's edge tiles are boundary
+    for t in ((1, 1), (5, 5), (1, 3), (5, 2)):
+        assert by[t] == "boundary", (t, by[t])
+    n_boundary = (cls["cls"] == "boundary").sum()
+    assert 0 < n_boundary < n * n  # band strictly smaller than lattice
+
+    # full output still exact vs the single-array kernel
+    ring_px = np.column_stack([ring[:, 0] - grid.x0,
+                               grid.y1 - ring[:, 1]])
+    mask_arr = rasterize_chunk((h, w), [([ring_px], 1.0)],
+                               "uint8") > 0
+    blend = 2.5
+    k = max(1, int(np.ceil(blend)))
+    padded = np.zeros((h + 2 * k, w + 2 * k), dtype=bool)
+    padded[k:-k, k:-k] = mask_arr
+    alpha = blend_alpha(padded, blend)[k:-k, k:-k]
+    want = alpha * src + (1 - alpha) * 0.0
+    out = cutline_clip(spark, tiles, cut, grid, blend_px=blend,
+                       nodata=0.0, tile_size=ts)
+    got = assemble_raster(out.toPandas(), grid)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+
+    # blend wider than a tile is rejected (the 1-ring halo bound)
+    import pytest
+    with pytest.raises(ValueError, match="blend"):
+        cutline_clip(spark, tiles, cut, grid, blend_px=ts + 1.0,
+                     nodata=0.0, tile_size=ts)
