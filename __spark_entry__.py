@@ -1073,6 +1073,79 @@ def _dissolve_oracle() -> str:
     """
 
 
+def q48_dissolve_by_priority(spark, sf_dir):
+    """Dissolve keyed by a STRING column (round 4: non-numeric group
+    keys carry through in their own type instead of silently
+    NULL-collapsing into one global union) — same unit-cell planar
+    union as q47, grouped by o_orderpriority."""
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.layer_algebra import dissolve
+
+    o = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 23 == 0)
+    r = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 41).cast("double").alias("cx"),
+        (F.col("o_orderkey") % 37).cast("double").alias("cy"),
+    )
+    schema = StructType([StructField("grp", StringType()),
+                         StructField("geometry", BinaryType())])
+
+    def to_wkb(batches):
+        from gdal_spark.geometry.wkb import polygon_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            geoms = [
+                polygon_wkb([np.array(
+                    [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1),
+                     (x, y)], dtype=np.float64)])
+                for x, y in zip(b["cx"], b["cy"])
+            ]
+            yield pd.DataFrame({"grp": b["grp"].astype(object),
+                                "geometry": geoms})
+
+    cells = r.mapInPandas(to_wkb, schema)
+    out = dissolve(spark, cells, by="grp")
+    return out.select(
+        F.col("key").alias("grp"),
+        F.round("area", 4).alias("area"),
+    ).orderBy("grp")
+
+
+def _dissolve_str_oracle() -> str:
+    return """
+        SELECT o_orderpriority AS grp,
+               ROUND(CAST(COUNT(DISTINCT
+                   (o_orderkey % 41) * 1000 + (o_orderkey % 37))
+                   AS DOUBLE), 4) AS area
+        FROM orders WHERE o_orderkey % 23 = 0
+        GROUP BY 1 ORDER BY grp
+    """
+
+
+def q49_line_clip_big(spark, sf_dir):
+    """q41's line-layer Clip with the method layer DISTRIBUTED
+    (overlay_lines_big: cell-cover join + per-line carry kernel,
+    ogrlayer.cpp:4004-4076 works for any pair at any size) — same
+    exact interval-arithmetic oracle as the broadcast path."""
+    from gdal_spark.operators.layer_algebra import overlay_lines_big
+
+    lines = _overlay_lines_df(spark, sf_dir)
+    method_df = spark.createDataFrame(_overlay_method_pdf())
+    out = overlay_lines_big(spark, lines, method_df, "clip")
+    return (
+        out.groupBy("method_fid")
+        .agg(F.count("*").alias("n_lines"),
+             F.round(F.sum("length"), 4).alias("sum_len"))
+        .orderBy("method_fid")
+    )
+
+
 def q46_raster_pipeline(spark, sf_dir):
     """gdal-raster-pipeline end-to-end (read ! reclassify !
     polygonize, apps/gdalalg_raster_pipeline.cpp): density pixels
@@ -1482,6 +1555,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_pipeline_buffer": q45_pipeline_buffer,
     "q46_raster_pipeline": q46_raster_pipeline,
     "q47_dissolve_cells": q47_dissolve_cells,
+    "q48_dissolve_by_priority": q48_dissolve_by_priority,
+    "q49_line_clip_big": q49_line_clip_big,
 }
 
 
@@ -1845,6 +1920,8 @@ def oracle_sql() -> dict[str, str]:
         "q45_pipeline_buffer": _buffer_oracle(),
         "q46_raster_pipeline": _raster_pipeline_oracle(),
         "q47_dissolve_cells": _dissolve_oracle(),
+        "q48_dissolve_by_priority": _dissolve_str_oracle(),
+        "q49_line_clip_big": _line_clip_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -213,6 +213,20 @@ def main() -> None:
     timed("cutline_blend",
           lambda: cutline_clip(spark, cut_tiles, cut_pdf, cgrid,
                                blend_px=3.0, nodata=0.0).count())
+
+    # 7g. PNG tile encode throughput (z/x/y slippy-map sink)
+    import shutil
+    import tempfile
+
+    from gdal_spark.operators.tiling import write_tiles
+
+    png_dir = tempfile.mkdtemp(prefix="gdal_spark_png_")
+    try:
+        timed("png_tile_sink",
+              lambda: write_tiles(cut_tiles, png_dir,
+                                  convention="xyz", format="png"))
+    finally:
+        shutil.rmtree(png_dir, ignore_errors=True)
     cut_tiles.unpersist()
 
     # 8. minhash dedup over documents

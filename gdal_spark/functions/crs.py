@@ -91,6 +91,7 @@ WGS84 = Ellipsoid(6378137.0, 298.257223563)
 AIRY1830 = Ellipsoid(6377563.396, 299.3249646)        # EPSG:7001
 CLARKE1866 = Ellipsoid(6378206.4, 294.978698213898)   # EPSG:7008
 INTL1924 = Ellipsoid(6378388.0, 297.0)                # EPSG:7022
+BESSEL1841 = Ellipsoid(6377397.155, 299.1528128)      # EPSG:7004
 
 # WGS84 aliases kept for the existing projection code
 _A = WGS84.a
@@ -203,6 +204,28 @@ def _epsg(code_str: str) -> int:
     return int(s.split(":", 1)[1])
 
 
+def _unsupported_msg(crs: str) -> str:
+    """The registry IS the documented scope boundary: a closed,
+    anchor-tested set instead of the reference's full PROJ corpus
+    (ogr/ogrct.cpp:665).  New codes are one registry entry away when
+    they are Helmert-or-null shifts over the implemented projection
+    families."""
+    return (
+        f"unsupported CRS {crs!r}: this engine's CRS scope is the "
+        "anchor-tested registry — 4326/3857, all 120 WGS84 UTM "
+        "zones, zone families on WGS84-equivalent datums "
+        "(ETRS89 25828-37, NAD83 26901-23, GDA94 MGA 28348-58, "
+        "GDA2020 MGA 7846-59, SIRGAS2000 31977-85), conic/azimuthal "
+        "nationals (2154, 5070, 3035, 3031, 3413, 3577, 2193, "
+        "26985, 32118) and Helmert-shifted datums (OSGB36 27700/"
+        "4277, NAD27 26717/4267, BD72 31370/4313, DHDN 31466-69/"
+        "4314).  Grid-shift (NTv2/OSTN) accuracy and the full PROJ "
+        "corpus are out of scope; add codes to "
+        "gdal_spark.functions.crs._PROJ_REGISTRY with an anchor "
+        "test."
+    )
+
+
 def to_4326(crs: str):
     """fn(x, y) -> (lon, lat) for the given CRS, or raise."""
     code = _epsg(crs)
@@ -222,7 +245,7 @@ def to_4326(crs: str):
     fns = _registry_fns(code)
     if fns is not None:
         return fns[1]
-    raise ValueError(f"unsupported CRS {crs!r}")
+    raise ValueError(_unsupported_msg(crs))
 
 
 def from_4326(crs: str):
@@ -244,7 +267,7 @@ def from_4326(crs: str):
     fns = _registry_fns(code)
     if fns is not None:
         return fns[0]
-    raise ValueError(f"unsupported CRS {crs!r}")
+    raise ValueError(_unsupported_msg(crs))
 
 
 def transform(src_crs: str, dst_crs: str):
@@ -539,6 +562,10 @@ NAD27 = Datum(CLARKE1866, (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0))
 # BD72 (Reseau National Belge 1972) -> WGS84: EPSG tfm 15929 (~0.2 m)
 BD72 = Datum(INTL1924, (-106.8686, 52.2978, -103.7239,
                         0.3366, -0.4570, 1.8422, -1.2747))
+# DHDN (Deutsches Hauptdreiecksnetz) -> WGS84: EPSG tfm 1777
+# (whole-Germany single Helmert, ~3 m)
+DHDN = Datum(BESSEL1841, (598.1, 73.7, 418.2,
+                          0.202, 0.045, -2.455, 6.7))
 
 
 def tm_crs(lat0: float, lon0: float, k0: float, fe: float, fn: float,
@@ -602,18 +629,51 @@ _PROJ_REGISTRY = {
     4313: lambda: (*_ident_pair(), BD72),
     # --- further WGS84-equivalent projected CRS (GRS80 datums differ
     # from WGS84 by < 1 mm flattening; registry params are public) ---
-    # ETRS89 / UTM zones 32N, 33N (the German/Nordic workhorses)
-    25832: lambda: _utm_pair(9.0, 0.0, WGS84),
-    25833: lambda: _utm_pair(15.0, 0.0, WGS84),
     # NZGD2000 / New Zealand Transverse Mercator 2000
     2193: lambda: tm_crs(0.0, 173.0, 0.9996, 1600000.0, 10000000.0,
                          WGS84),
     # GDA94 / Australian Albers
     3577: lambda: albers_2sp(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
-    # NAD83 / UTM zones 10-19N (EPSG 26910-26919)
+    # ETRS89 / UTM zones 28N-37N (EPSG 25828-25837, the full
+    # European range incl. the German/Nordic workhorses 32/33)
+    **{25800 + z: (lambda z=z: _utm_pair(z * 6.0 - 183.0, 0.0,
+                                         WGS84))
+       for z in range(28, 38)},
+    # NAD83 / UTM zones 1N-23N (EPSG 26901-26923, CONUS + Alaska)
     **{26900 + z: (lambda z=z: _utm_pair(z * 6.0 - 183.0, 0.0,
                                          WGS84))
-       for z in range(10, 20)},
+       for z in range(1, 24)},
+    # GDA94 / MGA zones 48-58 (EPSG 28348-28358; southern UTM grid,
+    # FN 10,000,000)
+    **{28300 + z: (lambda z=z: _utm_pair(z * 6.0 - 183.0, 1e7,
+                                         WGS84))
+       for z in range(48, 59)},
+    # GDA2020 / MGA zones 46-59 (EPSG 7846-7859; GDA2020 agrees with
+    # WGS84/ITRF2014 at the registry's accuracy tier)
+    **{7800 + z: (lambda z=z: _utm_pair(z * 6.0 - 183.0, 1e7,
+                                        WGS84))
+       for z in range(46, 60)},
+    # SIRGAS 2000 / UTM zones 17S-25S (EPSG 31977-31985)
+    **{31960 + z: (lambda z=z: _utm_pair(z * 6.0 - 183.0, 1e7,
+                                         WGS84))
+       for z in range(17, 26)},
+    # NAD83 state-plane samples, METER variants (LCC 2SP)
+    # Maryland (EPSG 26985): sp 38 18'/39 27', origin 37 40'N 77W
+    26985: lambda: lcc_2sp(38.3, 39.45, 37.66666666666666, -77.0,
+                           400000.0, 0.0),
+    # New York Long Island (EPSG 32118): sp 40 40'/41 02',
+    # origin 40 10'N 74W
+    32118: lambda: lcc_2sp(40.66666666666666, 41.03333333333333,
+                           40.16666666666666, -74.0, 300000.0, 0.0),
+    # --- DHDN / Gauss-Krueger zones 2-5 (EPSG 31466-31469):
+    # 3-degree TM (k0=1, FE zone*1e6+500000) on Bessel 1841,
+    # Helmert-shifted through the 4326 hub ---
+    **{31464 + z: (lambda z=z: (*tm_crs(0.0, 3.0 * z, 1.0,
+                                        z * 1e6 + 500000.0, 0.0,
+                                        BESSEL1841), DHDN))
+       for z in range(2, 6)},
+    # DHDN geographic
+    4314: lambda: (*_ident_pair(), DHDN),
 }
 _PROJ_CACHE: dict = {}
 

@@ -39,9 +39,7 @@ from pyspark.sql.types import (
     IntegerType, StructField, StructType,
 )
 
-from gdal_spark.operators.proximity import (
-    assemble_halo_canvas, emit_halos_k,
-)
+from gdal_spark.operators.proximity import assemble_halo_canvas
 from gdal_spark.operators.rasterize import GridSpec, rasterize
 from gdal_spark.operators.tiling import (
     TILE_SCHEMA, decode_tile, encode_tile,
@@ -103,18 +101,21 @@ boundary — everything else (partial mask, raster edge, or a full/
            O(area)."""
 
 
-def classify_cutline_tiles(spark: SparkSession, keys: DataFrame,
-                           mask: DataFrame) -> DataFrame:
-    """Classify src tile keys against the rasterized cutline mask.
+def _classify_near_mask(spark: SparkSession, mask: DataFrame
+                        ) -> DataFrame:
+    """(tile_x, tile_y, cls) for every tile within one ring of a mask
+    tile; tiles ABSENT from the result are pure outside (no cutline
+    pixel anywhere in their 3x3 neighborhood).  Working only on the
+    near-mask set keeps the classification O(cutline cover), not
+    O(lattice), and saves the full-lattice distinct+join.
 
     Per-mask-tile stats (full / any-inside, decoded once per mask
     tile — bounded by tiles the cutline touches) explode over the
     3x3 neighbor offsets JVM-side; a groupBy then counts full
-    neighbors and ORs any-inside per target tile.  Absent tiles
-    (beyond the cutline's bbox or beyond the raster edge) count as
-    not-full / no-inside, which conservatively classes raster-edge
-    tiles as boundary — matching the zero-padding world outside the
-    raster."""
+    neighbors and ORs any-inside per target tile.  Absent neighbors
+    count as not-full / no-inside, which conservatively classes
+    raster-edge tiles as boundary — matching the zero-padding world
+    outside the raster."""
     STATS = StructType([
         StructField("tile_x", IntegerType()),
         StructField("tile_y", IntegerType()),
@@ -140,22 +141,36 @@ def classify_cutline_tiles(spark: SparkSession, keys: DataFrame,
 
     stats = mask.select("tile_x", "tile_y", "data", "dtype",
                         "tile_size").mapInPandas(stats_kernel, STATS)
-    offs = spark.createDataFrame(
-        pd.DataFrame([(dx, dy) for dx in (-1, 0, 1)
-                      for dy in (-1, 0, 1)], columns=["dx", "dy"]))
-    nbr = stats.join(F.broadcast(offs)).select(
-        (F.col("tile_x") + F.col("dx")).alias("tile_x"),
-        (F.col("tile_y") + F.col("dy")).alias("tile_y"),
+    # 3x3 offsets as an exploded literal array — a pure projection,
+    # no driver-side frame, no join
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    nbr = stats.select(
+        "tile_x", "tile_y", "m_full", "m_any",
+        F.explode(offs).alias("o")).select(
+        (F.col("tile_x") + F.col("o.dx")).alias("tile_x"),
+        (F.col("tile_y") + F.col("o.dy")).alias("tile_y"),
         "m_full", "m_any")
     agg = nbr.groupBy("tile_x", "tile_y").agg(
         F.sum("m_full").alias("n_full"),
         F.max("m_any").alias("any_in"))
-    return keys.join(agg, ["tile_x", "tile_y"], "left").withColumn(
+    return agg.withColumn(
         "cls",
         F.when(F.col("n_full") == 9, F.lit("inside"))
-        .when(F.col("any_in").isNull() | (F.col("any_in") == 0),
-              F.lit("outside"))
+        .when(F.col("any_in") == 0, F.lit("outside"))
         .otherwise(F.lit("boundary"))) \
+        .select("tile_x", "tile_y", "cls")
+
+
+def classify_cutline_tiles(spark: SparkSession, keys: DataFrame,
+                           mask: DataFrame) -> DataFrame:
+    """Classify every src tile key against the rasterized cutline
+    mask (see _classify_near_mask; keys absent from the near set are
+    outside)."""
+    near = _classify_near_mask(spark, mask)
+    return keys.join(near, ["tile_x", "tile_y"], "left") \
+        .fillna("outside", subset=["cls"]) \
         .select("zoom", "tile_x", "tile_y", "tile_size", "cls")
 
 
@@ -177,70 +192,49 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
             f"blend_px={blend_px} exceeds tile_size={tile_size}: the "
             "1-ring halo/classification machinery needs blend <= "
             "tile_size (retile coarser or shrink the blend)")
+    # the mask feeds classification AND the band fill — checkpoint so
+    # the cutline rasterization runs once, not once per consumer
     mask = rasterize(spark, cutline_pdf, grid, burn_value=1.0,
-                     dtype="uint8", tile_size=tile_size)
+                     dtype="uint8", tile_size=tile_size) \
+        .localCheckpoint(eager=False)
 
-    keys = src_tiles.select("zoom", "tile_x", "tile_y",
-                            "tile_size").distinct()
     # explicit partitioning: AQE coalesces these small joins to ONE
     # partition and would serialize every per-tile kernel downstream
     par = max(spark.sparkContext.defaultParallelism, 8)
 
-    cls = classify_cutline_tiles(spark, keys, mask) \
+    # classification lives on the near-mask set only (absent tile =>
+    # pure outside); checkpointed because both the boundary keys and
+    # the final dispatch consume it
+    cls = _classify_near_mask(spark, mask) \
         .localCheckpoint(eager=False)
     b_keys = cls.filter(F.col("cls") == "boundary") \
-        .select("zoom", "tile_x", "tile_y", "tile_size")
-    # the halo band: boundary tiles plus their in-lattice neighbors
-    # (an inside neighbor's border strips are all-ones and must be
-    # present, or the canvas fill would fake an outside edge)
-    offs = spark.createDataFrame(
-        pd.DataFrame([(dx, dy) for dx in (-1, 0, 1)
-                      for dy in (-1, 0, 1)], columns=["dx", "dy"]))
-    band_xy = b_keys.join(F.broadcast(offs)).select(
-        (F.col("tile_x") + F.col("dx")).alias("tile_x"),
-        (F.col("tile_y") + F.col("dy")).alias("tile_y")).distinct()
-    band_keys = keys.join(band_xy, ["tile_x", "tile_y"], "left_semi")
+        .select("tile_x", "tile_y")
 
-    # zero-fill the mask over the band (band tiles the cutline never
-    # touches are all-outside, not absent)
-    mdat = mask.select("tile_x", "tile_y",
-                       F.col("data").alias("m_data"),
-                       F.col("dtype").alias("m_dtype"))
-    with_mask = band_keys.join(mdat, ["tile_x", "tile_y"], "left") \
-        .repartition(par)
+    # Halo exchange sourced from the IN-LATTICE MASK TILES ALONE —
+    # no zero-fill band is ever materialized:
+    #  * an inside neighbor IS a (full) mask tile, so its all-ones
+    #    strips ship like any other;
+    #  * a no-mask neighbor's strips are all-zero == the canvas fill,
+    #    so omitting them is exact;
+    #  * a boundary tile with no mask tile of its own still gets a
+    #    canvas group (boundary implies some 3x3 neighbor has mask
+    #    pixels => at least one strip row targets it) assembled over
+    #    a fill-valued center (allow_missing_center).
+    # Mask tiles beyond the src lattice are cut (world outside the
+    # raster is outside-the-cutline by the zero-pad convention).
+    from gdal_spark.operators.proximity import emit_halos_k
 
-    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if len(b) == 0:
-                continue
-            rows = {f.name: [] for f in TILE_SCHEMA.fields}
-            for _, r in b.iterrows():
-                ts = int(r["tile_size"])
-                if r["m_data"] is None:
-                    arr = np.zeros((ts, ts), dtype=np.uint8)
-                else:
-                    arr = decode_tile(r["m_data"], r["m_dtype"], ts)
-                payload, dts = encode_tile(arr.astype(np.uint8), None)
-                rows["zoom"].append(int(r["zoom"]))
-                rows["tile_x"].append(int(r["tile_x"]))
-                rows["tile_y"].append(int(r["tile_y"]))
-                rows["band"].append(1)
-                rows["data"].append(payload)
-                rows["dtype"].append(dts)
-                rows["tile_size"].append(ts)
-            yield pd.DataFrame(rows)
-
-    mask_band = with_mask.mapInPandas(fill, TILE_SCHEMA)
-
-    # per-tile alpha over a k-haloed canvas — assembled ONLY for
-    # boundary tiles (neighbors contribute strips, never a canvas)
-    halos = emit_halos_k(mask_band, k) \
-        .join(b_keys.select("tile_x", "tile_y"),
-              ["tile_x", "tile_y"], "left_semi")
+    inlat_mask = mask.join(src_tiles.select("tile_x", "tile_y"),
+                           ["tile_x", "tile_y"], "left_semi")
+    # canvases assemble ONLY for boundary tiles (neighbors contribute
+    # strips, never a canvas)
+    halos = emit_halos_k(inlat_mask, k) \
+        .join(b_keys, ["tile_x", "tile_y"], "left_semi")
 
     def render_alpha(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ts = int(pdf["tile_size"].iloc[0])
-        got = assemble_halo_canvas(pdf, ts, k, fill=0.0)
+        got = assemble_halo_canvas(pdf, ts, k, fill=0.0,
+                                   allow_missing_center=True)
         if got is None:
             return pd.DataFrame({f.name: [] for f in TILE_SCHEMA.fields})
         canvas, meta = got
@@ -261,20 +255,38 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
                 F.col("dtype").alias("a_dtype"))
     )
 
-    blended_in = src_tiles.join(alpha_tiles, ["tile_x", "tile_y"]) \
+    # ONE output kernel for all three classes: src tiles join the
+    # class column (small vs the lattice, broadcastable) and the
+    # alpha payloads (boundary tiles only, left join), then each row
+    # dispatches — boundary blends with its alpha, inside copies to
+    # float64 (alpha == 1), outside emits constant nodata without
+    # ever decoding the src payload (alpha == 0)
+    blended_in = (
+        src_tiles
+        .join(cls, ["tile_x", "tile_y"], "left")
+        .fillna("outside", subset=["cls"])
+        .join(alpha_tiles, ["tile_x", "tile_y"], "left")
         .repartition(par)
+    )
 
     def blend(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nd = float(nodata)
         for b in batches:
             if len(b) == 0:
                 continue
             rows = {f.name: [] for f in TILE_SCHEMA.fields}
             for _, r in b.iterrows():
                 ts = int(r["tile_size"])
-                src = decode_tile(r["data"], r["dtype"], ts) \
-                    .astype(np.float64)
-                alpha = decode_tile(r["a_data"], r["a_dtype"], ts)
-                out = alpha * src + (1.0 - alpha) * float(nodata)
+                c = r["cls"]
+                if c == "outside":
+                    out = np.full((ts, ts), nd, dtype=np.float64)
+                else:
+                    out = decode_tile(r["data"], r["dtype"], ts) \
+                        .astype(np.float64)
+                    if c == "boundary":
+                        alpha = decode_tile(r["a_data"], r["a_dtype"],
+                                            ts)
+                        out = alpha * out + (1.0 - alpha) * nd
                 payload, dts = encode_tile(out, None)
                 rows["zoom"].append(int(r["zoom"]))
                 rows["tile_x"].append(int(r["tile_x"]))
@@ -285,62 +297,4 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
                 rows["tile_size"].append(ts)
             yield pd.DataFrame(rows)
 
-    boundary_out = blended_in.mapInPandas(blend, TILE_SCHEMA)
-
-    # inside tiles: alpha == 1 everywhere -> src as float64, no halo
-    inside_in = src_tiles.join(
-        cls.filter(F.col("cls") == "inside")
-        .select("tile_x", "tile_y"), ["tile_x", "tile_y"], "left_semi")
-
-    def passthrough(batches: Iterator[pd.DataFrame]) \
-            -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if len(b) == 0:
-                continue
-            rows = {f.name: [] for f in TILE_SCHEMA.fields}
-            for _, r in b.iterrows():
-                ts = int(r["tile_size"])
-                src = decode_tile(r["data"], r["dtype"], ts) \
-                    .astype(np.float64)
-                payload, dts = encode_tile(src, None)
-                rows["zoom"].append(int(r["zoom"]))
-                rows["tile_x"].append(int(r["tile_x"]))
-                rows["tile_y"].append(int(r["tile_y"]))
-                rows["band"].append(int(r["band"]))
-                rows["data"].append(payload)
-                rows["dtype"].append(dts)
-                rows["tile_size"].append(ts)
-            yield pd.DataFrame(rows)
-
-    inside_out = inside_in.mapInPandas(passthrough, TILE_SCHEMA)
-
-    # outside tiles: alpha == 0 everywhere -> constant nodata, the
-    # src payload is never even decoded
-    outside_in = src_tiles.join(
-        cls.filter(F.col("cls") == "outside")
-        .select("tile_x", "tile_y"), ["tile_x", "tile_y"], "left_semi")
-
-    def fill_nodata(batches: Iterator[pd.DataFrame]) \
-            -> Iterator[pd.DataFrame]:
-        nd = float(nodata)
-        for b in batches:
-            if len(b) == 0:
-                continue
-            rows = {f.name: [] for f in TILE_SCHEMA.fields}
-            for _, r in b.iterrows():
-                ts = int(r["tile_size"])
-                payload, dts = encode_tile(
-                    np.full((ts, ts), nd, dtype=np.float64), None)
-                rows["zoom"].append(int(r["zoom"]))
-                rows["tile_x"].append(int(r["tile_x"]))
-                rows["tile_y"].append(int(r["tile_y"]))
-                rows["band"].append(int(r["band"]))
-                rows["data"].append(payload)
-                rows["dtype"].append(dts)
-                rows["tile_size"].append(ts)
-            yield pd.DataFrame(rows)
-
-    outside_out = outside_in.mapInPandas(fill_nodata, TILE_SCHEMA)
-
-    return boundary_out.unionByName(inside_out) \
-        .unionByName(outside_out)
+    return blended_in.mapInPandas(blend, TILE_SCHEMA)

@@ -93,16 +93,24 @@ def emit_halos_k(tiles: DataFrame, k: int) -> DataFrame:
 
 
 def assemble_halo_canvas(pdf: pd.DataFrame, ts: int, k: int,
-                         fill: float) -> tuple[np.ndarray, dict] | None:
-    """Place center + k-halo blocks into a (ts+2k, ts+2k) canvas."""
+                         fill: float,
+                         allow_missing_center: bool = False
+                         ) -> tuple[np.ndarray, dict] | None:
+    """Place center + k-halo blocks into a (ts+2k, ts+2k) canvas.
+
+    With ``allow_missing_center`` a group holding only neighbor
+    strips assembles over a fill-valued center (the cutline path
+    synthesizes all-outside centers this way instead of shipping
+    zero tiles through the exchange)."""
     center = pdf[pdf["rel"] == 0]
-    if len(center) == 0:
+    if len(center) == 0 and not allow_missing_center:
         return None
     canvas = np.full((ts + 2 * k, ts + 2 * k), fill, dtype=np.float64)
-    c0 = center.iloc[0]
-    arr = np.frombuffer(c0["data"], dtype=np.dtype(c0["dtype"])) \
-        .reshape(ts, ts)
-    canvas[k:-k, k:-k] = arr
+    c0 = center.iloc[0] if len(center) else pdf.iloc[0]
+    if len(center):
+        arr = np.frombuffer(c0["data"], dtype=np.dtype(c0["dtype"])) \
+            .reshape(ts, ts)
+        canvas[k:-k, k:-k] = arr
     # placement: block from a source at offset -(dx,dy) of this tile
     for _, r in pdf[pdf["rel"] != 0].iterrows():
         rel = int(r["rel"])

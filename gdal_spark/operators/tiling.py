@@ -612,8 +612,72 @@ def tile_y_file(tiles: DataFrame, convention: str = "xyz") -> DataFrame:
 
 
 def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
-                mode: str = "overwrite") -> None:
-    """Partitioned tile sink: zoom=*/... parquet layout (Hive scheme,
-    the same layout as apps/gdalalg_vector_partition.cpp)."""
-    tile_y_file(tiles, convention).write.partitionBy("zoom").parquet(
-        path, mode=mode)
+                mode: str = "overwrite", format: str = "parquet"
+                ) -> None:
+    """Tile sink.
+
+    format="parquet" (default): zoom=*/... parquet layout (Hive
+    scheme, the same layout as apps/gdalalg_vector_partition.cpp).
+
+    format="png": real z/x/y.png files (the slippy-map layout the
+    reference's tile writer emits, apps/gdalalg_raster_tile.cpp:
+    520-545) — every tile's bands stack into grey/RGB/RGBA channels,
+    values clip+round to Byte (the translate -ot Byte convention),
+    and each executor writes its own files (path must be a shared
+    filesystem all executors can reach — same contract as the
+    reference writing a local output directory).  The PNG encoder is
+    the in-repo spec implementation (operators/png.py), filters and
+    all, so output decodes in any client.
+    """
+    if format == "parquet":
+        tile_y_file(tiles, convention).write.partitionBy("zoom") \
+            .parquet(path, mode=mode)
+        return
+    if format != "png":
+        raise ValueError(f"unknown tile sink format {format!r}")
+
+    from pyspark.sql.types import LongType, StructField
+
+    from gdal_spark.operators.png import encode_png
+
+    out_schema = StructType([
+        StructField("zoom", IntegerType()),
+        StructField("tile_x", IntegerType()),
+        StructField("file_y", IntegerType()),
+        StructField("nbytes", LongType()),
+    ])
+    wt = tile_y_file(tiles, convention)
+
+    def write_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        z, tx, fy = (int(key[0]), int(key[1]), int(key[2]))
+        pdf = pdf.sort_values("band")
+        ts = int(pdf["tile_size"].iloc[0])
+        chans = []
+        for _, r in pdf.iterrows():
+            arr = decode_tile(r["data"], r["dtype"], ts)
+            if arr.dtype != np.uint8:
+                arr = np.clip(np.round(arr.astype(np.float64)),
+                              0, 255).astype(np.uint8)
+            chans.append(arr)
+        if len(chans) == 1:
+            img = chans[0]
+        elif len(chans) in (3, 4):
+            img = np.stack(chans, axis=-1)
+        else:
+            raise ValueError(
+                f"png tile needs 1, 3 or 4 bands; got {len(chans)}")
+        d = os.path.join(path, str(z), str(tx))
+        os.makedirs(d, exist_ok=True)
+        data = encode_png(img)
+        with open(os.path.join(d, f"{fy}.png"), "wb") as fh:
+            fh.write(data)
+        return pd.DataFrame({"zoom": [z], "tile_x": [tx],
+                             "file_y": [fy],
+                             "nbytes": [len(data)]})
+
+    # applyInPandas keys one task-side call per tile — the per-group
+    # overhead is inherent to a one-file-per-tile sink
+    wt.groupBy("zoom", "tile_x", "file_y") \
+        .applyInPandas(write_one, out_schema).count()

@@ -239,6 +239,114 @@ def test_datum_shift_magnitudes():
     assert 60 < shift_m(crs.BD72, 4.35, 50.85) < 160
 
 
+def test_registry_tier2_zone_families():
+    """Round-4 registry tier: zone families anchor against the
+    already-anchored WGS84 UTM codes (GRS80 == WGS84 at < 1 mm) and
+    roundtrip to sub-mm."""
+    import numpy as np
+
+    from gdal_spark.functions import crs
+
+    rng = np.random.RandomState(2)
+
+    def roundtrip(code, lon, lat, tol=1e-7):
+        x, y = crs.from_4326(code)(lon, lat)
+        lon2, lat2 = crs.to_4326(code)(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=tol)
+        np.testing.assert_allclose(lat2, lat, atol=tol)
+        return x, y
+
+    # ETRS89 UTM 28-37 == WGS84 UTM north
+    for z in (28, 31, 37):
+        lon = rng.uniform(z * 6 - 186, z * 6 - 180, 5)
+        lat = rng.uniform(35, 70, 5)
+        xe, ye = roundtrip(f"EPSG:{25800 + z}", lon, lat)
+        xw, yw = crs.from_4326(f"EPSG:{32600 + z}")(lon, lat)
+        np.testing.assert_allclose(xe, xw, atol=1e-6)
+        np.testing.assert_allclose(ye, yw, atol=1e-6)
+
+    # NAD83 UTM 1-23 == WGS84 UTM north
+    for z in (1, 15, 23):
+        lon = rng.uniform(z * 6 - 186, z * 6 - 180, 5)
+        lat = rng.uniform(25, 65, 5)
+        xe, ye = roundtrip(f"EPSG:{26900 + z}", lon, lat)
+        xw, yw = crs.from_4326(f"EPSG:{32600 + z}")(lon, lat)
+        np.testing.assert_allclose(xe, xw, atol=1e-6)
+        np.testing.assert_allclose(ye, yw, atol=1e-6)
+
+    # GDA94 + GDA2020 MGA == WGS84 UTM south (Melbourne in zone 55)
+    lon = np.array([144.9631, 147.0, 149.1])
+    lat = np.array([-37.8136, -42.88, -35.28])
+    for code in ("EPSG:28355", "EPSG:7855"):
+        xm, ym = roundtrip(code, lon, lat)
+        xw, yw = crs.from_4326("EPSG:32755")(lon, lat)
+        np.testing.assert_allclose(xm, xw, atol=1e-6)
+        np.testing.assert_allclose(ym, yw, atol=1e-6)
+
+    # SIRGAS 2000 UTM 23S == WGS84 UTM 23S (Sao Paulo)
+    lon = np.array([-46.6333, -43.2])
+    lat = np.array([-23.55, -22.9])
+    xs, ys = roundtrip("EPSG:31983", lon, lat)
+    xw, yw = crs.from_4326("EPSG:32723")(lon, lat)
+    np.testing.assert_allclose(xs, xw, atol=1e-6)
+    np.testing.assert_allclose(ys, yw, atol=1e-6)
+
+
+def test_registry_tier2_state_plane_and_gk():
+    """State-plane LCC samples: grid origin maps to the false
+    offsets, scale is true on both standard parallels.  DHDN
+    Gauss-Krueger: central-meridian/FE anchor, k0=1 on the CM,
+    datum-shift magnitude in the published ~100-250 m range for
+    Germany, and sub-mm roundtrip through the Helmert hub."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark.functions import crs
+
+    # ------- state plane (NAD83 meters, LCC 2SP) -------
+    for code, lon0, lat0, fe, sps in [
+            ("EPSG:26985", -77.0, 37.66666666666666, 400000.0,
+             (38.3, 39.45)),
+            ("EPSG:32118", -74.0, 40.16666666666666, 300000.0,
+             (40.66666666666666, 41.03333333333333))]:
+        fwd = crs.from_4326(code)
+        x, y = fwd(np.array([lon0]), np.array([lat0]))
+        assert abs(x[0] - fe) < 1e-6 and abs(y[0]) < 1e-6, code
+        # scale on a standard parallel == 1 (finite-difference E-W)
+        for sp in sps:
+            d = 1e-6
+            x1, y1 = fwd(np.array([lon0 - d / 2]), np.array([sp]))
+            x2, y2 = fwd(np.array([lon0 + d / 2]), np.array([sp]))
+            # parallel-circle radius on GRS80
+            a, e2 = 6378137.0, 0.0066943800229
+            nu = a / math.sqrt(1 - e2 * math.sin(math.radians(sp))**2)
+            ground = math.radians(d) * nu * math.cos(math.radians(sp))
+            k = math.hypot(x2[0] - x1[0], y2[0] - y1[0]) / ground
+            assert abs(k - 1.0) < 1e-6, (code, sp, k)
+
+    # ------- DHDN Gauss-Krueger zone 3 (EPSG:31467) -------
+    fwd = crs.from_4326("EPSG:31467")
+    inv = crs.to_4326("EPSG:31467")
+    # roundtrip sub-mm through the Helmert hub
+    lon = np.array([6.8, 9.0, 11.5])
+    lat = np.array([48.7, 50.9, 53.5])
+    x, y = fwd(lon, lat)
+    lon2, lat2 = inv(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    # the CM of zone 3 is 9E with FE 3_500_000; the DATUM-SHIFTED
+    # CM image stays within the shift magnitude of the FE
+    x, y = fwd(np.array([9.0]), np.array([51.0]))
+    assert abs(x[0] - 3_500_000.0) < 300.0
+    # shift magnitude for Germany in the published range
+    lo, la = crs.DHDN.to_wgs84(np.array([9.0]), np.array([51.0]))
+    shift = math.hypot((lo[0] - 9.0) * 111320
+                       * math.cos(math.radians(51.0)),
+                       (la[0] - 51.0) * 111320)
+    assert 80 < shift < 300, shift
+
+
 def test_warp_osgb_to_4326(spark):
     """Raster warp across a DATUM SHIFT (EPSG:27700 -> 4326, Airy ->
     WGS84 via Helmert): distributed result equals the single-array

@@ -187,6 +187,86 @@ def main() -> None:
     checks.append(("overlay prefilter uses a broadcast LEFT SEMI",
                    "LeftSemi" in p7_opt))
 
+    # cutline boundary-band: the alpha/EDT stage input is bounded by
+    # the BOUNDARY class — inside/outside tiles never enter the halo
+    # exchange (asserted on the classifier the halo path is keyed by)
+    from gdal_spark.operators.cutline import classify_cutline_tiles
+    from gdal_spark.operators.rasterize import GridSpec, rasterize
+    from gdal_spark.operators.warp import tiles_from_array
+
+    ts, nt = 32, 8
+    src_arr = (np.arange(nt * ts * nt * ts, dtype=np.float64)
+               .reshape(nt * ts, nt * ts) % 251.0)
+    ctiles, _, _ = tiles_from_array(spark, src_arr, tile_size=ts)
+    cgrid = GridSpec(0.0, float(nt * ts), 1.0, 1.0, nt * ts, nt * ts)
+    cring = np.array([(ts, nt * ts - 6.0 * ts),
+                      (6.0 * ts, nt * ts - 6.0 * ts),
+                      (6.0 * ts, nt * ts - ts), (ts, nt * ts - ts),
+                      (ts, nt * ts - 6.0 * ts)])
+    cmask = rasterize(
+        spark,
+        pd.DataFrame({"fid": np.array([0], dtype=np.int64),
+                      "geometry": [polygon_wkb([cring])]}),
+        cgrid, burn_value=1.0, dtype="uint8", tile_size=ts)
+    ckeys = ctiles.select("zoom", "tile_x", "tile_y",
+                          "tile_size").distinct()
+    ccounts = {r["cls"]: r["count"]
+               for r in classify_cutline_tiles(spark, ckeys, cmask)
+               .groupBy("cls").count().collect()}
+    checks.append((
+        "cutline alpha stage input bounded by the boundary band "
+        f"(boundary={ccounts.get('boundary', 0)} < lattice={nt * nt}"
+        f", inside={ccounts.get('inside', 0)} and "
+        f"outside={ccounts.get('outside', 0)} skip distance work)",
+        0 < ccounts.get("boundary", 0) < nt * nt
+        and ccounts.get("inside", 0) > 0
+        and ccounts.get("outside", 0) > 0))
+
+    # overlay_lines: broadcast path probes a grid index (no per-line
+    # full-method scan), and the big path is a cell-cover equi-join
+    # with no nested-loop pair scan and no driver collect
+    from gdal_spark.operators.layer_algebra import (
+        _grid_candidates, _method_grid_index, overlay_lines_big,
+    )
+
+    lmeth = [(i, [_sq(float(i % 100), float(i // 100),
+                      i % 100 + 0.9, i // 100 + 0.9)],
+              (float(i % 100), float(i // 100),
+               i % 100 + 0.9, i // 100 + 0.9))
+             for i in range(10_000)]
+    lidx = _method_grid_index(lmeth)
+    probe = _grid_candidates(lidx, 3.0, 3.0, 4.5, 4.5)
+    checks.append((
+        "line overlay broadcast path probes a grid index: a 1-cell "
+        f"query tests {len(probe)} of 10000 method features",
+        0 < len(probe) <= 16))
+    checks.append((
+        "line overlay grid index short-circuits empty regions",
+        _grid_candidates(lidx, 500.0, 500.0, 501.0, 501.0) == []))
+
+    from gdal_spark.geometry.wkb import linestring_wkb
+
+    lines_small = spark.createDataFrame(pd.DataFrame({
+        "fid": np.arange(8, dtype=np.int64),
+        "geometry": [linestring_wkb(np.array([(i, 0.0), (i, 5.0)]))
+                     for i in range(8)]}))
+    meth_small = spark.createDataFrame(pd.DataFrame({
+        "fid": np.arange(16, dtype=np.int64),
+        "geometry": [polygon_wkb([_sq(i % 4 * 2.0, i // 4 * 2.0,
+                                      i % 4 * 2.0 + 1.5,
+                                      i // 4 * 2.0 + 1.5)])
+                     for i in range(16)]}))
+    p8 = plan_of(overlay_lines_big(spark, lines_small, meth_small,
+                                   "identity")
+                 .groupBy("method_fid").count())
+    sections.append(("line overlay, big method layer (cell-cover "
+                     "equi-join + per-line carry kernel)", p8))
+    checks.append(("big line overlay has no nested-loop pair scan",
+                   "BroadcastNestedLoopJoin" not in p8
+                   and "CartesianProduct" not in p8))
+    checks.append(("big line overlay never collects to the driver",
+                   "CollectLimit" not in p8))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
