@@ -661,6 +661,9 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
       Identity     :6770 — Intersection + uncovered input remainder
       Union        :5803 — Identity + uncovered method remainder
       SymDifference:6340 — both remainders, no intersections
+      Update       :7188 — input minus method regions, plus the
+                           method features appended whole (method
+                           rows carry fid=-1, method_fid=their fid)
 
     The method layer is broadcast (the reference iterates it per input
     feature with a prepared-geometry cache — same asymmetry).  The
@@ -681,7 +684,7 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
     from gdal_spark.geometry.overlay import poly_op
 
     if op not in {"intersection", "clip", "erase", "identity", "union",
-                  "symdifference"}:
+                  "symdifference", "update"}:
         raise ValueError(f"unknown overlay op {op!r}")
     # reference option parity (ogrlayer.cpp:5385 option block):
     #  SKIP_FAILURES       — skip an input feature whose geometry op
@@ -734,7 +737,8 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
         input_df = input_df.repartition(par)
 
     want_isect = op in {"intersection", "clip", "identity", "union"}
-    want_leftover = op in {"erase", "identity", "union", "symdifference"}
+    want_leftover = op in {"erase", "identity", "union",
+                           "symdifference", "update"}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         meth = bc.value
@@ -806,6 +810,23 @@ def overlay_general(spark: SparkSession, input_df: DataFrame,
 
     out = input_df.select("fid", geom_col).mapInPandas(
         kernel, OVERLAY_SCHEMA)
+
+    if op == "update":
+        # method features pass through whole (ogrlayer.cpp:7188) —
+        # bounded: the method layer is already the broadcast side
+        mrows = {"fid": [], "method_fid": [], "geometry": [],
+                 "area": []}
+        for _, r in method_pdf.iterrows():
+            wkb = bytes(r[geom_col])
+            mrows["fid"].append(-1)
+            mrows["method_fid"].append(int(r["fid"]))
+            mrows["geometry"].append(wkb)
+            mrows["area"].append(geom_area(parse_wkb(wkb)))
+        mdf = spark.createDataFrame(
+            pd.DataFrame(mrows).astype(
+                {"fid": "int64", "method_fid": "int64",
+                 "area": "float64"}), schema=OVERLAY_SCHEMA)
+        return out.unionByName(mdf)
 
     if op not in {"union", "symdifference"}:
         return out

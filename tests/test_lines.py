@@ -295,6 +295,30 @@ def test_overlay_general_options(spark):
                         options={"BOGUS": 1})
 
 
+def test_overlay_update(spark):
+    """Update (ogrlayer.cpp:7188): input minus the method regions,
+    plus the method features appended whole."""
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    method = pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64),
+        "geometry": [polygon_wkb([sq(0.0, 0.0, 10.0, 10.0)])],
+    })
+    inputs = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array([0, 1], dtype=np.int64),
+        "geometry": [polygon_wkb([sq(8.0, 8.0, 12.0, 12.0)]),
+                     polygon_wkb([sq(20.0, 20.0, 21.0, 21.0)])],
+    }))
+    out = overlay_general(spark, inputs, method, "update").toPandas()
+    got = out.set_index(["fid", "method_fid"])["area"]
+    assert got[(0, -1)] == pytest.approx(16.0 - 4.0)  # erased corner
+    assert got[(1, -1)] == pytest.approx(1.0)          # untouched
+    assert got[(-1, 0)] == pytest.approx(100.0)        # method whole
+    assert len(out) == 3
+    # no intersection rows in update mode
+    assert not ((out["fid"] >= 0) & (out["method_fid"] >= 0)).any()
+
+
 def test_line_polygon_spatial_join(spark):
     """Line layer through the broadcast ST_Intersects join operator
     (FilterGeometry generality: any geometry pair)."""
