@@ -1128,6 +1128,98 @@ def _dissolve_str_oracle() -> str:
     """
 
 
+def q50_update_cells(spark, sf_dir):
+    """Layer Update (ogrlayer.cpp:7188): orders-derived unit cells
+    minus one method rectangle, plus the method feature whole.  The
+    rect sits off the integer lattice (no shared edges), so every
+    remainder area is the exact closed form 1 - overlap(cell, rect)
+    — a pure-SQL oracle for the GH difference kernel."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.layer_algebra import overlay_general
+
+    X0, Y0, X1, Y1 = 10.25, 10.25, 30.75, 25.75
+    o = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 23 == 0)
+    r = o.select(
+        F.col("o_orderkey").cast("long").alias("fid"),
+        (F.col("o_orderkey") % 41).cast("double").alias("cx"),
+        (F.col("o_orderkey") % 37).cast("double").alias("cy"),
+    )
+    schema = StructType([StructField("fid", LongType()),
+                         StructField("geometry", BinaryType())])
+
+    def to_wkb(batches):
+        from gdal_spark.geometry.wkb import polygon_wkb
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            geoms = [
+                polygon_wkb([np.array(
+                    [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1),
+                     (x, y)], dtype=np.float64)])
+                for x, y in zip(b["cx"], b["cy"])
+            ]
+            yield pd.DataFrame({"fid": b["fid"].to_numpy(np.int64),
+                                "geometry": geoms})
+
+    cells = r.mapInPandas(to_wkb, schema)
+    from gdal_spark.geometry.wkb import polygon_wkb as _pw
+
+    method = pd.DataFrame({
+        "fid": np.array([0], dtype=np.int64),
+        "geometry": [_pw([np.array(
+            [(X0, Y0), (X1, Y0), (X1, Y1), (X0, Y1), (X0, Y0)])])],
+    })
+    out = overlay_general(spark, cells, method, "update")
+    return (
+        out.select(
+            F.when(F.col("fid") == -1, F.lit("method"))
+            .otherwise(F.lit("input")).alias("part"),
+            "area")
+        .groupBy("part")
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("area"), 4).alias("sum_area"))
+        .orderBy("part")
+    )
+
+
+def _update_oracle() -> str:
+    return """
+        WITH cells AS (
+            SELECT o_orderkey AS fid,
+                   CAST(o_orderkey % 41 AS DOUBLE) AS x,
+                   CAST(o_orderkey % 37 AS DOUBLE) AS y
+            FROM orders WHERE o_orderkey % 23 = 0
+        ),
+        rem AS (
+            SELECT fid,
+                   CAST(1 AS DOUBLE)
+                   - GREATEST(CAST(0 AS DOUBLE),
+                       LEAST(x + 1, CAST(30.75 AS DOUBLE))
+                       - GREATEST(x, CAST(10.25 AS DOUBLE)))
+                   * GREATEST(CAST(0 AS DOUBLE),
+                       LEAST(y + 1, CAST(25.75 AS DOUBLE))
+                       - GREATEST(y, CAST(10.25 AS DOUBLE)))
+                   AS area
+            FROM cells
+        )
+        SELECT part, n_rows, sum_area FROM (
+            SELECT 'input' AS part,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(CAST(SUM(area) AS DOUBLE), 4) AS sum_area
+            FROM rem WHERE area > 0
+            UNION ALL
+            SELECT 'method' AS part, CAST(1 AS BIGINT) AS n_rows,
+                   ROUND(CAST((30.75 - 10.25) * (25.75 - 10.25)
+                         AS DOUBLE), 4) AS sum_area
+        ) ORDER BY part
+    """
+
+
 def q49_line_clip_big(spark, sf_dir):
     """q41's line-layer Clip with the method layer DISTRIBUTED
     (overlay_lines_big: cell-cover join + per-line carry kernel,
@@ -1557,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_dissolve_cells": q47_dissolve_cells,
     "q48_dissolve_by_priority": q48_dissolve_by_priority,
     "q49_line_clip_big": q49_line_clip_big,
+    "q50_update_cells": q50_update_cells,
 }
 
 
@@ -1922,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_dissolve_cells": _dissolve_oracle(),
         "q48_dissolve_by_priority": _dissolve_str_oracle(),
         "q49_line_clip_big": _line_clip_oracle(),
+        "q50_update_cells": _update_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

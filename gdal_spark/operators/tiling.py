@@ -647,37 +647,65 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
         StructField("nbytes", LongType()),
     ])
     wt = tile_y_file(tiles, convention)
+    spark = tiles.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    # hash-partition by tile key + sort so a tile's bands are
+    # adjacent; one mapInPandas with a cross-batch carry writes
+    # files (groupBy().applyInPandas would pay ~ms per tile at
+    # millions of tiles — CLAUDE.md small-groups lesson)
+    wt = wt.repartition(par, "zoom", "tile_x", "file_y") \
+        .sortWithinPartitions("zoom", "tile_x", "file_y", "band")
 
-    def write_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def write_files(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
         import os
 
-        z, tx, fy = (int(key[0]), int(key[1]), int(key[2]))
-        pdf = pdf.sort_values("band")
-        ts = int(pdf["tile_size"].iloc[0])
-        chans = []
-        for _, r in pdf.iterrows():
-            arr = decode_tile(r["data"], r["dtype"], ts)
-            if arr.dtype != np.uint8:
-                arr = np.clip(np.round(arr.astype(np.float64)),
-                              0, 255).astype(np.uint8)
-            chans.append(arr)
-        if len(chans) == 1:
-            img = chans[0]
-        elif len(chans) in (3, 4):
-            img = np.stack(chans, axis=-1)
-        else:
-            raise ValueError(
-                f"png tile needs 1, 3 or 4 bands; got {len(chans)}")
-        d = os.path.join(path, str(z), str(tx))
-        os.makedirs(d, exist_ok=True)
-        data = encode_png(img)
-        with open(os.path.join(d, f"{fy}.png"), "wb") as fh:
-            fh.write(data)
-        return pd.DataFrame({"zoom": [z], "tile_x": [tx],
-                             "file_y": [fy],
-                             "nbytes": [len(data)]})
+        cur = None          # (zoom, tile_x, file_y)
+        chans: list = []
+        cur_ts = 0
 
-    # applyInPandas keys one task-side call per tile — the per-group
-    # overhead is inherent to a one-file-per-tile sink
-    wt.groupBy("zoom", "tile_x", "file_y") \
-        .applyInPandas(write_one, out_schema).count()
+        def flush(rows):
+            if cur is None:
+                return
+            z, tx, fy = cur
+            if len(chans) == 1:
+                img = chans[0]
+            elif len(chans) in (3, 4):
+                img = np.stack(chans, axis=-1)
+            else:
+                raise ValueError(f"png tile needs 1, 3 or 4 bands; "
+                                 f"got {len(chans)}")
+            d = os.path.join(path, str(z), str(tx))
+            os.makedirs(d, exist_ok=True)
+            data = encode_png(img)
+            with open(os.path.join(d, f"{fy}.png"), "wb") as fh:
+                fh.write(data)
+            rows["zoom"].append(z)
+            rows["tile_x"].append(tx)
+            rows["file_y"].append(fy)
+            rows["nbytes"].append(len(data))
+
+        for b in batches:
+            rows = {"zoom": [], "tile_x": [], "file_y": [],
+                    "nbytes": []}
+            for _, r in b.iterrows():
+                key = (int(r["zoom"]), int(r["tile_x"]),
+                       int(r["file_y"]))
+                if key != cur:
+                    flush(rows)
+                    cur = key
+                    chans = []
+                    cur_ts = int(r["tile_size"])
+                arr = decode_tile(r["data"], r["dtype"], cur_ts)
+                if arr.dtype != np.uint8:
+                    arr = np.clip(np.round(arr.astype(np.float64)),
+                                  0, 255).astype(np.uint8)
+                chans.append(arr)
+            if rows["zoom"]:
+                yield pd.DataFrame(rows)
+        rows = {"zoom": [], "tile_x": [], "file_y": [], "nbytes": []}
+        flush(rows)
+        if rows["zoom"]:
+            yield pd.DataFrame(rows)
+
+    wt.mapInPandas(write_files, out_schema).count()

@@ -28,6 +28,10 @@ Steps (each cites its standalone algorithm):
   polygonize [nodata]            — raster -> vector terminal step
                                    (apps/gdalalg_raster_polygonize.cpp)
   write <path>                   — partitioned tile sink
+  tile <path> [png|parquet] [xyz|tms]
+                                 — z/x/y pyramid sink, real PNG
+                                   files by default
+                                   (apps/gdalalg_raster_tile.cpp)
 
 ``calc`` expressions run vectorized numpy with the current raster
 bound to ``A`` — never per-pixel Python.  Every step is a tile-frame
@@ -116,6 +120,15 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
                 df, gt, nodata=(float(args[0]) if args else None))
         elif verb == "write":
             write_tiles(df, args[0])
+            return None
+        elif verb == "tile":
+            # gdal raster tile (apps/gdalalg_raster_tile.cpp):
+            # terminal z/x/y sink; "tile <path> [png|parquet] [xyz|tms]"
+            write_tiles(df, args[0],
+                        convention=(args[2] if len(args) > 2
+                                    else "xyz"),
+                        format=(args[1] if len(args) > 1
+                                else "png"))
             return None
         else:
             raise ValueError(f"unknown raster pipeline step {verb}")

@@ -245,6 +245,38 @@ def test_overlay_lines_big_parity(spark):
                                rtol=1e-9, atol=1e-9)
 
 
+def test_overlay_lines_big_megaline_skew(spark):
+    """A single line crossing ~10^3 method features lands in ONE
+    carry-kernel group (hash partition by fid): the sequential erase
+    chain must stay correct — clip + erase partition the length
+    exactly against the closed form."""
+    from gdal_spark.operators.layer_algebra import overlay_lines_big
+
+    # 1000 squares of side 0.5 every 0.1 degrees along the equator
+    n = 1000
+    mrows = {"fid": [], "geometry": []}
+    covered = []
+    for i in range(n):
+        x = -50.0 + i * 0.1
+        mrows["fid"].append(i)
+        mrows["geometry"].append(polygon_wkb([sq(x, -0.25, x + 0.05,
+                                                 0.25)]))
+        covered.append((x, x + 0.05))
+    method_df = spark.createDataFrame(pd.DataFrame({
+        "fid": np.array(mrows["fid"], dtype=np.int64),
+        "geometry": mrows["geometry"]}))
+    # one horizontal line through all of them
+    line = _lines_df(spark, [[(-60.0, 0.0), (60.0, 0.0)]])
+
+    out = overlay_lines_big(spark, line, method_df, "identity") \
+        .toPandas()
+    inside = out[out.method_fid >= 0]
+    assert len(inside) == n          # one row per crossed feature
+    np.testing.assert_allclose(inside["length"], 0.05, atol=1e-9)
+    rem = out[out.method_fid == -1]["length"].sum()
+    assert rem == pytest.approx(120.0 - n * 0.05, abs=1e-6)
+
+
 def test_overlay_general_options(spark):
     from gdal_spark.operators.layer_algebra import overlay_general
 

@@ -87,3 +87,28 @@ def test_pipeline_validation(spark):
     with pytest.raises(ValueError):
         run_raster_pipeline(spark, "read t ! polygonize",
                             layers={"t": tiles})
+
+
+def test_tile_sink_verb(spark, tmp_path):
+    """`... ! tile <path> png xyz` writes a decodable z/x/y PNG
+    pyramid through the pipeline surface."""
+    from gdal_spark.operators.png import decode_png
+
+    arr = RNG.randint(0, 255, (64, 64)).astype(np.float64)
+    tiles = _tiles(spark, arr)
+    out = tmp_path / "pyr"
+    got = run_raster_pipeline(
+        spark, f'read t ! scale 1 0 ! tile {out} png xyz',
+        layers={"t": tiles})
+    assert got is None  # terminal step
+    # 2x2 tiles at the source zoom
+    pngs = sorted(out.rglob("*.png"))
+    assert len(pngs) == 4
+    ts = 32
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    for p in pngs:
+        tx, fy = int(p.parent.name), int(p.stem)
+        img = decode_png(p.read_bytes())
+        want = arr[fy * ts:(fy + 1) * ts, tx * ts:(tx + 1) * ts]
+        np.testing.assert_array_equal(
+            img, np.clip(np.round(want), 0, 255).astype(np.uint8))
