@@ -192,20 +192,28 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
             f"blend_px={blend_px} exceeds tile_size={tile_size}: the "
             "1-ring halo/classification machinery needs blend <= "
             "tile_size (retile coarser or shrink the blend)")
-    # the mask feeds classification AND the band fill — checkpoint so
-    # the cutline rasterization runs once, not once per consumer
     mask = rasterize(spark, cutline_pdf, grid, burn_value=1.0,
-                     dtype="uint8", tile_size=tile_size) \
-        .localCheckpoint(eager=False)
+                     dtype="uint8", tile_size=tile_size)
 
     # explicit partitioning: AQE coalesces these small joins to ONE
     # partition and would serialize every per-tile kernel downstream
     par = max(spark.sparkContext.defaultParallelism, 8)
 
+    # Mask tiles beyond the src lattice are cut FIRST (the world
+    # outside the raster/lattice is outside-the-cutline by the
+    # zero-pad convention) — classification and halos must both see
+    # the same restricted mask, or a boundary tile whose only mask
+    # neighbors lie outside the lattice would get no alpha canvas
+    # (NULL payload in the blend) and lattice-edge tiles would
+    # misclassify 'inside' off out-of-lattice content.
+    inlat_mask = mask.join(src_tiles.select("tile_x", "tile_y"),
+                           ["tile_x", "tile_y"], "left_semi") \
+        .localCheckpoint(eager=False)
+
     # classification lives on the near-mask set only (absent tile =>
     # pure outside); checkpointed because both the boundary keys and
     # the final dispatch consume it
-    cls = _classify_near_mask(spark, mask) \
+    cls = _classify_near_mask(spark, inlat_mask) \
         .localCheckpoint(eager=False)
     b_keys = cls.filter(F.col("cls") == "boundary") \
         .select("tile_x", "tile_y")
@@ -217,15 +225,10 @@ def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
     #  * a no-mask neighbor's strips are all-zero == the canvas fill,
     #    so omitting them is exact;
     #  * a boundary tile with no mask tile of its own still gets a
-    #    canvas group (boundary implies some 3x3 neighbor has mask
-    #    pixels => at least one strip row targets it) assembled over
-    #    a fill-valued center (allow_missing_center).
-    # Mask tiles beyond the src lattice are cut (world outside the
-    # raster is outside-the-cutline by the zero-pad convention).
+    #    canvas group (boundary implies some 3x3 in-lattice neighbor
+    #    has mask pixels => at least one strip row targets it)
+    #    assembled over a fill-valued center (allow_missing_center).
     from gdal_spark.operators.proximity import emit_halos_k
-
-    inlat_mask = mask.join(src_tiles.select("tile_x", "tile_y"),
-                           ["tile_x", "tile_y"], "left_semi")
     # canvases assemble ONLY for boundary tiles (neighbors contribute
     # strips, never a canvas)
     halos = emit_halos_k(inlat_mask, k) \

@@ -411,6 +411,11 @@ def overlay_lines_big(spark: SparkSession, lines_df: DataFrame,
     par = spark.sparkContext.defaultParallelism
     cand = cand.repartition(par, "fid_a") \
         .sortWithinPartitions("fid_a", "fid_b")
+    if want_erase:
+        # the unpaired left-anti branch consumes cand a second time:
+        # checkpoint so the cell-cover explosion + join + corner
+        # dedup run once, not once per consumer
+        cand = cand.localCheckpoint(eager=False)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cur_fid = None
@@ -539,19 +544,27 @@ def _dissolve_key_type(df: DataFrame, by: str):
     double), never a silent cast-to-NULL. Raises on anything else so a
     bad group column fails fast instead of fusing every row into one
     NULL-keyed global union."""
-    from pyspark.sql.types import (ByteType, ShortType, IntegerType,
-                                   FloatType, StringType as _Str,
+    from pyspark.sql.types import (BooleanType, ByteType, DecimalType,
+                                   ShortType, IntegerType, FloatType,
+                                   StringType as _Str,
                                    DoubleType as _Dbl)
     dt = df.schema[by].dataType
-    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType,
+                       BooleanType)):
         return LongType()
+    if isinstance(dt, DecimalType):
+        # scale-0 decimals (the standard parquet integer surrogate)
+        # cast losslessly to long; fractional decimals group by their
+        # exact string form rather than a lossy double
+        return LongType() if dt.scale == 0 and dt.precision <= 18 \
+            else _Str()
     if isinstance(dt, _Str):
         return _Str()
     if isinstance(dt, (FloatType, _Dbl)):
         return _Dbl()
     raise TypeError(
         f"dissolve(by={by!r}): unsupported group-key type {dt}; "
-        "use an integral, string, or floating-point column")
+        "use an integral, decimal, string, or floating-point column")
 
 
 def dissolve(spark: SparkSession, df: DataFrame,

@@ -636,6 +636,16 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
     if format != "png":
         raise ValueError(f"unknown tile sink format {format!r}")
 
+    if mode == "overwrite":
+        # match the parquet path's clean-replace semantics: stale
+        # z/x/y.png files from a previous (larger) write must not
+        # survive and serve mixed pyramids
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    elif mode != "append":
+        raise ValueError(f"unknown png sink mode {mode!r}")
+
     from pyspark.sql.types import LongType, StructField
 
     from gdal_spark.operators.png import encode_png

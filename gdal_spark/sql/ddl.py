@@ -35,17 +35,33 @@ def _check_ident(name: str) -> str:
     return name
 
 
+def _loc_clause(location: str | None) -> str:
+    if not location:
+        return ""
+    if "'" in location:
+        # SQL string literals double the quote; reject control chars
+        location = location.replace("'", "''")
+    return f" LOCATION '{location}'"
+
+
+def _check_format(table_format: str) -> str:
+    if not _IDENT.match(table_format):
+        raise ValueError(f"bad table format {table_format!r}")
+    return table_format
+
+
 def create_tile_table(spark: SparkSession, name: str,
                       location: str | None = None,
                       table_format: str = "parquet",
                       if_not_exists: bool = False) -> None:
     """CREATE TABLE for a z/x/y tile dataset, partitioned by zoom."""
     _check_ident(name)
+    _check_format(table_format)
     ine = "IF NOT EXISTS " if if_not_exists else ""
-    loc = f" LOCATION '{location}'" if location else ""
     spark.sql(
         f"CREATE TABLE {ine}{name} ({_TILE_COLS}) "
-        f"USING {table_format} PARTITIONED BY (zoom){loc}")
+        f"USING {table_format} PARTITIONED BY (zoom)"
+        f"{_loc_clause(location)}")
 
 
 def create_feature_table(spark: SparkSession, name: str,
@@ -60,11 +76,11 @@ def create_feature_table(spark: SparkSession, name: str,
     ``"fid BIGINT, geometry BINARY, name STRING"``.
     """
     _check_ident(name)
+    _check_format(table_format)
     ine = "IF NOT EXISTS " if if_not_exists else ""
     part = f" PARTITIONED BY ({partition_by})" if partition_by else ""
-    loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE TABLE {ine}{name} ({columns}) "
-              f"USING {table_format}{part}{loc}")
+              f"USING {table_format}{part}{_loc_clause(location)}")
 
 
 def drop_table(spark: SparkSession, name: str,
@@ -91,13 +107,24 @@ def add_column(spark: SparkSession, name: str, col: str,
 
 def insert_tiles(tiles: DataFrame, name: str,
                  mode: str = "append") -> None:
-    """Append a tile DataFrame into a created tile table (dynamic
-    partition insert on zoom)."""
+    """Insert a tile DataFrame into a created tile table.
+
+    mode="overwrite" replaces ONLY the zoom partitions present in
+    ``tiles`` (dynamic partition overwrite — forced here for the
+    call's duration, because Spark's default static mode would
+    truncate EVERY partition of the table)."""
     _check_ident(name)
     cols = ["tile_x", "tile_y", "band", "data", "dtype",
             "tile_size", "zoom"]  # partition col last for insertInto
-    tiles.select(*cols).write.insertInto(
-        name, overwrite=(mode == "overwrite"))
+    spark = tiles.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic")
+        tiles.select(*cols).write.insertInto(
+            name, overwrite=(mode == "overwrite"))
+    finally:
+        spark.conf.set(key, prev)
 
 
 def table_partitions(spark: SparkSession, name: str) -> list[str]:

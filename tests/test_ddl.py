@@ -75,4 +75,48 @@ def test_feature_table_ddl(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         ddl.drop_table(spark, "x; DROP TABLE y")
+    with pytest.raises(ValueError):
+        ddl.create_tile_table(spark, "t_bad",
+                              table_format="parquet OPTIONS x")
+    ddl.drop_table(spark, name)
+
+
+def test_ddl_quoted_location_and_partial_overwrite(spark, tmp_path):
+    """A quoted path in LOCATION must not break the statement, and
+    insert_tiles(mode='overwrite') must replace ONLY the zoom
+    partitions present in the frame (dynamic overwrite), never
+    truncate the whole table."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.tiling import encode_tile
+    from gdal_spark.sql import ddl
+
+    name = "gdal_spark_ddl_quoted"
+    ddl.drop_table(spark, name)
+    loc = tmp_path / "o'brien" / "tiles"
+    ddl.create_tile_table(spark, name, location=str(loc))
+    assert spark.catalog.tableExists(name)
+
+    def tile_rows(zooms, val):
+        rows = []
+        for z in zooms:
+            arr = np.full((4, 4), val, dtype=np.uint8)
+            payload, dts = encode_tile(arr, None)
+            rows.append({"zoom": z, "tile_x": 0, "tile_y": 0,
+                         "band": 1, "data": payload, "dtype": dts,
+                         "tile_size": 4})
+        return spark.createDataFrame(pd.DataFrame(rows)) \
+            .select("zoom", "tile_x", "tile_y", "band", "data",
+                    "dtype", "tile_size")
+
+    ddl.insert_tiles(tile_rows([1, 2], 7), name)
+    assert sorted(ddl.table_partitions(spark, name)) \
+        == ["zoom=1", "zoom=2"]
+    # overwrite only zoom 2: zoom 1 survives
+    ddl.insert_tiles(tile_rows([2], 9), name, mode="overwrite")
+    got = {r["zoom"]: r["cnt"] for r in
+           spark.sql(f"SELECT zoom, COUNT(*) cnt FROM {name} "
+                     "GROUP BY zoom").collect()}
+    assert got == {1: 1, 2: 1}
     ddl.drop_table(spark, name)

@@ -400,6 +400,12 @@ def test_dissolve_string_and_double_keys(spark):
     dout = dissolve(spark, df, by="w").toPandas()
     assert sorted(dout["key"].tolist()) == [0.0, 1.0]
 
+    # scale-0 decimal (the parquet integer surrogate) casts to long
+    from pyspark.sql import functions as F2
+    ddf = df.withColumn("dk", F2.col("fid").cast("decimal(18,0)"))
+    decout = dissolve(spark, ddf, by="dk").toPandas()
+    assert sorted(decout["key"].tolist()) == [0, 1, 2, 3]
+
     # binary key -> fail fast, not NULL-collapse
     from pyspark.sql import functions as F
     with pytest.raises(TypeError, match="dissolve"):

@@ -125,3 +125,40 @@ def test_write_tiles_png_multiband_and_float(spark, tmp_path):
     grey = decode_png((out / "1" / "1" / "0.png").read_bytes())
     np.testing.assert_array_equal(
         grey, np.clip(np.round(farr), 0, 255).astype(np.uint8))
+
+
+def test_write_tiles_png_overwrite_mode(spark, tmp_path):
+    """mode='overwrite' (default) clean-replaces the pyramid — stale
+    z/x/y.png files from a previous larger write must not survive;
+    mode='append' keeps them."""
+    from gdal_spark.operators.tiling import encode_tile, write_tiles
+
+    def tile_df(coords, val):
+        rows = []
+        for tx, ty in coords:
+            arr = np.full((8, 8), val, dtype=np.uint8)
+            payload, dts = encode_tile(arr, None)
+            rows.append({"zoom": 1, "tile_x": tx, "tile_y": ty,
+                         "band": 1, "data": payload, "dtype": dts,
+                         "tile_size": 8})
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    out = tmp_path / "pyr"
+    write_tiles(tile_df([(0, 0), (1, 0), (1, 1)], 5), str(out),
+                format="png")
+    assert len(list(out.rglob("*.png"))) == 3
+    # smaller overwrite: the two stale tiles disappear
+    write_tiles(tile_df([(0, 0)], 9), str(out), format="png")
+    pngs = list(out.rglob("*.png"))
+    assert len(pngs) == 1 and pngs[0].parts[-3:] == ("1", "0", "0.png")
+    np.testing.assert_array_equal(
+        decode_png(pngs[0].read_bytes()),
+        np.full((8, 8), 9, dtype=np.uint8))
+    # append keeps existing files
+    write_tiles(tile_df([(1, 1)], 3), str(out), format="png",
+                mode="append")
+    assert len(list(out.rglob("*.png"))) == 2
+    import pytest
+    with pytest.raises(ValueError, match="mode"):
+        write_tiles(tile_df([(0, 0)], 1), str(out), format="png",
+                    mode="bogus")

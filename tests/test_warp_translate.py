@@ -243,3 +243,74 @@ def test_cutline_boundary_band_classification(spark):
     with pytest.raises(ValueError, match="blend"):
         cutline_clip(spark, tiles, cut, grid, blend_px=ts + 1.0,
                      nodata=0.0, tile_size=ts)
+
+
+def test_cutline_sparse_lattice(spark):
+    """A SPARSE src lattice (missing tiles): mask content on absent
+    tiles must not leak into classification — a tile whose only mask
+    neighbors lie outside the lattice is not 'boundary' (no alpha
+    canvas would exist for it), and the output matches the
+    single-array kernel with the absent region's mask zeroed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.cutline import blend_alpha, cutline_clip
+    from gdal_spark.operators.rasterize import (
+        GridSpec, rasterize_chunk,
+    )
+    from gdal_spark.operators.tiling import decode_tile
+    from gdal_spark.operators.warp import tiles_from_array
+
+    ts, n = 32, 4
+    w = h = n * ts
+    grid = GridSpec(0.0, float(h), 1.0, 1.0, w, h)
+    rng = np.random.RandomState(13)
+    src = rng.randint(1, 255, (h, w)).astype(np.float64)
+    tiles, _, _ = tiles_from_array(spark, src, tile_size=ts)
+    # drop tile (2, 2) from the lattice
+    sparse = tiles.filter(~((F.col("tile_x") == 2)
+                            & (F.col("tile_y") == 2)))
+
+    for ring in (
+        # cutline entirely within the ABSENT tile: every present
+        # tile is pure outside (this is the pre-fix crash shape)
+        np.array([(2 * ts + 5.0, h - 3 * ts + 5.0),
+                  (3 * ts - 5.0, h - 3 * ts + 5.0),
+                  (3 * ts - 5.0, h - 2 * ts - 5.0),
+                  (2 * ts + 5.0, h - 2 * ts - 5.0),
+                  (2 * ts + 5.0, h - 3 * ts + 5.0)]),
+        # cutline straddling the absent tile and its neighbors
+        np.array([(ts + 8.0, h - 3 * ts - 8.0),
+                  (3 * ts + 8.0, h - 3 * ts - 8.0),
+                  (3 * ts + 8.0, h - ts - 8.0),
+                  (ts + 8.0, h - ts - 8.0),
+                  (ts + 8.0, h - 3 * ts - 8.0)]),
+    ):
+        cut = pd.DataFrame({"fid": np.array([0], dtype=np.int64),
+                            "geometry": [polygon_wkb([ring])]})
+        blend = 2.5
+        k = max(1, int(np.ceil(blend)))
+        out = cutline_clip(spark, sparse, cut, grid, blend_px=blend,
+                           nodata=-7.0, tile_size=ts).toPandas()
+        assert len(out) == n * n - 1  # one row per present tile
+
+        # oracle: zero the mask on the absent tile, then per-tile
+        # compare (assemble_raster can't hold a hole)
+        ring_px = np.column_stack([ring[:, 0] - grid.x0,
+                                   grid.y1 - ring[:, 1]])
+        mask_arr = rasterize_chunk((h, w), [([ring_px], 1.0)],
+                                   "uint8") > 0
+        mask_arr[2 * ts:3 * ts, 2 * ts:3 * ts] = False
+        padded = np.zeros((h + 2 * k, w + 2 * k), dtype=bool)
+        padded[k:-k, k:-k] = mask_arr
+        alpha = blend_alpha(padded, blend)[k:-k, k:-k]
+        want = alpha * src + (1 - alpha) * (-7.0)
+        for _, r in out.iterrows():
+            tx, ty = int(r["tile_x"]), int(r["tile_y"])
+            got = decode_tile(r["data"], r["dtype"], ts)
+            np.testing.assert_allclose(
+                got, want[ty * ts:(ty + 1) * ts,
+                          tx * ts:(tx + 1) * ts],
+                rtol=1e-12, atol=1e-9, err_msg=f"tile {tx},{ty}")
