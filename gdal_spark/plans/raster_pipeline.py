@@ -81,6 +81,19 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
             name = args[0]
             if layers and name in layers:
                 df = layers[name]
+            elif len(args) > 1 and args[1] == "tile_pyramid":
+                # read <path> tile_pyramid [xyz|tms]: z/x/y PNG
+                # pyramid via the pushdown data source
+                from gdal_spark.sources.tile_datasource import (
+                    register_tile_source,
+                )
+
+                register_tile_source(spark)
+                rd = spark.read.format("tile_pyramid") \
+                    .option("path", name)
+                if len(args) > 2:
+                    rd = rd.option("convention", args[2])
+                df = rd.load()
             else:
                 df = spark.read.parquet(name)
         elif verb in focal_ops:

@@ -98,25 +98,34 @@ class TilePyramidReader(DataSourceReader):
             zooms = sorted(os.listdir(self.path))
         except FileNotFoundError:
             return [_XDirPartition(-1, "", -1)]
+        def as_int(s: str):
+            # zoom -1 marks a plain (non-pyramid) tile grid, e.g.
+            # tiles_from_array output — accept signed integers
+            try:
+                return int(s)
+            except ValueError:
+                return None
+
         for zs in zooms:
-            if not zs.isdigit() or not self._in_bounds("zoom", int(zs)):
+            z = as_int(zs)
+            if z is None or not self._in_bounds("zoom", z):
                 continue
             zdir = os.path.join(self.path, zs)
             if not os.path.isdir(zdir):
                 continue
             for xs in sorted(os.listdir(zdir)):
-                if not xs.isdigit() \
-                        or not self._in_bounds("tile_x", int(xs)):
+                x = as_int(xs)
+                if x is None or not self._in_bounds("tile_x", x):
                     continue
-                parts.append(_XDirPartition(int(zs),
+                parts.append(_XDirPartition(z,
                                             os.path.join(zdir, xs),
-                                            int(xs)))
+                                            x))
         # Spark requires >= 1 partition; an empty pruned listing
         # still needs a no-op partition
         return parts or [_XDirPartition(-1, "", -1)]
 
     def read(self, part: _XDirPartition):
-        if part.zoom < 0:
+        if not part.xdir:        # the empty no-op partition
             return
         import numpy as np
 
@@ -132,6 +141,10 @@ class TilePyramidReader(DataSourceReader):
                 if not self._in_bounds("tile_y", ty):
                     continue
             else:
+                if part.zoom < 0:
+                    raise ValueError(
+                        "tms convention needs a non-negative zoom "
+                        "(plain tile grids are xyz)")
                 ty = (1 << part.zoom) - 1 - fy
             with open(os.path.join(part.xdir, fn), "rb") as fh:
                 img = decode_png(fh.read())

@@ -155,3 +155,69 @@ def test_overlay_area_partition_property(seed):
     assert abs(union - (a_area + b_area - inter)) < tol
     assert inter >= -tol and diff >= -tol
     assert union <= a_area + b_area + tol
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _polyline_and_rects(draw):
+    n = draw(st.integers(2, 6))
+    pts = [(draw(st.floats(-20, 20, allow_nan=False,
+                           allow_infinity=False, width=32)),
+            draw(st.floats(-20, 20, allow_nan=False,
+                           allow_infinity=False, width=32)))
+           for _ in range(n)]
+    nr = draw(st.integers(1, 3))
+    rects = []
+    for _ in range(nr):
+        x0 = draw(st.floats(-15, 10, allow_nan=False, width=32))
+        y0 = draw(st.floats(-15, 10, allow_nan=False, width=32))
+        rects.append((x0, y0,
+                      x0 + draw(st.floats(1, 12, width=32)),
+                      y0 + draw(st.floats(1, 12, width=32))))
+    return pts, rects
+
+
+@given(_polyline_and_rects())
+@settings(max_examples=120, deadline=None)
+def test_line_clip_erase_length_partition(data):
+    """Property: for ANY polyline and rect set, erasing every rect
+    sequentially plus the union of per-rect clips conserves length:
+    len(erase_all) + len(line ∩ union(rects)) == len(line).  The
+    in-union portion computes by inclusion via sequential erase
+    (len(line) - len(erase_all)), so the stronger invariant checked
+    here is that clip against EACH rect >= the part of the union
+    inside that rect alone and the erase chain never loses length."""
+    import numpy as np
+
+    from gdal_spark.geometry.lines import (
+        clip_line_to_rings, erase_line_from_rings, polyline_length,
+    )
+
+    pts, rects = data
+    line = np.array(pts, dtype=np.float64)
+    # degenerate consecutive duplicates make zero-length segments;
+    # keep them — the kernels must tolerate them
+    rings = [np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                       (x0, y0)]) for (x0, y0, x1, y1) in rects]
+    total = polyline_length([line])
+
+    remain = [line]
+    for r in rings:
+        nxt = []
+        for part in remain:
+            nxt.extend(erase_line_from_rings(part, [r]))
+        remain = nxt
+    out_len = polyline_length(remain)
+    assert out_len <= total + 1e-6
+
+    # single-rect partition: clip + erase == total, exactly
+    for r in rings:
+        c = polyline_length(clip_line_to_rings(line, [r]))
+        e = polyline_length(erase_line_from_rings(line, [r]))
+        assert c + e == (
+            __import__("pytest").approx(total, abs=1e-6, rel=1e-9))
+
+    # in-union length == total - erased-by-all (non-negative)
+    assert total - out_len >= -1e-6

@@ -112,3 +112,18 @@ def test_tile_sink_verb(spark, tmp_path):
         want = arr[fy * ts:(fy + 1) * ts, tx * ts:(tx + 1) * ts]
         np.testing.assert_array_equal(
             img, np.clip(np.round(want), 0, 255).astype(np.uint8))
+
+
+def test_read_pyramid_roundtrip_verb(spark, tmp_path):
+    """`read <path> tile_pyramid` round-trips what `tile <path> png`
+    wrote — the pipeline surface covers both directions."""
+    arr = RNG.randint(0, 255, (64, 64)).astype(np.float64)
+    tiles = _tiles(spark, arr)
+    out = tmp_path / "pyr"
+    run_raster_pipeline(spark, f"read t ! tile {out} png",
+                        layers={"t": tiles})
+    back = run_raster_pipeline(
+        spark, f"read {out} tile_pyramid ! scale 1 0")
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    got = assemble_raster(back.toPandas(), grid)
+    np.testing.assert_array_equal(got, np.round(arr))
