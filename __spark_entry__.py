@@ -1220,6 +1220,78 @@ def _update_oracle() -> str:
     """
 
 
+def q51_footprint_px(spark, sf_dir):
+    """gdal_footprint (apps/gdal_footprint_lib.cpp): polygons of the
+    valid-data mask over the z=6 page-density raster on a unit-pixel
+    grid.  Sum of polygon areas == COUNT(DISTINCT occupied pixel) —
+    holes subtract, components add, so the planar area IS the pixel
+    count, a pure-SQL oracle."""
+    from gdal_spark.operators.footprint import footprint_tiles
+    from gdal_spark.operators.tiling import page_density_tiles
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=6)
+    fp = footprint_tiles(tiles, [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+                         nodata=0.0)
+    return fp.agg(
+        F.round(F.sum("area"), 4).alias("total_px"))
+
+
+def _footprint_oracle() -> str:
+    px, py = _pixel6_sql()
+    return f"""
+        WITH pts AS ({_POINTS_SQL})
+        SELECT ROUND(CAST(COUNT(DISTINCT ({px}) * 100000 + ({py}))
+                     AS DOUBLE), 4) AS total_px
+        FROM pts
+    """
+
+
+def q52_translate_mass(spark, sf_dir):
+    """gdal_translate -outsize 50% with the SUM resampling kernel
+    (apps/gdal_translate_lib.cpp window/outsize + GRA_Sum): a 2x
+    aligned downscale sums exact 2x2 blocks, so raster mass is
+    conserved — oracle: the page count."""
+    from gdal_spark.operators.tiling import (
+        decode_tile, page_density_tiles,
+    )
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.warp import translate_tiles
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=6)
+    n_px = 64 * 256
+    res = 2 * geo.ORIGIN / n_px
+    src = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
+    out = translate_tiles(tiles, src, (0, 0, n_px, n_px),
+                          outsize=(n_px // 2, n_px // 2),
+                          resample="sum")
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ssch = StructType([StructField("s", DoubleType())])
+
+    def tile_sums(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vals = [float(decode_tile(r["data"], r["dtype"],
+                                      int(r["tile_size"]))
+                          .astype(np.float64).sum())
+                    for _, r in b.iterrows()]
+            yield pd.DataFrame({"s": vals})
+
+    return out.mapInPandas(tile_sums, ssch).agg(
+        F.round(F.sum("s"), 4).alias("mass"))
+
+
+def _translate_mass_oracle() -> str:
+    return f"""
+        WITH pts AS ({_POINTS_SQL})
+        SELECT ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS mass FROM pts
+    """
+
+
 def q49_line_clip_big(spark, sf_dir):
     """q41's line-layer Clip with the method layer DISTRIBUTED
     (overlay_lines_big: cell-cover join + per-line carry kernel,
@@ -1650,6 +1722,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_dissolve_by_priority": q48_dissolve_by_priority,
     "q49_line_clip_big": q49_line_clip_big,
     "q50_update_cells": q50_update_cells,
+    "q51_footprint_px": q51_footprint_px,
+    "q52_translate_mass": q52_translate_mass,
 }
 
 
@@ -2016,6 +2090,8 @@ def oracle_sql() -> dict[str, str]:
         "q48_dissolve_by_priority": _dissolve_str_oracle(),
         "q49_line_clip_big": _line_clip_oracle(),
         "q50_update_cells": _update_oracle(),
+        "q51_footprint_px": _footprint_oracle(),
+        "q52_translate_mass": _translate_mass_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -212,10 +212,27 @@ def _footprint_stat(patch, lx, ly, stat, nodata, fill):
     out = np.full(lx.shape, np.float64(fill))
     for j in range(lx.shape[0]):
         for i in range(lx.shape[1]):
-            x0 = int(np.floor(lx[j, i] - abs(dx[j, i]) / 2))
-            x1 = int(np.ceil(lx[j, i] + abs(dx[j, i]) / 2))
-            y0 = int(np.floor(ly[j, i] - abs(dy[j, i]) / 2))
-            y1 = int(np.ceil(ly[j, i] + abs(dy[j, i]) / 2))
+            # CENTER-IN-FOOTPRINT, half-open: src pixel k (center
+            # k+0.5) belongs iff k+0.5 in [c-r, c+r), i.e. k in
+            # [ceil(c-r-0.5), ceil(c+r-0.5)).  The decision edges sit
+            # at HALF-integers, so the exact-alignment case (integer
+            # window bounds, e.g. an aligned 2x downscale) is stable
+            # under float noise — floor/ceil on the raw bounds sat on
+            # knife-edge integers and any epsilon at Mercator-scale
+            # coords widened a 2x2 window to 3x2, inflating SUM by
+            # ~25% (caught by the q52 mass-conservation oracle).
+            rx = abs(dx[j, i]) / 2
+            ry = abs(dy[j, i]) / 2
+            x0 = int(np.ceil(lx[j, i] - rx - 0.5))
+            x1 = int(np.ceil(lx[j, i] + rx - 0.5))
+            y0 = int(np.ceil(ly[j, i] - ry - 0.5))
+            y1 = int(np.ceil(ly[j, i] + ry - 0.5))
+            if x1 <= x0:          # footprint narrower than a pixel:
+                x0 = int(np.floor(lx[j, i]))
+                x1 = x0 + 1       # fall back to the nearest pixel
+            if y1 <= y0:
+                y0 = int(np.floor(ly[j, i]))
+                y1 = y0 + 1
             x0, x1 = max(x0, 0), min(x1, w)
             y0, y1 = max(y0, 0), min(y1, h)
             if x1 <= x0 or y1 <= y0:

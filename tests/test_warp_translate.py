@@ -314,3 +314,41 @@ def test_cutline_sparse_lattice(spark):
                 got, want[ty * ts:(ty + 1) * ts,
                           tx * ts:(tx + 1) * ts],
                 rtol=1e-12, atol=1e-9, err_msg=f"tile {tx},{ty}")
+
+
+def test_footprint_stat_stable_at_world_scale(spark):
+    """Footprint-stat resampling (sum/average/min/max...) must use
+    the pixel-center half-open rule: at Web-Mercator-scale
+    coordinates, float noise around integer window bounds widened an
+    aligned 2x2 sum window to 3x2 (+25% mass).  An aligned 2x
+    downscale with 'sum' must conserve mass EXACTLY and equal the
+    block-sum; 'average' must equal the block-mean."""
+    import numpy as np
+
+    from gdal_spark.functions import geo
+    from gdal_spark.operators.rasterize import GridSpec, assemble_raster
+    from gdal_spark.operators.warp import tiles_from_array, \
+        translate_tiles
+
+    n_px = 128
+    res = 2 * geo.ORIGIN / n_px
+    arr = (np.arange(n_px * n_px, dtype=np.float64)
+           .reshape(n_px, n_px) % 7)
+    t, _, _ = tiles_from_array(spark, arr, tile_size=32)
+    src = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
+    dst = GridSpec(-geo.ORIGIN, geo.ORIGIN, 2 * res, 2 * res,
+                   n_px // 2, n_px // 2)
+    blocks = arr.reshape(n_px // 2, 2, n_px // 2, 2)
+
+    out = translate_tiles(t, src, (0, 0, n_px, n_px),
+                          outsize=(n_px // 2, n_px // 2),
+                          resample="sum", tile_size=32)
+    got = assemble_raster(out.toPandas(), dst)
+    np.testing.assert_array_equal(got, blocks.sum(axis=(1, 3)))
+
+    out = translate_tiles(t, src, (0, 0, n_px, n_px),
+                          outsize=(n_px // 2, n_px // 2),
+                          resample="average", tile_size=32)
+    got = assemble_raster(out.toPandas(), dst)
+    np.testing.assert_allclose(got, blocks.mean(axis=(1, 3)),
+                               rtol=1e-12)
