@@ -199,3 +199,89 @@ def spatial_join_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def density_pyramid_stream(
+    stream: DataFrame, zoom: int, state_path: str, checkpoint: str,
+    tile_size: int = 256, lon: str = "lon", lat: str = "lat",
+    keep_versions: int = 2,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """INCREMENTAL page-density maintenance: each micro-batch's
+    points reduce map-side to the SAME sparse per-tile partials the
+    batch path uses (tiling.sparse_density), then merge into a
+    versioned sparse state table — after any prefix of batches the
+    state equals sparse_density() of every point seen so far
+    (stream == batch parity, tested), and densify/build_pyramid
+    render from it on demand.
+
+    State layout: ``state_path/v{n}`` immutable parquet versions;
+    each batch reads the latest, merges the delta with the SAME
+    stream-merge kernel (re-merging sparse rows is associative), and
+    publishes the next version — readers never see a half-written
+    state (the same immutable-publish idea as plans/lineage.py), and
+    per batch the work is O(delta + occupied tiles), never a rescan
+    of the raw points."""
+    import os
+    import re as _re
+    import shutil
+
+    from gdal_spark.operators.tiling import _merge_sparse, \
+        sparse_density
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_path):
+            return []
+        out = []
+        for d in os.listdir(state_path):
+            m = _re.fullmatch(r"v(\d+)", d)
+            if m and os.path.exists(
+                    os.path.join(state_path, d, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        nparts = spark.sparkContext.defaultParallelism
+        delta = sparse_density(batch, zoom, tile_size, lon, lat,
+                               num_partitions=nparts)
+        vs = _versions()
+        if vs:
+            prev = spark.read.parquet(
+                os.path.join(state_path, f"v{vs[-1]}"))
+            merged = _merge_sparse(prev.unionByName(delta), nparts)
+        else:
+            merged = delta
+        nxt = (vs[-1] + 1) if vs else 0
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"v{nxt}"))
+        for old in vs[:max(0, len(vs) - (keep_versions - 1))]:
+            shutil.rmtree(os.path.join(state_path, f"v{old}"),
+                          ignore_errors=True)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_density_state(spark: SparkSession, state_path: str
+                       ) -> DataFrame:
+    """Latest published sparse density state (see
+    density_pyramid_stream)."""
+    import os
+    import re as _re
+
+    vs = []
+    for d in os.listdir(state_path):
+        m = _re.fullmatch(r"v(\d+)", d)
+        if m and os.path.exists(os.path.join(state_path, d,
+                                             "_SUCCESS")):
+            vs.append(int(m.group(1)))
+    if not vs:
+        raise FileNotFoundError(f"no published state in {state_path}")
+    return spark.read.parquet(
+        os.path.join(state_path, f"v{max(vs)}"))

@@ -170,3 +170,59 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) == 7          # one survivor per distinct body
     assert got == set(range(7))   # first arrival (min key) wins
+
+
+def test_stream_density_pyramid_matches_batch(spark, tmp_path):
+    """Incremental sparse-density maintenance: after the stream
+    drains (multiple micro-batches), the published state densifies to
+    EXACTLY the batch pyramid of all points; resuming on the same
+    checkpoint adds nothing; per-batch work never rescans raw
+    points (state holds sparse rows only)."""
+    import numpy as np
+
+    from gdal_spark.operators.rasterize import assemble_raster
+    from gdal_spark.operators.tiling import densify, page_density_tiles
+    from gdal_spark.streaming.events import (
+        density_pyramid_stream, read_density_state,
+    )
+
+    src = str(tmp_path / "pts_in")
+    state = str(tmp_path / "density_state")
+    ckpt = str(tmp_path / "ckpt_density")
+    pts = pages_df(spark, 3000, partitions=6).select("i", "lon", "lat")
+    pts.write.parquet(src)
+
+    stream = stream_parquet_source(spark, src, pts.schema,
+                                   max_files_per_trigger=2)
+    q = density_pyramid_stream(stream, zoom=3, state_path=state,
+                               checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got_tiles = densify(read_density_state(spark, state), zoom=3) \
+        .toPandas()
+    want_tiles = page_density_tiles(pts, zoom=3).toPandas()
+
+    def as_map(p):
+        from gdal_spark.operators.tiling import decode_tile
+
+        return {(int(r["tile_x"]), int(r["tile_y"])):
+                decode_tile(r["data"], r["dtype"],
+                            int(r["tile_size"]))
+                for _, r in p.iterrows()}
+
+    gm, wm = as_map(got_tiles), as_map(want_tiles)
+    assert set(gm) == set(wm)
+    for k in wm:
+        np.testing.assert_array_equal(gm[k], wm[k])
+    # total mass == number of points
+    assert sum(a.sum() for a in gm.values()) == 3000
+
+    # resume on the same checkpoint: no new state version content
+    before = sum(a.sum() for a in gm.values())
+    stream2 = stream_parquet_source(spark, src, pts.schema)
+    q2 = density_pyramid_stream(stream2, zoom=3, state_path=state,
+                                checkpoint=ckpt)
+    q2.awaitTermination(120)
+    gm2 = as_map(densify(read_density_state(spark, state), zoom=3)
+                 .toPandas())
+    assert sum(a.sum() for a in gm2.values()) == before
