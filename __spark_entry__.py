@@ -1292,6 +1292,53 @@ def _translate_mass_oracle() -> str:
     """
 
 
+def q53_multimodal_features(spark, sf_dir):
+    """Multimodal decode + feature extraction (the media-column
+    family of the brief; reference decodes via format drivers,
+    frmts/): an orders-derived media table of deterministic FAKEIMG
+    payloads runs the REAL Arrow-batched decode + channel-mean
+    kernel, and because the pixel law is a pure function of the id,
+    a generate_series SQL oracle recomputes every mean exactly."""
+    from gdal_spark.sources.multimodal import (
+        extract_features, media_from_ids,
+    )
+
+    o = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 37 == 0)
+    media = media_from_ids(
+        o.select(F.col("o_orderkey").alias("media_id")))
+    return extract_features(media).orderBy("media_id")
+
+
+def _multimodal_oracle() -> str:
+    return """
+        WITH m AS (
+            SELECT o_orderkey AS media_id,
+                   16 + (o_orderkey % 4) * 8 AS w,
+                   16 + (o_orderkey % 3) * 8 AS h
+            FROM orders WHERE o_orderkey % 37 = 0
+        ),
+        px AS (
+            -- fixed series to the max size (w <= 40, h <= 32),
+            -- filtered per media: duckdb's generate_series takes no
+            -- lateral column parameters
+            SELECT m.media_id, m.w, m.h,
+                   (gx.x * 7 + gy.y * 13 + m.media_id) % 256 AS base
+            FROM m
+            JOIN generate_series(0, 39) gx(x) ON gx.x < m.w
+            JOIN generate_series(0, 31) gy(y) ON gy.y < m.h
+        )
+        SELECT media_id,
+               CAST(FLOOR(AVG(base)) AS INTEGER) AS mean_r,
+               CAST(FLOOR(AVG(base * 2 % 256)) AS INTEGER) AS mean_g,
+               CAST(FLOOR(AVG((base + media_id) % 256)) AS INTEGER)
+                   AS mean_b,
+               CAST(MIN(w) AS INTEGER) AS width,
+               CAST(MIN(h) AS INTEGER) AS height
+        FROM px GROUP BY media_id ORDER BY media_id
+    """
+
+
 def q49_line_clip_big(spark, sf_dir):
     """q41's line-layer Clip with the method layer DISTRIBUTED
     (overlay_lines_big: cell-cover join + per-line carry kernel,
@@ -1724,6 +1771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_update_cells": q50_update_cells,
     "q51_footprint_px": q51_footprint_px,
     "q52_translate_mass": q52_translate_mass,
+    "q53_multimodal_features": q53_multimodal_features,
 }
 
 
@@ -2092,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_update_cells": _update_oracle(),
         "q51_footprint_px": _footprint_oracle(),
         "q52_translate_mass": _translate_mass_oracle(),
+        "q53_multimodal_features": _multimodal_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -76,26 +76,30 @@ def decode_any(payload: bytes) -> np.ndarray:
         ) from exc
 
 
-def synth_media_df(spark: SparkSession, n: int,
-                   partitions: int | None = None) -> DataFrame:
-    """Deterministic media table: FAKEIMG payloads whose pixel values
-    are a pure function of media_id (seeded, reproducible)."""
-    partitions = partitions or spark.sparkContext.defaultParallelism
-    base = spark.range(0, n, 1, partitions).withColumnRenamed("id", "media_id")
+def fakeimg_for_id(mid: int) -> np.ndarray:
+    """The deterministic FAKEIMG pixel law: a pure function of
+    media_id (size AND pixels), so feature extraction has an exact
+    closed-form/SQL oracle."""
+    w = 16 + (mid % 4) * 8
+    h = 16 + (mid % 3) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    base_ch = (xx * 7 + yy * 13 + mid) % 256
+    return np.stack([base_ch, (base_ch * 2) % 256,
+                     (base_ch + mid) % 256], axis=2).astype(np.uint8)
+
+
+def media_from_ids(ids_df: DataFrame, id_col: str = "media_id"
+                   ) -> DataFrame:
+    """Deterministic media frame from ANY id column (the pixel law
+    above); one FAKEIMG image row per id."""
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = {k.name: [] for k in MEDIA_SCHEMA.fields}
-            for mid in b["media_id"]:
+            for mid in b[id_col]:
                 mid = int(mid)
-                w = 16 + (mid % 4) * 8
-                h = 16 + (mid % 3) * 8
-                c = 3
-                yy, xx = np.mgrid[0:h, 0:w]
-                base_ch = (xx * 7 + yy * 13 + mid) % 256
-                arr = np.stack([base_ch, (base_ch * 2) % 256,
-                                (base_ch + mid) % 256],
-                               axis=2).astype(np.uint8)
+                arr = fakeimg_for_id(mid)
+                h, w, c = arr.shape
                 rows["media_id"].append(mid)
                 rows["kind"].append("image")
                 rows["payload"].append(encode_fakeimg(arr))
@@ -105,7 +109,17 @@ def synth_media_df(spark: SparkSession, n: int,
                 rows["n_frames"].append(1)
             yield pd.DataFrame(rows)
 
-    return base.mapInPandas(render, MEDIA_SCHEMA)
+    return ids_df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(render, MEDIA_SCHEMA)
+
+
+def synth_media_df(spark: SparkSession, n: int,
+                   partitions: int | None = None) -> DataFrame:
+    """Deterministic media table: FAKEIMG payloads whose pixel values
+    are a pure function of media_id (seeded, reproducible)."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, 1, partitions).withColumnRenamed("id", "media_id")
+    return media_from_ids(base)
 
 
 FEATURE_SCHEMA = StructType([
