@@ -94,10 +94,11 @@ class TilePyramidReader(DataSourceReader):
 
     def partitions(self):
         parts = []
-        try:
-            zooms = sorted(os.listdir(self.path))
-        except FileNotFoundError:
-            return [_XDirPartition(-1, "", -1)]
+        # a missing root is a caller error, not an empty dataset —
+        # match spark.read.parquet's behavior instead of silently
+        # returning 0 rows; the no-op partition below is only for a
+        # listing pruned to nothing by pushed filters
+        zooms = sorted(os.listdir(self.path))
         def as_int(s: str):
             # zoom -1 marks a plain (non-pyramid) tile grid, e.g.
             # tiles_from_array output — accept signed integers

@@ -38,9 +38,13 @@ def _check_ident(name: str) -> str:
 def _loc_clause(location: str | None) -> str:
     if not location:
         return ""
-    if "'" in location:
-        # SQL string literals double the quote; reject control chars
-        location = location.replace("'", "''")
+    if any(ord(ch) < 0x20 for ch in location):
+        raise ValueError("control characters in LOCATION path")
+    # Spark SQL interprets BACKSLASH escapes inside string literals
+    # (CLAUDE.md pitfall): a lone backslash would corrupt the path
+    # and a trailing one would swallow the closing quote — escape
+    # backslashes first, then double the quotes
+    location = location.replace("\\", "\\\\").replace("'", "''")
     return f" LOCATION '{location}'"
 
 

@@ -201,10 +201,36 @@ def spatial_join_stream(
     return writer.start()
 
 
+def _list_state_versions(state_path: str):
+    """Published versions of a density state dir: [(n, batch_id)]
+    sorted by n.  A version counts as published iff its parquet
+    commit marker (_SUCCESS) exists; the batch id that produced it
+    is encoded in the DIRECTORY NAME (v{n}_b{batch_id}) so the
+    replay check commits atomically with the data."""
+    import os
+    import re as _re
+
+    out = []
+    if not os.path.isdir(state_path):
+        return out
+    for d in os.listdir(state_path):
+        m = _re.fullmatch(r"v(\d+)_b(\d+)", d)
+        if m and os.path.exists(os.path.join(state_path, d,
+                                             "_SUCCESS")):
+            out.append((int(m.group(1)), int(m.group(2))))
+    return sorted(out)
+
+
+def _state_dir(state_path: str, n: int, batch_id: int) -> str:
+    import os
+
+    return os.path.join(state_path, f"v{n}_b{batch_id}")
+
+
 def density_pyramid_stream(
     stream: DataFrame, zoom: int, state_path: str, checkpoint: str,
     tile_size: int = 256, lon: str = "lon", lat: str = "lat",
-    keep_versions: int = 2,
+    keep_versions: int = 5,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """INCREMENTAL page-density maintenance: each micro-batch's
@@ -215,48 +241,45 @@ def density_pyramid_stream(
     (stream == batch parity, tested), and densify/build_pyramid
     render from it on demand.
 
-    State layout: ``state_path/v{n}`` immutable parquet versions;
-    each batch reads the latest, merges the delta with the SAME
-    stream-merge kernel (re-merging sparse rows is associative), and
-    publishes the next version — readers never see a half-written
-    state (the same immutable-publish idea as plans/lineage.py), and
-    per batch the work is O(delta + occupied tiles), never a rescan
-    of the raw points."""
-    import os
-    import re as _re
+    State layout: ``state_path/v{n}_b{batch_id}`` immutable parquet
+    versions; each batch reads the latest, merges the delta with the
+    SAME stream-merge kernel (re-merging sparse rows is associative),
+    and publishes the next version.  foreachBatch is at-least-once,
+    so the producing batch_id rides in the version DIRECTORY NAME:
+    a replayed batch whose id is already published is a no-op
+    (idempotent under crash-replay, tested).  Old versions beyond
+    ``keep_versions`` are pruned — a long-running reader must
+    materialize within keep_versions-1 publishes of resolving its
+    version (raise keep_versions for slow readers); per batch the
+    work is O(delta + occupied tiles), never a rescan of the raw
+    points."""
     import shutil
 
     from gdal_spark.operators.tiling import _merge_sparse, \
         sparse_density
 
-    def _versions() -> list[int]:
-        if not os.path.isdir(state_path):
-            return []
-        out = []
-        for d in os.listdir(state_path):
-            m = _re.fullmatch(r"v(\d+)", d)
-            if m and os.path.exists(
-                    os.path.join(state_path, d, "_SUCCESS")):
-                out.append(int(m.group(1)))
-        return sorted(out)
-
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        vs = _list_state_versions(state_path)
+        if any(b == batch_id for _, b in vs):
+            return          # at-least-once replay: already applied
         nparts = spark.sparkContext.defaultParallelism
         delta = sparse_density(batch, zoom, tile_size, lon, lat,
                                num_partitions=nparts)
-        vs = _versions()
         if vs:
+            n_prev, b_prev = vs[-1]
             prev = spark.read.parquet(
-                os.path.join(state_path, f"v{vs[-1]}"))
+                _state_dir(state_path, n_prev, b_prev))
             merged = _merge_sparse(prev.unionByName(delta), nparts)
+            nxt = n_prev + 1
         else:
             merged = delta
-        nxt = (vs[-1] + 1) if vs else 0
+            nxt = 0
         merged.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"v{nxt}"))
-        for old in vs[:max(0, len(vs) - (keep_versions - 1))]:
-            shutil.rmtree(os.path.join(state_path, f"v{old}"),
+            _state_dir(state_path, nxt, batch_id))
+        for n_old, b_old in vs[:max(0, len(vs)
+                                    - (keep_versions - 1))]:
+            shutil.rmtree(_state_dir(state_path, n_old, b_old),
                           ignore_errors=True)
 
     writer = (
@@ -271,17 +294,10 @@ def density_pyramid_stream(
 def read_density_state(spark: SparkSession, state_path: str
                        ) -> DataFrame:
     """Latest published sparse density state (see
-    density_pyramid_stream)."""
-    import os
-    import re as _re
-
-    vs = []
-    for d in os.listdir(state_path):
-        m = _re.fullmatch(r"v(\d+)", d)
-        if m and os.path.exists(os.path.join(state_path, d,
-                                             "_SUCCESS")):
-            vs.append(int(m.group(1)))
+    density_pyramid_stream; materialize promptly — versions older
+    than keep_versions are pruned by the writer)."""
+    vs = _list_state_versions(state_path)
     if not vs:
         raise FileNotFoundError(f"no published state in {state_path}")
-    return spark.read.parquet(
-        os.path.join(state_path, f"v{max(vs)}"))
+    n, b = vs[-1]
+    return spark.read.parquet(_state_dir(state_path, n, b))

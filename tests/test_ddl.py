@@ -94,7 +94,7 @@ def test_ddl_quoted_location_and_partial_overwrite(spark, tmp_path):
 
     name = "gdal_spark_ddl_quoted"
     ddl.drop_table(spark, name)
-    loc = tmp_path / "o'brien" / "tiles"
+    loc = tmp_path / "o'brien" / "back\\slash" / "tiles"
     ddl.create_tile_table(spark, name, location=str(loc))
     assert spark.catalog.tableExists(name)
 
@@ -110,6 +110,9 @@ def test_ddl_quoted_location_and_partial_overwrite(spark, tmp_path):
             .select("zoom", "tile_x", "tile_y", "band", "data",
                     "dtype", "tile_size")
 
+    import pytest as _pt
+    with _pt.raises(ValueError, match="control"):
+        ddl.create_tile_table(spark, "t_ctl", location="/tmp/a\nb")
     ddl.insert_tiles(tile_rows([1, 2], 7), name)
     assert sorted(ddl.table_partitions(spark, name)) \
         == ["zoom=1", "zoom=2"]

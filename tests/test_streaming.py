@@ -226,3 +226,26 @@ def test_stream_density_pyramid_matches_batch(spark, tmp_path):
     gm2 = as_map(densify(read_density_state(spark, state), zoom=3)
                  .toPandas())
     assert sum(a.sum() for a in gm2.values()) == before
+
+    # at-least-once REPLAY of an already-published batch id is a
+    # no-op: a fresh checkpoint re-issues batch_id 0 (single batch),
+    # but v*_b0 is already published, so the state must not change
+    state2 = str(tmp_path / "density_state_replay")
+    ck_a = str(tmp_path / "ck_replay_a")
+    ck_b = str(tmp_path / "ck_replay_b")
+    s1 = stream_parquet_source(spark, src, pts.schema,
+                               max_files_per_trigger=100)
+    density_pyramid_stream(s1, zoom=3, state_path=state2,
+                           checkpoint=ck_a).awaitTermination(120)
+    m1 = sum(a.sum() for a in as_map(
+        densify(read_density_state(spark, state2), zoom=3)
+        .toPandas()).values())
+    assert m1 == 3000
+    s2 = stream_parquet_source(spark, src, pts.schema,
+                               max_files_per_trigger=100)
+    density_pyramid_stream(s2, zoom=3, state_path=state2,
+                           checkpoint=ck_b).awaitTermination(120)
+    m2 = sum(a.sum() for a in as_map(
+        densify(read_density_state(spark, state2), zoom=3)
+        .toPandas()).values())
+    assert m2 == 3000  # replayed batch id skipped, not re-merged

@@ -87,6 +87,14 @@ def test_pushdown_prunes_directories(tmp_path):
     assert list(r2.read(parts2[0])) == []
 
 
+def test_missing_root_raises(spark, tmp_path):
+    register_tile_source(spark)
+    df = (spark.read.format("tile_pyramid")
+          .option("path", str(tmp_path / "nope")).load())
+    with pytest.raises(Exception, match="nope"):
+        df.count()
+
+
 def test_multiband_explode(spark, tmp_path):
     from gdal_spark.operators.png import encode_png
     from gdal_spark.operators.tiling import decode_tile
