@@ -1339,6 +1339,53 @@ def _multimodal_oracle() -> str:
     """
 
 
+def q54_sieve_merge(spark, sf_dir):
+    """Sieve filter (alg/gdalsievefilter.cpp): a 16-px island (value
+    20) carved inside a 1600-px component (value 10) sits under the
+    50-px threshold and must merge into its surrounding neighbor; a
+    disjoint 1600-px component (value 30) survives.  Post-sieve
+    per-value pixel counts are closed-form — an exact oracle for the
+    distributed pointer-merge."""
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.proximity import sieve_tiles
+    from gdal_spark.operators.rasterize import GridSpec, rasterize
+    from gdal_spark.operators.tiling import tiles_as_features
+
+    grid = GridSpec(-180.0, 85.0, 0.5, 0.5, 720, 340)
+
+    def rect(x0, y0, x1, y1):
+        return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)], dtype=np.float64)
+
+    polys = pd.DataFrame({
+        "fid": np.array([0, 1, 2], dtype=np.int64),
+        "geometry": [polygon_wkb([rect(0.0, 0.0, 20.0, 20.0)]),
+                     polygon_wkb([rect(5.0, 5.0, 7.0, 7.0)]),
+                     polygon_wkb([rect(-60.0, -30.0, -40.0, -10.0)])],
+        "burn": [10.0, 20.0, 30.0],
+    })
+    tiles = rasterize(spark, polys, grid, burn_col="burn",
+                      dtype="uint8", tile_size=128)
+    sieved = sieve_tiles(tiles, threshold=50, nodata=0.0)
+    return (
+        tiles_as_features(sieved, skip_value=0.0)
+        .groupBy("value").agg(F.count("*").alias("n_px"))
+        .orderBy("value")
+    )
+
+
+def _sieve_oracle() -> str:
+    # closed forms: 20x20 deg at 0.5 deg/px = 40x40 = 1600 px; the
+    # 2x2-deg island (16 px) merges into the surrounding component
+    return """
+        SELECT CAST(10 AS DOUBLE) AS value,
+               CAST(1600 AS BIGINT) AS n_px
+        UNION ALL
+        SELECT CAST(30 AS DOUBLE), CAST(1600 AS BIGINT)
+        ORDER BY value
+    """
+
+
 def q49_line_clip_big(spark, sf_dir):
     """q41's line-layer Clip with the method layer DISTRIBUTED
     (overlay_lines_big: cell-cover join + per-line carry kernel,
@@ -1772,6 +1819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_footprint_px": q51_footprint_px,
     "q52_translate_mass": q52_translate_mass,
     "q53_multimodal_features": q53_multimodal_features,
+    "q54_sieve_merge": q54_sieve_merge,
 }
 
 
@@ -2141,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "q51_footprint_px": _footprint_oracle(),
         "q52_translate_mass": _translate_mass_oracle(),
         "q53_multimodal_features": _multimodal_oracle(),
+        "q54_sieve_merge": _sieve_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
