@@ -522,44 +522,37 @@ def ring_op(subj: np.ndarray, clip: np.ndarray, op: str
             return [[_orient(subj, True), _orient(clip, False)]]
         return [[_orient(subj, True)]]
 
-    # classify traced rings into outers and holes by nesting parity
+    # classify traced rings into outers and holes TOPOLOGICALLY.
+    # This branch is only reached when the rings CROSS (n_isect > 0),
+    # which pins the result topology without any geometric probes
+    # (probes mis-fire in the sliver regime: a vertex-mean probe of
+    # the outer can land inside a nested hole ring, inverting the
+    # nesting parity — the round-4 union over-count bug):
+    #   union        — A ∪ B of two crossing simple rings is
+    #                  CONNECTED: exactly one outer (the max-|area|
+    #                  ring, since the outer encloses every hole);
+    #                  every other traced ring bounds a hole, a
+    #                  bounded pocket of comp(A) ∩ comp(B).
+    #   intersection — comp(A∩B) = comp(A) ∪ comp(B), a union of two
+    #                  connected unbounded sets: no bounded
+    #                  complement components, so every piece is
+    #                  simply connected — all rings are outers.
+    #   difference   — every component of B ∩ A touches ∂A (B is
+    #                  connected and crosses ∂A), so no removal
+    #                  pocket is sealed off: pieces are simply
+    #                  connected — all rings are outers.
     closed = [_close(r) for r in rings if abs(ring_signed_area(r)) > 0]
-    outers: list[int] = []
-    holes: list[int] = []
-    for i, r in enumerate(closed):
-        depth = 0
-        # a strictly-interior probe: average of a convex corner and
-        # ring interior test; vertex sampling is enough because traced
-        # rings never cross each other
-        px, py = r[:-1, 0].mean(), r[:-1, 1].mean()
-        probe_in_self = _point_in(r[:-1], px, py)
-        for j, other in enumerate(closed):
-            if i == j:
-                continue
-            if probe_in_self:
-                inside = _point_in(other[:-1], px, py)
-            else:
-                inside = ring_contains_ring(other, r)
-            if inside:
-                depth += 1
-        (holes if depth % 2 else outers).append(i)
-    polys: list[list[np.ndarray]] = []
-    owner: dict[int, int] = {}
-    for oi in outers:
-        polys.append([_orient(closed[oi], True)])
-        owner[oi] = len(polys) - 1
-    for hi in holes:
-        best, best_area = None, np.inf
-        for oi in outers:
-            if ring_contains_ring(closed[oi], closed[hi]):
-                a = abs(ring_signed_area(closed[oi]))
-                if a < best_area:
-                    best, best_area = oi, a
-        if best is None:
-            polys.append([_orient(closed[hi], True)])
-        else:
-            polys[owner[best]].append(_orient(closed[hi], False))
-    return polys
+    if not closed:
+        return []
+    if op == "union":
+        oi = max(range(len(closed)),
+                 key=lambda i: abs(ring_signed_area(closed[i])))
+        poly = [_orient(closed[oi], True)]
+        for i, r in enumerate(closed):
+            if i != oi:
+                poly.append(_orient(r, False))
+        return [poly]
+    return [[_orient(r, True)] for r in closed]
 
 
 def poly_op(subj_rings: list[np.ndarray], clip_rings: list[np.ndarray],

@@ -1,7 +1,7 @@
 """Hypothesis property tests for the numerical kernels."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from gdal_spark.geometry.pip import points_in_rings
 from gdal_spark.operators.checksum import checksum_array
@@ -108,6 +108,8 @@ def test_hilbert_bijectivity_neighbors(x, y):
 
 @settings(max_examples=60, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@example(seed=3471)  # round-4 union sliver bug: probe-based ring
+@example(seed=182)   # classification inverted nesting (+5% area)
 def test_overlay_area_partition_property(seed):
     """Greiner-Hormann set identities on random star-shaped simple
     polygons: area(A∩B) + area(A∖B) = area(A) and the
