@@ -174,18 +174,224 @@ def classify_cutline_tiles(spark: SparkSession, keys: DataFrame,
         .select("zoom", "tile_x", "tile_y", "tile_size", "cls")
 
 
+# above this total vertex count the cutline stops being broadcast:
+# the per-tile window rasterization costs O(edges) per tile, so a
+# giant cutline pays the mask-tile exchange instead (which visits
+# each edge once, map-side)
+_BROADCAST_MAX_VERTS = 20_000
+
+# neighbor offsets in bit order for the existence mask the broadcast
+# kernel consumes (bit i set == the neighbor at _NBR_OFFS[i] exists
+# in the src lattice)
+_NBR_OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+             if (dx, dy) != (0, 0)]
+
+
 def cutline_clip(spark: SparkSession, src_tiles: DataFrame,
                  cutline_pdf: pd.DataFrame, grid: GridSpec,
                  blend_px: float = 0.0, nodata: float = 0.0,
-                 tile_size: int = 256) -> DataFrame:
+                 tile_size: int = 256,
+                 method: str = "auto") -> DataFrame:
     """Clip ``src_tiles`` to the cutline polygons, feathering
     ``blend_px`` pixels across the edge (0 = hard cut).
 
-    Boundary-band execution: the halo exchange + signed-distance
-    sweep run ONLY on boundary-class tiles (see CLASS_SCHEMA_DOC);
-    inside tiles pass through, outside tiles emit constant nodata —
-    both single cheap map passes, so a continental raster with one
-    cutline does O(perimeter) distance work, not O(area)."""
+    Two physical strategies, dispatched on cutline size (``method``
+    in {auto, broadcast, distributed}):
+
+    * **broadcast** (cutline under ~20k vertices — the common case;
+      GDAL's warp cutline is a single geometry in the warp options,
+      alg/gdalwarp_lib.cpp cutline handling): every src tile
+      rasterizes the broadcast cutline over its own (ts+2k)^2 haloed
+      window map-side and blends in ONE kernel — no mask tiles, no
+      halo exchange, no classification joins.  Tiles whose window
+      misses the cutline's pixel bbox never enter Python at all
+      (constant-nodata payload via a JVM projection).  Absent-lattice
+      neighbors zero their window strips via an 8-bit existence mask:
+      derived as a pure column expression from the lattice bounds
+      when the lattice is dense, else one keys-only explode/bit_or
+      aggregation joined back.
+    * **distributed**: the boundary-band mask-tile pipeline below —
+      each cutline edge is rasterized once, so it stays O(perimeter)
+      work per tile no matter how many vertices the cutline has.
+
+    Both produce bit-identical output (the window mask equals the
+    global mask restricted to the window; tests run both)."""
+    if method not in {"auto", "broadcast", "distributed"}:
+        raise ValueError(f"unknown cutline method {method!r}")
+    if method != "distributed":
+        from gdal_spark.geometry.wkb import parse_wkb
+
+        n_verts = sum(
+            sum(len(p) for p in parse_wkb(bytes(w)).parts)
+            for w in cutline_pdf["geometry"])
+        if method == "broadcast" or n_verts <= _BROADCAST_MAX_VERTS:
+            return _cutline_clip_broadcast(
+                spark, src_tiles, cutline_pdf, grid, blend_px,
+                nodata, tile_size)
+    return _cutline_clip_distributed(
+        spark, src_tiles, cutline_pdf, grid, blend_px, nodata,
+        tile_size)
+
+
+def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
+                            cutline_pdf: pd.DataFrame, grid: GridSpec,
+                            blend_px: float, nodata: float,
+                            tile_size: int) -> DataFrame:
+    from gdal_spark.geometry.wkb import parse_wkb
+    from gdal_spark.operators.rasterize import rasterize_chunk
+
+    ts = tile_size
+    k = max(1, int(np.ceil(blend_px)))
+    if k > ts:
+        raise ValueError(
+            f"blend_px={blend_px} exceeds tile_size={tile_size}: the "
+            "1-ring halo/classification machinery needs blend <= "
+            "tile_size (retile coarser or shrink the blend)")
+
+    # driver: cutline features in PIXEL space (same transform as
+    # rasterize(): grid.to_px ring by ring, feature = all its rings)
+    feats = []
+    for _, r in cutline_pdf.iterrows():
+        g = parse_wkb(bytes(r["geometry"]))
+        feats.append(([grid.to_px(ring) for ring in g.rings()],
+                      g.kind))
+    allc = np.vstack([ring for rings, _ in feats for ring in rings])
+    bx0, bx1 = float(allc[:, 0].min()), float(allc[:, 0].max())
+    by0, by1 = float(allc[:, 1].min()), float(allc[:, 1].max())
+    bc = spark.sparkContext.broadcast(
+        (feats, float(blend_px), float(nodata), k,
+         int(grid.width), int(grid.height)))
+
+    # lattice shape probe (keys-only JVM agg): dense rectangular
+    # lattices derive neighbor existence from the bounds as a pure
+    # column expression; sparse ones pay one keys-only bit_or join
+    st = src_tiles.agg(
+        F.min("tile_x").alias("x0"), F.max("tile_x").alias("x1"),
+        F.min("tile_y").alias("y0"), F.max("tile_y").alias("y1"),
+        F.countDistinct("tile_x", "tile_y").alias("n")).collect()[0]
+    if st["n"] is None or st["n"] == 0:
+        return spark.createDataFrame([], TILE_SCHEMA)
+    dense = (int(st["n"])
+             == (st["x1"] - st["x0"] + 1) * (st["y1"] - st["y0"] + 1))
+    if dense:
+        bits = None
+        for i, (dx, dy) in enumerate(_NBR_OFFS):
+            has = (
+                (F.col("tile_x") + dx).between(st["x0"], st["x1"])
+                & (F.col("tile_y") + dy).between(st["y0"], st["y1"]))
+            term = F.when(has, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = term if bits is None else bits + term
+        with_bits = src_tiles.withColumn("nbr_mask", bits)
+    else:
+        contrib = F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                     F.lit(1 << _NBR_OFFS.index((-dx, -dy)))
+                     .alias("bit"))
+            for dx, dy in _NBR_OFFS])
+        nbr = (
+            src_tiles.select("tile_x", "tile_y",
+                             F.explode(contrib).alias("o"))
+            .select((F.col("tile_x") + F.col("o.dx")).alias("tile_x"),
+                    (F.col("tile_y") + F.col("o.dy")).alias("tile_y"),
+                    F.col("o.bit").alias("bit"))
+            .groupBy("tile_x", "tile_y")
+            .agg(F.expr("bit_or(bit)").alias("nbr_mask")))
+        with_bits = (
+            src_tiles.join(nbr, ["tile_x", "tile_y"], "left")
+            .withColumn("nbr_mask",
+                        F.coalesce("nbr_mask", F.lit(0))))
+
+    # JVM pre-cull: tiles whose haloed window misses the cutline's
+    # pixel bbox are pure outside — constant payload, never decoded,
+    # never in Python
+    const_payload, const_dt = encode_tile(
+        np.full((ts, ts), float(nodata), dtype=np.float64), None)
+    wx0 = F.col("tile_x").cast("double") * ts - k
+    wy0 = F.col("tile_y").cast("double") * ts - k
+    near_cond = ((wx0 <= F.lit(bx1)) & (wx0 + (ts + 2 * k) >= F.lit(bx0))
+                 & (wy0 <= F.lit(by1))
+                 & (wy0 + (ts + 2 * k) >= F.lit(by0)))
+    far = src_tiles.filter(~near_cond).select(
+        "zoom", "tile_x", "tile_y", "band",
+        F.lit(bytearray(const_payload)).alias("data"),
+        F.lit(const_dt).alias("dtype"), "tile_size")
+
+    def kernel(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        feats_, blend_, nd, k_, gw, gh = bc.value
+        win = ts + 2 * k_
+        out = {f.name: [] for f in TILE_SCHEMA.fields}
+        for b in batches:
+            for _, r in b.iterrows():
+                tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                ox, oy = tx * ts - k_, ty * ts - k_
+                shift = np.array([[float(ox), float(oy)]])
+                local = [([ring - shift for ring in rings], 1.0, kind)
+                         for rings, kind in feats_]
+                W = rasterize_chunk((win, win), local, "uint8")
+                # the world beyond the grid is outside-the-cutline
+                if ox < 0:
+                    W[:, :-ox] = 0
+                if oy < 0:
+                    W[:-oy, :] = 0
+                if ox + win > gw:
+                    W[:, max(gw - ox, 0):] = 0
+                if oy + win > gh:
+                    W[max(gh - oy, 0):, :] = 0
+                # absent-lattice neighbors zero their window strips
+                nbm = int(r["nbr_mask"])
+                for i, (dx, dy) in enumerate(_NBR_OFFS):
+                    if nbm & (1 << i):
+                        continue
+                    xs = {-1: slice(0, k_), 0: slice(k_, k_ + ts),
+                          1: slice(k_ + ts, win)}[dx]
+                    ys = {-1: slice(0, k_), 0: slice(k_, k_ + ts),
+                          1: slice(k_ + ts, win)}[dy]
+                    W[ys, xs] = 0
+                m = W >= 0.5
+                if not m.any():
+                    payload, dts = const_payload, const_dt
+                elif m.all():
+                    src = decode_tile(r["data"], r["dtype"], ts) \
+                        .astype(np.float64)
+                    payload, dts = encode_tile(src, None)
+                else:
+                    src = decode_tile(r["data"], r["dtype"], ts) \
+                        .astype(np.float64)
+                    alpha = blend_alpha(m, blend_)[k_:-k_, k_:-k_]
+                    payload, dts = encode_tile(
+                        alpha * src + (1.0 - alpha) * nd, None)
+                out["zoom"].append(int(r["zoom"]))
+                out["tile_x"].append(tx)
+                out["tile_y"].append(ty)
+                out["band"].append(int(r["band"]))
+                out["data"].append(payload)
+                out["dtype"].append(dts)
+                out["tile_size"].append(ts)
+                if len(out["zoom"]) >= 64:
+                    yield pd.DataFrame(out)
+                    out = {f.name: [] for f in TILE_SCHEMA.fields}
+        if out["zoom"]:
+            yield pd.DataFrame(out)
+
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    near = (with_bits.filter(near_cond)
+            .repartition(par)
+            .mapInPandas(kernel, TILE_SCHEMA))
+    return near.unionByName(far)
+
+
+def _cutline_clip_distributed(
+        spark: SparkSession, src_tiles: DataFrame,
+        cutline_pdf: pd.DataFrame, grid: GridSpec,
+        blend_px: float = 0.0, nodata: float = 0.0,
+        tile_size: int = 256) -> DataFrame:
+    """Boundary-band mask-tile pipeline: the halo exchange +
+    signed-distance sweep run ONLY on boundary-class tiles (see
+    CLASS_SCHEMA_DOC); inside tiles pass through, outside tiles emit
+    constant nodata — both single cheap map passes, so a continental
+    raster with one cutline does O(perimeter) distance work, not
+    O(area)."""
     k = max(1, int(np.ceil(blend_px)))
     if k > tile_size:
         raise ValueError(

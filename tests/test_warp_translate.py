@@ -159,10 +159,13 @@ def test_cutline_clip_blend_matches_single_array(spark):
         alpha = blend_alpha(padded, blend)[k:-k, k:-k]
         want = alpha * src + (1 - alpha) * (-9.0)
 
-        out = cutline_clip(spark, tiles, cut, grid, blend_px=blend,
-                           nodata=-9.0, tile_size=ts)
-        got = assemble_raster(out.toPandas(), grid)
-        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+        for method in ("broadcast", "distributed"):
+            out = cutline_clip(spark, tiles, cut, grid,
+                               blend_px=blend, nodata=-9.0,
+                               tile_size=ts, method=method)
+            got = assemble_raster(out.toPandas(), grid)
+            np.testing.assert_allclose(got, want, rtol=1e-12,
+                                       atol=1e-9, err_msg=method)
         if blend > 0:
             frac = (alpha > 0) & (alpha < 1)
             assert frac.sum() > 100  # feather band actually exercised
@@ -292,9 +295,16 @@ def test_cutline_sparse_lattice(spark):
                             "geometry": [polygon_wkb([ring])]})
         blend = 2.5
         k = max(1, int(np.ceil(blend)))
-        out = cutline_clip(spark, sparse, cut, grid, blend_px=blend,
-                           nodata=-7.0, tile_size=ts).toPandas()
+        outs = {
+            method: cutline_clip(spark, sparse, cut, grid,
+                                 blend_px=blend, nodata=-7.0,
+                                 tile_size=ts,
+                                 method=method).toPandas()
+            for method in ("broadcast", "distributed")
+        }
+        out = outs["broadcast"]
         assert len(out) == n * n - 1  # one row per present tile
+        assert len(outs["distributed"]) == n * n - 1
 
         # oracle: zero the mask on the absent tile, then per-tile
         # compare (assemble_raster can't hold a hole)
@@ -307,13 +317,15 @@ def test_cutline_sparse_lattice(spark):
         padded[k:-k, k:-k] = mask_arr
         alpha = blend_alpha(padded, blend)[k:-k, k:-k]
         want = alpha * src + (1 - alpha) * (-7.0)
-        for _, r in out.iterrows():
-            tx, ty = int(r["tile_x"]), int(r["tile_y"])
-            got = decode_tile(r["data"], r["dtype"], ts)
-            np.testing.assert_allclose(
-                got, want[ty * ts:(ty + 1) * ts,
-                          tx * ts:(tx + 1) * ts],
-                rtol=1e-12, atol=1e-9, err_msg=f"tile {tx},{ty}")
+        for method, mo in outs.items():
+            for _, r in mo.iterrows():
+                tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                got = decode_tile(r["data"], r["dtype"], ts)
+                np.testing.assert_allclose(
+                    got, want[ty * ts:(ty + 1) * ts,
+                              tx * ts:(tx + 1) * ts],
+                    rtol=1e-12, atol=1e-9,
+                    err_msg=f"{method} tile {tx},{ty}")
 
 
 def test_footprint_stat_stable_at_world_scale(spark):

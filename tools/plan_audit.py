@@ -222,6 +222,26 @@ def main() -> None:
         and ccounts.get("inside", 0) > 0
         and ccounts.get("outside", 0) > 0))
 
+    # cutline broadcast path: tiles whose haloed window misses the
+    # cutline pixel bbox are a pure JVM projection (constant nodata
+    # payload) — the Python kernel row count is the bbox cover only
+    from gdal_spark.operators import cutline as _cl
+
+    cut_out = _cl.cutline_clip(
+        spark, ctiles,
+        pd.DataFrame({"fid": np.array([0], dtype=np.int64),
+                      "geometry": [polygon_wkb([cring])]}),
+        cgrid, blend_px=2.0, nodata=0.0, tile_size=ts,
+        method="broadcast")
+    plan_cut = cut_out._jdf.queryExecution().optimizedPlan().toString()
+    # the far branch of the union carries the constant payload in the
+    # plan itself (a literal), with no Python eval operator
+    n_py = plan_cut.count("MapInPandas")
+    checks.append((
+        "cutline broadcast: ONE fused Python kernel in the plan "
+        f"(MapInPandas x{n_py}), far tiles are a literal projection",
+        n_py == 1 and "Union" in plan_cut))
+
     # overlay_lines: broadcast path probes a grid index (no per-line
     # full-method scan), and the big path is a cell-cover equi-join
     # with no nested-loop pair scan and no driver collect
