@@ -144,6 +144,7 @@ def polygon_wkb(rings) -> bytes:
 
 def multipoint_wkb(points) -> bytes:
     """points: iterable of (x, y)."""
+    points = list(points)  # the count header needs a materialized len
     out = [struct.pack("<BII", 1, MULTIPOINT, len(points))]
     for p in points:
         out.append(point_wkb(float(p[0]), float(p[1])))

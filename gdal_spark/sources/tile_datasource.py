@@ -53,10 +53,6 @@ class TilePyramidReader(DataSourceReader):
         if not self.path:
             raise ValueError("tile_pyramid needs .option('path', ...)")
         self.convention = options.get("convention", "xyz")
-        if self.convention != "xyz":
-            # TMS flips y per zoom; file_y-based pruning of tile_y
-            # would invert, so only the default convention prunes y
-            self._PRUNABLE = {"zoom", "tile_x"}
         # col -> [lo, hi] inclusive bounds (None = unbounded)
         self.bounds: dict[str, list] = {
             c: [None, None] for c in ("zoom", "tile_x", "tile_y")}
@@ -139,14 +135,18 @@ class TilePyramidReader(DataSourceReader):
             fy = int(fn[:-4])
             if self.convention == "xyz":
                 ty = fy
-                if not self._in_bounds("tile_y", ty):
-                    continue
             else:
                 if part.zoom < 0:
                     raise ValueError(
                         "tms convention needs a non-negative zoom "
                         "(plain tile grids are xyz)")
+                # the per-zoom flip is monotonic, so the pushed
+                # tile_y bounds apply to the flipped value — TMS
+                # prunes files exactly like xyz (the filename alone
+                # decides, before any open)
                 ty = (1 << part.zoom) - 1 - fy
+            if not self._in_bounds("tile_y", ty):
+                continue
             with open(os.path.join(part.xdir, fn), "rb") as fh:
                 img = decode_png(fh.read())
             if img.ndim == 2:
@@ -172,9 +172,16 @@ class TilePyramidDataSource(DataSource):
 
 
 def register_tile_source(spark) -> None:
-    """Register the 'tile_pyramid' format on this session (and turn
-    on python-datasource filter pushdown, which Spark gates behind a
-    conf — without it a reader implementing pushFilters() refuses to
-    initialize)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    """Register the 'tile_pyramid' format on this session.
+
+    SIDE EFFECT: enables ``spark.sql.python.filterPushdown.enabled``
+    session-wide when it is not already true — Spark gates the Python
+    datasource pushFilters() API behind that conf, and a reader
+    implementing it refuses to initialize otherwise.  The flag also
+    applies to every OTHER Python data source in the session (they
+    receive pushFilters calls they may ignore, which is safe but
+    observable).  Callers who need it off must unset it after use."""
+    conf = "spark.sql.python.filterPushdown.enabled"
+    if spark.conf.get(conf, "false") != "true":
+        spark.conf.set(conf, "true")
     spark.dataSource.register(TilePyramidDataSource)

@@ -245,24 +245,39 @@ def density_pyramid_stream(
     versions; each batch reads the latest, merges the delta with the
     SAME stream-merge kernel (re-merging sparse rows is associative),
     and publishes the next version.  foreachBatch is at-least-once,
-    so the producing batch_id rides in the version DIRECTORY NAME:
-    a replayed batch whose id is already published is a no-op
-    (idempotent under crash-replay, tested).  Old versions beyond
-    ``keep_versions`` are pruned — a long-running reader must
-    materialize within keep_versions-1 publishes of resolving its
-    version (raise keep_versions for slow readers); per batch the
-    work is O(delta + occupied tiles), never a rescan of the raw
-    points."""
+    so applied batch ids are recorded TWICE: in the version DIRECTORY
+    NAME and in an append-only marker ledger
+    (``state_path/applied/b{batch_id}``) that version pruning never
+    touches — a replay arriving after its version dir was pruned
+    (e.g. a restart from a checkpoint older than keep_versions
+    publishes) is still a no-op (idempotent under crash-replay,
+    tested).  Old versions beyond ``keep_versions`` are pruned — a
+    long-running reader must materialize within keep_versions-1
+    publishes of resolving its version (raise keep_versions for slow
+    readers); per batch the work is O(delta + occupied tiles), never
+    a rescan of the raw points."""
+    import os
     import shutil
 
     from gdal_spark.operators.tiling import _merge_sparse, \
         sparse_density
 
+    ledger = os.path.join(state_path, "applied")
+
+    def _mark_applied(batch_id: int) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        with open(os.path.join(ledger, f"b{batch_id}"), "w"):
+            pass
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if os.path.exists(os.path.join(ledger, f"b{batch_id}")):
+            return          # replay of a (possibly pruned) batch
         vs = _list_state_versions(state_path)
         if any(b == batch_id for _, b in vs):
-            return          # at-least-once replay: already applied
+            # published but crashed before the ledger write: repair
+            _mark_applied(batch_id)
+            return
         nparts = spark.sparkContext.defaultParallelism
         delta = sparse_density(batch, zoom, tile_size, lon, lat,
                                num_partitions=nparts)
@@ -277,6 +292,7 @@ def density_pyramid_stream(
             nxt = 0
         merged.write.mode("overwrite").parquet(
             _state_dir(state_path, nxt, batch_id))
+        _mark_applied(batch_id)
         for n_old, b_old in vs[:max(0, len(vs)
                                     - (keep_versions - 1))]:
             shutil.rmtree(_state_dir(state_path, n_old, b_old),

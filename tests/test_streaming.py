@@ -249,3 +249,29 @@ def test_stream_density_pyramid_matches_batch(spark, tmp_path):
         densify(read_density_state(spark, state2), zoom=3)
         .toPandas()).values())
     assert m2 == 3000  # replayed batch id skipped, not re-merged
+
+    # replay of a batch whose VERSION DIR was already pruned
+    # (keep_versions=1): the applied-batch ledger, which pruning
+    # never touches, must still block the re-merge
+    state3 = str(tmp_path / "density_state_pruned")
+    ck_c = str(tmp_path / "ck_pruned_a")
+    ck_d = str(tmp_path / "ck_pruned_b")
+    s3 = stream_parquet_source(spark, src, pts.schema,
+                               max_files_per_trigger=2)
+    density_pyramid_stream(s3, zoom=3, state_path=state3,
+                           checkpoint=ck_c,
+                           keep_versions=1).awaitTermination(120)
+    import os
+
+    vdirs = [d for d in os.listdir(state3) if d.startswith("v")]
+    assert len(vdirs) == 1          # older versions pruned
+    assert not vdirs[0].endswith("_b0")   # batch 0's dir is gone
+    s4 = stream_parquet_source(spark, src, pts.schema,
+                               max_files_per_trigger=100)
+    density_pyramid_stream(s4, zoom=3, state_path=state3,
+                           checkpoint=ck_d,
+                           keep_versions=1).awaitTermination(120)
+    m3 = sum(a.sum() for a in as_map(
+        densify(read_density_state(spark, state3), zoom=3)
+        .toPandas()).values())
+    assert m3 == 3000  # pruned-batch replay still a no-op

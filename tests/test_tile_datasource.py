@@ -120,7 +120,7 @@ def test_multiband_explode(spark, tmp_path):
 
 def test_tms_convention_read(spark, tmp_path):
     """TMS file names flip y: reading with convention=tms recovers
-    the original tile_y (y pruning is disabled for tms)."""
+    the original tile_y."""
     from gdal_spark.operators.png import encode_png
 
     arr = np.full((8, 8), 4, dtype=np.uint8)
@@ -133,3 +133,37 @@ def test_tms_convention_read(spark, tmp_path):
            .option("path", str(tmp_path / "p"))
            .option("convention", "tms").load().toPandas())
     assert got["tile_y"].tolist() == [1]
+
+
+def test_tms_y_pruning_skips_file_opens(tmp_path, monkeypatch):
+    """TMS prunes tile_y by filename exactly like xyz: the per-zoom
+    flip is monotonic, so pushed bounds test the flipped value before
+    any file opens.  Counted via a decode_png hook."""
+    from gdal_spark.operators import png as pngmod
+    from gdal_spark.operators.png import encode_png
+
+    arr = np.full((8, 8), 9, dtype=np.uint8)
+    d = tmp_path / "p" / "2" / "0"
+    d.mkdir(parents=True)
+    # zoom 2: file_y f holds tile_y 3-f
+    for f in range(4):
+        (d / f"{f}.png").write_bytes(encode_png(arr))
+
+    opened = []
+    real = pngmod.decode_png
+
+    def counting(buf):
+        opened.append(1)
+        return real(buf)
+
+    monkeypatch.setattr(pngmod, "decode_png", counting)
+
+    r = TilePyramidReader({"path": str(tmp_path / "p"),
+                           "convention": "tms"})
+    # tile_y == 1 -> file_y 2 only
+    leftover = list(r.pushFilters([EqualTo(("tile_y",), 1)]))
+    assert leftover == []          # consumed: the reader prunes it
+    parts = r.partitions()
+    rows = [row for p in parts for row in r.read(p)]
+    assert [row[2] for row in rows] == [1]   # tile_y recovered
+    assert len(opened) == 1                  # 3 of 4 files never read
