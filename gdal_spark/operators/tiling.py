@@ -612,28 +612,31 @@ def tile_y_file(tiles: DataFrame, convention: str = "xyz") -> DataFrame:
 
 
 def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
-                mode: str = "overwrite", format: str = "parquet"
-                ) -> None:
+                mode: str = "overwrite", format: str = "parquet",
+                quality: int = 75) -> None:
     """Tile sink.
 
     format="parquet" (default): zoom=*/... parquet layout (Hive
     scheme, the same layout as apps/gdalalg_vector_partition.cpp).
 
-    format="png": real z/x/y.png files (the slippy-map layout the
-    reference's tile writer emits, apps/gdalalg_raster_tile.cpp:
-    520-545) — every tile's bands stack into grey/RGB/RGBA channels,
-    values clip+round to Byte (the translate -ot Byte convention),
-    and each executor writes its own files (path must be a shared
-    filesystem all executors can reach — same contract as the
-    reference writing a local output directory).  The PNG encoder is
-    the in-repo spec implementation (operators/png.py), filters and
-    all, so output decodes in any client.
+    format="png" | "jpeg": real z/x/y.<ext> files (the slippy-map
+    layout the reference's tile writer emits,
+    apps/gdalalg_raster_tile.cpp:520-545; the png/jpeg/webp format
+    option surfaces at :2564-2569) — every tile's bands stack into
+    grey/RGB(/RGBA for png) channels, values clip+round to Byte (the
+    translate -ot Byte convention), and each executor writes its own
+    files (path must be a shared filesystem all executors can reach —
+    same contract as the reference writing a local output
+    directory).  Both codecs are in-repo spec implementations
+    (operators/png.py, operators/jpeg.py — baseline JFIF, ``quality``
+    applies the IJG scaling), so output decodes in any client; webp
+    is declared out of scope (COVERAGE.md).
     """
     if format == "parquet":
         tile_y_file(tiles, convention).write.partitionBy("zoom") \
             .parquet(path, mode=mode)
         return
-    if format != "png":
+    if format not in ("png", "jpeg"):
         raise ValueError(f"unknown tile sink format {format!r}")
 
     if "://" in str(path):
@@ -658,7 +661,15 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
 
     from pyspark.sql.types import LongType, StructField
 
+    from gdal_spark.operators.jpeg import encode_jpeg
     from gdal_spark.operators.png import encode_png
+
+    if format == "png":
+        ext, ok_bands = "png", (1, 3, 4)
+        enc = encode_png
+    else:
+        ext, ok_bands = "jpg", (1, 3)
+        enc = lambda img: encode_jpeg(img, quality=quality)  # noqa: E731
 
     out_schema = StructType([
         StructField("zoom", IntegerType()),
@@ -688,17 +699,16 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
             if cur is None:
                 return
             z, tx, fy = cur
-            if len(chans) == 1:
-                img = chans[0]
-            elif len(chans) in (3, 4):
-                img = np.stack(chans, axis=-1)
-            else:
-                raise ValueError(f"png tile needs 1, 3 or 4 bands; "
-                                 f"got {len(chans)}")
+            if len(chans) not in ok_bands:
+                raise ValueError(
+                    f"{format} tile needs bands in {ok_bands}; "
+                    f"got {len(chans)}")
+            img = chans[0] if len(chans) == 1 \
+                else np.stack(chans, axis=-1)
             d = os.path.join(path, str(z), str(tx))
             os.makedirs(d, exist_ok=True)
-            data = encode_png(img)
-            with open(os.path.join(d, f"{fy}.png"), "wb") as fh:
+            data = enc(img)
+            with open(os.path.join(d, f"{fy}.{ext}"), "wb") as fh:
                 fh.write(data)
             rows["zoom"].append(z)
             rows["tile_x"].append(tx)

@@ -126,13 +126,18 @@ class TilePyramidReader(DataSourceReader):
             return
         import numpy as np
 
+        from gdal_spark.operators.jpeg import decode_jpeg
         from gdal_spark.operators.png import decode_png
         from gdal_spark.operators.tiling import encode_tile
 
         for fn in sorted(os.listdir(part.xdir)):
-            if not fn.endswith(".png"):
+            if fn.endswith(".png"):
+                codec = decode_png
+            elif fn.endswith(".jpg") or fn.endswith(".jpeg"):
+                codec = decode_jpeg
+            else:
                 continue
-            fy = int(fn[:-4])
+            fy = int(fn.rsplit(".", 1)[0])
             if self.convention == "xyz":
                 ty = fy
             else:
@@ -148,7 +153,7 @@ class TilePyramidReader(DataSourceReader):
             if not self._in_bounds("tile_y", ty):
                 continue
             with open(os.path.join(part.xdir, fn), "rb") as fh:
-                img = decode_png(fh.read())
+                img = codec(fh.read())
             if img.ndim == 2:
                 img = img[:, :, None]
             ts = img.shape[0]
