@@ -1374,6 +1374,52 @@ def q54_sieve_merge(spark, sf_dir):
     )
 
 
+def q55_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs char-3-gram Jaccard dedup >= 0.5 over the
+    documents table — the shingle equi-join formulation (no
+    candidate sketch, no Python; operators/dedup.ngram_jaccard_join),
+    the exact-oracle-grade member of the dedup family next to
+    minhash (q19) and simhash (q20)."""
+    from gdal_spark.operators.dedup import ngram_jaccard_join
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_join(docs, n=3, threshold=0.5)
+
+
+def _ngram_jaccard_oracle() -> str:
+    # generate_series cannot take a lateral column bound in DuckDB:
+    # fixed series + filter, with BOTH engines capping text at 4096
+    # chars so the bound is part of the contract
+    return """
+        WITH d AS (
+            SELECT doc_id, substr(lower(text), 1, 4096) AS t
+            FROM documents WHERE length(substr(lower(text), 1, 4096)) >= 3
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+            FROM d, generate_series(1, 4094) AS s(i)
+            WHERE i <= length(t) - 2
+        ),
+        cnt AS (
+            SELECT doc_id, COUNT(*) AS n_g FROM sh GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               ROUND(CAST(i.ni AS DOUBLE)
+                     / (ca.n_g + cb.n_g - i.ni), 6) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.id_a
+        JOIN cnt cb ON cb.doc_id = i.id_b
+        WHERE ROUND(CAST(i.ni AS DOUBLE)
+                    / (ca.n_g + cb.n_g - i.ni), 6) >= 0.5
+        ORDER BY i.id_a, i.id_b
+    """
+
+
 def _sieve_oracle() -> str:
     # closed forms: 20x20 deg at 0.5 deg/px = 40x40 = 1600 px; the
     # 2x2-deg island (16 px) merges into the surrounding component
@@ -1820,6 +1866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_translate_mass": q52_translate_mass,
     "q53_multimodal_features": q53_multimodal_features,
     "q54_sieve_merge": q54_sieve_merge,
+    "q55_ngram_jaccard": q55_ngram_jaccard,
 }
 
 
@@ -2190,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "q52_translate_mass": _translate_mass_oracle(),
         "q53_multimodal_features": _multimodal_oracle(),
         "q54_sieve_merge": _sieve_oracle(),
+        "q55_ngram_jaccard": _ngram_jaccard_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -387,6 +387,58 @@ def simhash_candidates(sigs: DataFrame, key_col: str = "doc_id",
 # --- exact n-gram jaccard (verifier / small-scale oracle) ------------
 
 
+def ngram_jaccard_join(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id", n: int = 3,
+                       threshold: float = 0.5,
+                       max_chars: int = 4096) -> DataFrame:
+    """EXACT all-pairs char-n-gram Jaccard >= threshold, entirely
+    JVM-side — no candidate generation, no Python.
+
+    Distributed shape: the only scalable exact formulation — explode
+    each doc's DISTINCT shingles, equi-join on the shingle (pairs
+    meet only where they share a gram, never an all-pairs product),
+    count per pair, then |A∩B| / (|A|+|B|−|A∩B|).  Cost is
+    sum over grams of df(g)^2, so heavy-tailed grams dominate; for
+    web-scale corpora cap df or use minhash_lsh_dedup (the sketch
+    path) — this operator is the exact oracle-grade variant.
+    Texts are lowercased and capped at ``max_chars`` characters
+    (keeps the shingle count per doc bounded; documents beyond the
+    cap compare by their prefix, like a shingling window).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    to 6 digits, ordered.
+    """
+    t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
+    sh = (
+        df.select(F.col(key_col).alias("id"), t.alias("t"))
+        .filter(F.length("t") >= n)
+        .select("id", F.explode(F.expr(
+            f"array_distinct(transform(sequence(1, length(t) - {n - 1}),"
+            f" i -> substring(t, i, {n})))")).alias("g"))
+    )
+    cnt = sh.groupBy("id").agg(F.count("*").alias("n_g"))
+    a = sh.select(F.col("id").alias("id_a"), "g")
+    b = sh.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("ni"))
+    )
+    ca = cnt.select(F.col("id").alias("id_a"),
+                    F.col("n_g").alias("na"))
+    cb = cnt.select(F.col("id").alias("id_b"),
+                    F.col("n_g").alias("nb"))
+    return (
+        inter.join(ca, "id_a").join(cb, "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("ni").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ni")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text", key_col: str = "doc_id",
                         n: int = 5) -> DataFrame:

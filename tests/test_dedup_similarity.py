@@ -264,3 +264,25 @@ def test_embedding_dedup_lsh_banded_recall(spark):
     lsh_drop = set(range(n)) - set(lsh["vec_id"])
     assert lsh_drop <= exact_drop                    # never false-drop
     assert len(lsh_drop) / max(1, len(exact_drop)) >= 0.9
+
+
+def test_ngram_jaccard_join_exact_and_jvm_only(spark):
+    """ngram_jaccard_join: hand-computed 3-gram Jaccard on a tiny
+    corpus, id_a < id_b ordering, threshold filter — and the plan
+    holds NO Python operator (pure Catalyst shingle equi-join)."""
+    import pandas as pd
+
+    from gdal_spark.operators.dedup import ngram_jaccard_join
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["abcd", "Abcde", "zzzz"],
+    }))
+    out = ngram_jaccard_join(docs, n=3, threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    got = out.toPandas()
+    # doc1 grams {abc,bcd}, doc2 (lowercased) {abc,bcd,cde}:
+    # inter 2, union 3 -> 2/3; doc3 gram {zzz} disjoint
+    assert got[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert abs(got["jaccard"].iloc[0] - round(2 / 3, 6)) < 1e-12
