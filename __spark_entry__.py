@@ -1420,6 +1420,55 @@ def _ngram_jaccard_oracle() -> str:
     """
 
 
+def q56_lang_id(spark, sf_dir):
+    """Heuristic language-ID confusion counts: detected language
+    (functions/text.lang_id, stopword-marker scores as pure Column
+    expressions) against the table's true lang."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tf.lang_id("text").alias("det_lang"))
+        .groupBy("lang", "det_lang").agg(F.count("*").alias("n"))
+        .orderBy("lang", "det_lang")
+    )
+
+
+def _lang_id_oracle() -> str:
+    # generated from the SAME LANG_MARKERS constants as the Spark
+    # expression so the two can only drift together; DuckDB
+    # regexp_replace needs the 'g' flag, and plain SQL strings pass
+    # backslashes through to RE2 verbatim (no E'' escaping)
+    from gdal_spark.functions.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            "(length(t) - length(regexp_replace(t, "
+            f"'\\b{m}\\b', '', 'g'))) / {max(len(m), 1)}"
+            for m in markers)
+        score_cols.append(f"({terms}) AS s_{lang}")
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, lang, '{lg}' AS det, s_{lg} AS score FROM s"
+        for lg in LANG_MARKERS)
+    return f"""
+        WITH d AS (SELECT doc_id, lang, lower(text) AS t
+                   FROM documents),
+        s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM d),
+        u AS ({unpivot}),
+        best AS (
+            SELECT doc_id, lang, det, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, det DESC) AS rn
+            FROM u
+        )
+        SELECT lang,
+               CASE WHEN score > 0 THEN det ELSE 'und' END AS det_lang,
+               COUNT(*) AS n
+        FROM best WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY lang, det_lang
+    """
+
+
 def _sieve_oracle() -> str:
     # closed forms: 20x20 deg at 0.5 deg/px = 40x40 = 1600 px; the
     # 2x2-deg island (16 px) merges into the surrounding component
@@ -1867,6 +1916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_multimodal_features": q53_multimodal_features,
     "q54_sieve_merge": q54_sieve_merge,
     "q55_ngram_jaccard": q55_ngram_jaccard,
+    "q56_lang_id": q56_lang_id,
 }
 
 
@@ -2238,6 +2288,7 @@ def oracle_sql() -> dict[str, str]:
         "q53_multimodal_features": _multimodal_oracle(),
         "q54_sieve_merge": _sieve_oracle(),
         "q55_ngram_jaccard": _ngram_jaccard_oracle(),
+        "q56_lang_id": _lang_id_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -28,7 +28,7 @@ Steps (each cites its standalone algorithm):
   polygonize [nodata]            — raster -> vector terminal step
                                    (apps/gdalalg_raster_polygonize.cpp)
   write <path>                   — partitioned tile sink
-  tile <path> [png|parquet] [xyz|tms]
+  tile <path> [png|jpeg|parquet] [xyz|tms]
                                  — z/x/y pyramid sink, real PNG
                                    files by default
                                    (apps/gdalalg_raster_tile.cpp)
@@ -136,7 +136,8 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
             return None
         elif verb == "tile":
             # gdal raster tile (apps/gdalalg_raster_tile.cpp):
-            # terminal z/x/y sink; "tile <path> [png|parquet] [xyz|tms]"
+            # terminal z/x/y sink;
+            # "tile <path> [png|jpeg|parquet] [xyz|tms]"
             write_tiles(df, args[0],
                         convention=(args[2] if len(args) > 2
                                     else "xyz"),

@@ -127,3 +127,22 @@ def test_read_pyramid_roundtrip_verb(spark, tmp_path):
     grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
     got = assemble_raster(back.toPandas(), grid)
     np.testing.assert_array_equal(got, np.round(arr))
+
+
+def test_tile_verb_jpeg_roundtrip(spark, tmp_path):
+    """`tile <path> jpeg` writes z/x/y.jpg via the in-repo baseline
+    codec; `read <path> tile_pyramid` decodes them back within the
+    default-quality error bound."""
+    # smooth content so the lossy bound stays tight
+    arr = (np.add.outer(np.arange(64), np.arange(64)) * 2
+           % 256).astype(np.float64)
+    tiles = _tiles(spark, arr)
+    out = tmp_path / "jpyr"
+    run_raster_pipeline(spark, f"read t ! tile {out} jpeg",
+                        layers={"t": tiles})
+    assert list(out.rglob("*.jpg"))
+    back = run_raster_pipeline(spark, f"read {out} tile_pyramid")
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    got = assemble_raster(back.toPandas(), grid)
+    mse = float(np.mean((got - arr) ** 2))
+    assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-12)) >= 35.0
