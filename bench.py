@@ -227,6 +227,13 @@ def main() -> None:
                                   convention="xyz", format="png"))
     finally:
         shutil.rmtree(png_dir, ignore_errors=True)
+    jpg_dir = tempfile.mkdtemp(prefix="gdal_spark_jpg_")
+    try:
+        timed("jpeg_tile_sink",
+              lambda: write_tiles(cut_tiles, jpg_dir,
+                                  convention="xyz", format="jpeg"))
+    finally:
+        shutil.rmtree(jpg_dir, ignore_errors=True)
     cut_tiles.unpersist()
 
     # 8. minhash dedup over documents
