@@ -255,6 +255,15 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
         g = parse_wkb(bytes(r["geometry"]))
         feats.append(([grid.to_px(ring) for ring in g.rings()],
                       g.kind))
+    if not feats:
+        # empty cutline layer: everything is outside (the distributed
+        # path reaches the same result via an empty mask frame)
+        const_payload, const_dt = encode_tile(
+            np.full((ts, ts), float(nodata), dtype=np.float64), None)
+        return src_tiles.select(
+            "zoom", "tile_x", "tile_y", "band",
+            F.lit(bytearray(const_payload)).alias("data"),
+            F.lit(const_dt).alias("dtype"), "tile_size")
     allc = np.vstack([ring for rings, _ in feats for ring in rings])
     bx0, bx1 = float(allc[:, 0].min()), float(allc[:, 0].max())
     by0, by1 = float(allc[:, 1].min()), float(allc[:, 1].max())
@@ -321,34 +330,47 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
         feats_, blend_, nd, k_, gw, gh = bc.value
         win = ts + 2 * k_
         out = {f.name: [] for f in TILE_SCHEMA.fields}
+        # rows arrive sorted by (tile_x, tile_y): the window mask —
+        # the O(edges) cost of this kernel — computes once per tile
+        # and carries across that tile's bands
+        last_key = None
+        m = None
+        alpha = None
+
+        def window_mask(tx: int, ty: int, nbm: int) -> np.ndarray:
+            ox, oy = tx * ts - k_, ty * ts - k_
+            shift = np.array([[float(ox), float(oy)]])
+            local = [([ring - shift for ring in rings], 1.0, kind)
+                     for rings, kind in feats_]
+            W = rasterize_chunk((win, win), local, "uint8")
+            # the world beyond the grid is outside-the-cutline
+            if ox < 0:
+                W[:, :-ox] = 0
+            if oy < 0:
+                W[:-oy, :] = 0
+            if ox + win > gw:
+                W[:, max(gw - ox, 0):] = 0
+            if oy + win > gh:
+                W[max(gh - oy, 0):, :] = 0
+            # absent-lattice neighbors zero their window strips
+            for i, (dx, dy) in enumerate(_NBR_OFFS):
+                if nbm & (1 << i):
+                    continue
+                xs = {-1: slice(0, k_), 0: slice(k_, k_ + ts),
+                      1: slice(k_ + ts, win)}[dx]
+                ys = {-1: slice(0, k_), 0: slice(k_, k_ + ts),
+                      1: slice(k_ + ts, win)}[dy]
+                W[ys, xs] = 0
+            return W >= 0.5
+
         for b in batches:
             for _, r in b.iterrows():
                 tx, ty = int(r["tile_x"]), int(r["tile_y"])
-                ox, oy = tx * ts - k_, ty * ts - k_
-                shift = np.array([[float(ox), float(oy)]])
-                local = [([ring - shift for ring in rings], 1.0, kind)
-                         for rings, kind in feats_]
-                W = rasterize_chunk((win, win), local, "uint8")
-                # the world beyond the grid is outside-the-cutline
-                if ox < 0:
-                    W[:, :-ox] = 0
-                if oy < 0:
-                    W[:-oy, :] = 0
-                if ox + win > gw:
-                    W[:, max(gw - ox, 0):] = 0
-                if oy + win > gh:
-                    W[max(gh - oy, 0):, :] = 0
-                # absent-lattice neighbors zero their window strips
-                nbm = int(r["nbr_mask"])
-                for i, (dx, dy) in enumerate(_NBR_OFFS):
-                    if nbm & (1 << i):
-                        continue
-                    xs = {-1: slice(0, k_), 0: slice(k_, k_ + ts),
-                          1: slice(k_ + ts, win)}[dx]
-                    ys = {-1: slice(0, k_), 0: slice(k_, k_ + ts),
-                          1: slice(k_ + ts, win)}[dy]
-                    W[ys, xs] = 0
-                m = W >= 0.5
+                if (tx, ty) != last_key:
+                    m = window_mask(tx, ty, int(r["nbr_mask"]))
+                    alpha = (None if m.all() or not m.any() else
+                             blend_alpha(m, blend_)[k_:-k_, k_:-k_])
+                    last_key = (tx, ty)
                 if not m.any():
                     payload, dts = const_payload, const_dt
                 elif m.all():
@@ -358,7 +380,6 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
                 else:
                     src = decode_tile(r["data"], r["dtype"], ts) \
                         .astype(np.float64)
-                    alpha = blend_alpha(m, blend_)[k_:-k_, k_:-k_]
                     payload, dts = encode_tile(
                         alpha * src + (1.0 - alpha) * nd, None)
                 out["zoom"].append(int(r["zoom"]))
@@ -375,8 +396,12 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
             yield pd.DataFrame(out)
 
     par = max(spark.sparkContext.defaultParallelism, 8)
+    # hash-partition by tile key + sort so a tile's bands are
+    # adjacent and the window mask computes once per tile (the
+    # cross-row carry in the kernel)
     near = (with_bits.filter(near_cond)
-            .repartition(par)
+            .repartition(par, "tile_x", "tile_y")
+            .sortWithinPartitions("tile_x", "tile_y")
             .mapInPandas(kernel, TILE_SCHEMA))
     return near.unionByName(far)
 

@@ -178,36 +178,43 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
+def _encode_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Entropy-code ONE zigzag block (F.1.2); returns its DC for the
+    caller's predictor.  Shared by the grayscale per-component scan
+    and the interleaved color MCU scan."""
+    diff = int(blk[0]) - prev_dc
+    s, bits = _magnitude(diff)
+    c, ln = dc_tab[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(bits, s)
+    nz = np.nonzero(blk[1:])[0]
+    pos = 0
+    for idx in nz:
+        run = int(idx) - pos
+        pos = int(idx) + 1
+        while run >= 16:
+            c, ln = ac_tab[0xF0]            # ZRL
+            bw.put(c, ln)
+            run -= 16
+        v = int(blk[1 + idx])
+        s, bits = _magnitude(v)
+        c, ln = ac_tab[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(bits, s)
+    if pos < 63:
+        c, ln = ac_tab[0x00]                # EOB
+        bw.put(c, ln)
+    return int(blk[0])
+
+
 def _encode_component(bw: _BitWriter, coefs: np.ndarray,
                       dc_tab: dict, ac_tab: dict) -> None:
     """coefs: (nblocks, 64) zigzag-ordered quantized ints."""
     prev_dc = 0
     for blk in coefs:
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        s, bits = _magnitude(diff)
-        c, ln = dc_tab[s]
-        bw.put(c, ln)
-        if s:
-            bw.put(bits, s)
-        nz = np.nonzero(blk[1:])[0]
-        run = 0
-        pos = 0
-        for idx in nz:
-            run = int(idx) - pos
-            pos = int(idx) + 1
-            while run >= 16:
-                c, ln = ac_tab[0xF0]        # ZRL
-                bw.put(c, ln)
-                run -= 16
-            v = int(blk[1 + idx])
-            s, bits = _magnitude(v)
-            c, ln = ac_tab[(run << 4) | s]
-            bw.put(c, ln)
-            bw.put(bits, s)
-        if pos < 63:
-            c, ln = ac_tab[0x00]            # EOB
-            bw.put(c, ln)
+        prev_dc = _encode_block(bw, blk, prev_dc, dc_tab, ac_tab)
 
 
 def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
@@ -304,31 +311,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
         ac_tabs = [_ENC_AC_L, _ENC_AC_C, _ENC_AC_C]
         for bi in range(n):
             for ci in range(3):
-                blk = coefs[ci][bi]
-                diff = int(blk[0]) - prev[ci]
-                prev[ci] = int(blk[0])
-                s, bits = _magnitude(diff)
-                c, ln = dc_tabs[ci][s]
-                bw.put(c, ln)
-                if s:
-                    bw.put(bits, s)
-                nz = np.nonzero(blk[1:])[0]
-                pos = 0
-                for idx in nz:
-                    run = int(idx) - pos
-                    pos = int(idx) + 1
-                    while run >= 16:
-                        c, ln = ac_tabs[ci][0xF0]
-                        bw.put(c, ln)
-                        run -= 16
-                    v = int(blk[1 + idx])
-                    s, bits = _magnitude(v)
-                    c, ln = ac_tabs[ci][(run << 4) | s]
-                    bw.put(c, ln)
-                    bw.put(bits, s)
-                if pos < 63:
-                    c, ln = ac_tabs[ci][0x00]
-                    bw.put(c, ln)
+                prev[ci] = _encode_block(bw, coefs[ci][bi], prev[ci],
+                                         dc_tabs[ci], ac_tabs[ci])
     bw.flush()
     out += bw.out
     out += b"\xFF\xD9"                                  # EOI

@@ -640,14 +640,14 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
         raise ValueError(f"unknown tile sink format {format!r}")
 
     if "://" in str(path):
-        # the png branch writes with os.makedirs/open on executors
+        # the file branch writes with os.makedirs/open on executors
         # and driver-side shutil.rmtree — a URI-scheme path (hdfs://,
         # s3a://) would silently land on executor-local disks.  The
         # parquet branch goes through Hadoop FS and accepts them.
         raise ValueError(
-            f"png tile sink needs a plain filesystem path, got "
+            f"{format} tile sink needs a plain filesystem path, got "
             f"{path!r} (object-store/HDFS URIs are supported by the "
-            "parquet sink; for png, write locally and upload)")
+            f"parquet sink; for {format}, write locally and upload)")
 
     if mode == "overwrite":
         # match the parquet path's clean-replace semantics: stale

@@ -130,7 +130,19 @@ class TilePyramidReader(DataSourceReader):
         from gdal_spark.operators.png import decode_png
         from gdal_spark.operators.tiling import encode_tile
 
-        for fn in sorted(os.listdir(part.xdir)):
+        names = sorted(os.listdir(part.xdir))
+        stems: dict[str, str] = {}
+        for fn in names:
+            if fn.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg"):
+                stem = fn.rsplit(".", 1)[0]
+                if stem in stems:
+                    raise ValueError(
+                        f"mixed tile formats for the same tile in "
+                        f"{part.xdir}: {stems[stem]} and {fn} — a "
+                        "stale pyramid (append across formats?); "
+                        "rewrite with mode='overwrite'")
+                stems[stem] = fn
+        for fn in names:
             if fn.endswith(".png"):
                 codec = decode_png
             elif fn.endswith(".jpg") or fn.endswith(".jpeg"):

@@ -167,3 +167,21 @@ def test_tms_y_pruning_skips_file_opens(tmp_path, monkeypatch):
     rows = [row for p in parts for row in r.read(p)]
     assert [row[2] for row in rows] == [1]   # tile_y recovered
     assert len(opened) == 1                  # 3 of 4 files never read
+
+
+def test_mixed_format_tile_dir_raises(tmp_path):
+    """A directory holding BOTH y.png and y.jpg for the same tile is
+    a stale mixed pyramid: the reader refuses instead of emitting
+    duplicate rows."""
+    from gdal_spark.operators.jpeg import encode_jpeg
+    from gdal_spark.operators.png import encode_png
+
+    arr = np.full((8, 8), 3, dtype=np.uint8)
+    d = tmp_path / "p" / "1" / "0"
+    d.mkdir(parents=True)
+    (d / "0.png").write_bytes(encode_png(arr))
+    (d / "0.jpg").write_bytes(encode_jpeg(arr))
+    r = TilePyramidReader({"path": str(tmp_path / "p")})
+    parts = r.partitions()
+    with pytest.raises(ValueError, match="mixed tile formats"):
+        list(r.read(parts[0]))

@@ -364,3 +364,66 @@ def test_footprint_stat_stable_at_world_scale(spark):
     got = assemble_raster(out.toPandas(), dst)
     np.testing.assert_allclose(got, blocks.mean(axis=(1, 3)),
                                rtol=1e-12)
+
+
+def test_cutline_empty_layer_and_multiband(spark, tmp_path):
+    """Review regressions: (a) an EMPTY cutline layer routes through
+    the broadcast path without crashing — every tile is outside
+    (constant nodata); (b) a multi-band raster blends every band
+    with the same per-tile window mask (the kernel's cross-band
+    carry), matching the per-band single-array oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.cutline import blend_alpha, cutline_clip
+    from gdal_spark.operators.rasterize import GridSpec, rasterize_chunk
+    from gdal_spark.operators.tiling import decode_tile
+    from gdal_spark.operators.warp import tiles_from_array
+
+    ts, n = 32, 3
+    w = h = n * ts
+    grid = GridSpec(0.0, float(h), 1.0, 1.0, w, h)
+    rng = np.random.RandomState(3)
+    band1 = rng.randint(1, 255, (h, w)).astype(np.float64)
+    band2 = rng.randint(1, 255, (h, w)).astype(np.float64)
+    t1, _, _ = tiles_from_array(spark, band1, tile_size=ts)
+    t2, _, _ = tiles_from_array(spark, band2, tile_size=ts)
+    tiles = t1.unionByName(t2.withColumn("band", F.lit(2)))
+
+    # (a) empty cutline: all-outside, no crash, one row per src row
+    empty = pd.DataFrame({"fid": pd.Series(dtype=np.int64),
+                          "geometry": pd.Series(dtype=object)})
+    out = cutline_clip(spark, tiles, empty, grid, blend_px=2.0,
+                       nodata=-5.0, tile_size=ts).toPandas()
+    assert len(out) == 2 * n * n
+    for _, r in out.iterrows():
+        arr = decode_tile(r["data"], r["dtype"], ts)
+        assert (arr == -5.0).all()
+
+    # (b) multi-band blend == per-band oracle
+    ring = np.array([(10.0, 10.0), (80.0, 20.0), (70.0, 85.0),
+                     (15.0, 80.0), (10.0, 10.0)])
+    cut = pd.DataFrame({"fid": np.array([0], dtype=np.int64),
+                        "geometry": [polygon_wkb([ring])]})
+    blend = 2.5
+    k = max(1, int(np.ceil(blend)))
+    ring_px = np.column_stack([ring[:, 0] - grid.x0,
+                               grid.y1 - ring[:, 1]])
+    mask_arr = rasterize_chunk((h, w), [([ring_px], 1.0)],
+                               "uint8") > 0
+    padded = np.zeros((h + 2 * k, w + 2 * k), dtype=bool)
+    padded[k:-k, k:-k] = mask_arr
+    alpha = blend_alpha(padded, blend)[k:-k, k:-k]
+    got = cutline_clip(spark, tiles, cut, grid, blend_px=blend,
+                       nodata=0.0, tile_size=ts,
+                       method="broadcast").toPandas()
+    for _, r in got.iterrows():
+        tx, ty, b = int(r["tile_x"]), int(r["tile_y"]), int(r["band"])
+        src = (band1 if b == 1 else band2)[
+            ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+        a = alpha[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+        np.testing.assert_allclose(
+            decode_tile(r["data"], r["dtype"], ts), a * src,
+            rtol=1e-12, atol=1e-9, err_msg=f"band {b} tile {tx},{ty}")
