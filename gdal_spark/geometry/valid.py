@@ -115,6 +115,17 @@ def _ring_nseg(ring: np.ndarray) -> int:
     return n
 
 
+def _pt_in_cycle(pts: np.ndarray, px: float, py: float) -> bool:
+    """Even-odd point-in-polygon against one face cycle (orientation
+    insensitive; pts closed)."""
+    x0, y0 = pts[:-1, 0], pts[:-1, 1]
+    x1, y1 = pts[1:, 0], pts[1:, 1]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    return bool(np.count_nonzero(cond & (px < xs)) % 2)
+
+
 def _winding(px: float, py: float, rings: list[np.ndarray]) -> int:
     """Nonzero winding number of a point against the curve set."""
     w = 0
@@ -197,14 +208,24 @@ def resolve_rings(rings: list[np.ndarray], rule: str = "evenodd"
                 cur = next_he(*cur)
             faces.append(cyc)
 
-    # keep-decision per face: probe just LEFT of one of its half-edges
-    # (the traversal keeps each face's region on the left — this also
+    # keep-decision per face: probe just LEFT of its half-edges (the
+    # traversal keeps each face's region on the left — this also
     # classifies unbounded faces, which is what makes disconnected
     # components, e.g. a hole ring that never touches the shell, nest
-    # correctly without explicit component containment bookkeeping)
+    # correctly without explicit component containment bookkeeping).
+    # A single probe can overshoot across a sliver into the adjacent
+    # region (Hypothesis seed 1489: a 5.3-area face probed w=0 and was
+    # dropped), so each probe is ACCEPTED only if it lands on the
+    # face's own side of its cycle polygon, and accepted probes across
+    # half-edges vote; the quantized cycle is within ~_Q of the
+    # original curves, so an in-face probe offset >> _Q windings
+    # correctly against the originals.
     keep = []
     for cyc in faces:
-        got = None
+        pts = cxy[np.array([h[0] for h in cyc] + [cyc[0][0]])]
+        bounded = ring_signed_area(pts) > 0
+        ws: list[int] = []
+        first = None
         for (u, v) in cyc:
             a = cxy[u]
             b = cxy[v]
@@ -213,12 +234,26 @@ def resolve_rings(rings: list[np.ndarray], rule: str = "evenodd"
             if ln == 0:
                 continue
             nrm = np.array([-d[1], d[0]]) / ln
-            got = (a + b) / 2.0 + nrm * (1e-7 * ln)
-            break
-        if got is None:
+            for eps in (1e-7, 1e-6, 1e-5, 1e-3):
+                off = eps * ln
+                if off < 3.0 * _Q:
+                    continue
+                p = (a + b) / 2.0 + nrm * off
+                if first is None:
+                    first = p
+                if _pt_in_cycle(pts, p[0], p[1]) == bounded:
+                    ws.append(_winding(p[0], p[1], rings))
+                    break
+            if len(ws) >= 9:
+                break
+        if ws:
+            vals, counts = np.unique(ws, return_counts=True)
+            w = int(vals[np.argmax(counts)])
+        elif first is not None:
+            w = _winding(first[0], first[1], rings)
+        else:
             keep.append(False)
             continue
-        w = _winding(got[0], got[1], rings)
         if rule == "evenodd":
             keep.append(w % 2 == 1)
         elif rule == "positive":

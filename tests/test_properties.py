@@ -274,6 +274,9 @@ def _inclusion_exclusion_3(a, b, c):
 
 
 @settings(max_examples=40, deadline=None)
+@example(seed=1489)  # round-5: single face probe overshot a sliver,
+#                      dropping a 5.3-area face (fixed by in-face
+#                      probe validation + majority vote in valid.py)
 @given(seed=st.integers(0, 10_000))
 def test_resolve_union_inclusion_exclusion_property(seed):
     """dissolve's kernel (resolve_rings rule='positive') union area
@@ -346,3 +349,30 @@ def test_gh_union_matches_planar_arrangement(seed):
         [_orient(_close(a), True), _orient(_close(b), True)],
         rule="positive"))
     assert abs(gh - pa) < 1e-6 * (gh + 1.0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), q=st.integers(30, 100))
+def test_jpeg_roundtrip_property(seed, q):
+    """Baseline JPEG codec: decode(encode(x)) for ANY uint8 image
+    preserves shape and dtype, stays within the coarsest-quantizer
+    error bound, and the stream parses structurally (SOI/EOI)."""
+    from gdal_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    h = int(rng.randint(1, 40))
+    w = int(rng.randint(1, 40))
+    if rng.rand() < 0.5:
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    else:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    buf = encode_jpeg(img, quality=q)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    got = decode_jpeg(buf)
+    assert got.shape == img.shape and got.dtype == np.uint8
+    # adversarial noise at low quality legitimately loses most
+    # chroma detail (Annex-K chroma table is 99-heavy): bound the
+    # MEAN error — corruption (sign/ordering/Huffman bugs) shows as
+    # mean error near 85-128, real quantization loss stays below ~50
+    err = np.abs(got.astype(np.int32) - img.astype(np.int32))
+    assert err.mean() <= 64, (h, w, q, err.mean())
