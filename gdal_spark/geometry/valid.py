@@ -64,7 +64,12 @@ def _seg_isect_points(p1, p2, q1, q2):
 
 
 def _node_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
-    """Insert all pairwise segment intersections into every ring."""
+    """Insert all pairwise segment intersections into every ring.
+
+    Pair search is grid-prefiltered on segment bboxes (cell = median
+    segment extent): only bbox-overlapping pairs reach the exact
+    intersection test, so a dissolve slice of many locally-touching
+    polygons nodes in ~O(S·k) instead of O(S^2)."""
     segs = []   # (ring_idx, seg_idx, p, q)
     for ri, ring in enumerate(rings):
         r = np.asarray(ring, dtype=np.float64)
@@ -73,24 +78,50 @@ def _node_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
         for i in range(len(r) - 1):
             segs.append((ri, i, tuple(r[i]), tuple(r[i + 1])))
     cuts: dict[tuple[int, int], list[tuple[float, tuple]]] = {}
-    for a in range(len(segs)):
-        ra, ia, pa, qa = segs[a]
-        for b in range(a + 1, len(segs)):
-            rb, ib, pb, qb = segs[b]
-            if ra == rb and (ia == ib or abs(ia - ib) == 1
-                             or {ia, ib} == {0, _ring_nseg(rings[ra]) - 1}):
-                # adjacent segments share an endpoint by construction
-                pts = [x for x in _seg_isect_points(pa, qa, pb, qb)]
-            else:
-                pts = _seg_isect_points(pa, qa, pb, qb)
-            for t, pt in pts:
-                cuts.setdefault((ra, ia), []).append((t, pt))
-                # t on the other segment
-                rr = ((qb[0] - pb[0]), (qb[1] - pb[1]))
-                den = rr[0] * rr[0] + rr[1] * rr[1]
-                u = (((pt[0] - pb[0]) * rr[0] + (pt[1] - pb[1]) * rr[1])
-                     / den) if den else 0.0
-                cuts.setdefault((rb, ib), []).append((u, pt))
+    n = len(segs)
+    if n:
+        P = np.array([s[2] for s in segs])
+        Q = np.array([s[3] for s in segs])
+        xmin = np.minimum(P[:, 0], Q[:, 0])
+        xmax = np.maximum(P[:, 0], Q[:, 0])
+        ymin = np.minimum(P[:, 1], Q[:, 1])
+        ymax = np.maximum(P[:, 1], Q[:, 1])
+        cell = float(np.median(np.maximum(xmax - xmin, ymax - ymin)))
+        cell = max(cell, 1e-12)
+        cx0 = np.floor(xmin / cell).astype(np.int64)
+        cx1 = np.floor(xmax / cell).astype(np.int64)
+        cy0 = np.floor(ymin / cell).astype(np.int64)
+        cy1 = np.floor(ymax / cell).astype(np.int64)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i in range(n):
+            for gx in range(cx0[i], cx1[i] + 1):
+                for gy in range(cy0[i], cy1[i] + 1):
+                    buckets.setdefault((gx, gy), []).append(i)
+        seen: set[tuple[int, int]] = set()
+        for members in buckets.values():
+            m = len(members)
+            for ai in range(m):
+                i = members[ai]
+                for bi in range(ai + 1, m):
+                    j = members[bi]
+                    a, b = (i, j) if i < j else (j, i)
+                    if (a, b) in seen:
+                        continue
+                    seen.add((a, b))
+                    if (xmin[a] > xmax[b] or xmin[b] > xmax[a]
+                            or ymin[a] > ymax[b] or ymin[b] > ymax[a]):
+                        continue
+                    ra, ia, pa, qa = segs[a]
+                    rb, ib, pb, qb = segs[b]
+                    for t, pt in _seg_isect_points(pa, qa, pb, qb):
+                        cuts.setdefault((ra, ia), []).append((t, pt))
+                        # t on the other segment
+                        rr = ((qb[0] - pb[0]), (qb[1] - pb[1]))
+                        den = rr[0] * rr[0] + rr[1] * rr[1]
+                        u = (((pt[0] - pb[0]) * rr[0]
+                              + (pt[1] - pb[1]) * rr[1])
+                             / den) if den else 0.0
+                        cuts.setdefault((rb, ib), []).append((u, pt))
     out = []
     for ri, ring in enumerate(rings):
         r = np.asarray(ring, dtype=np.float64)
@@ -220,6 +251,27 @@ def resolve_rings(rings: list[np.ndarray], rule: str = "evenodd"
     # half-edges vote; the quantized cycle is within ~_Q of the
     # original curves, so an in-face probe offset >> _Q windings
     # correctly against the originals.
+    # one flat segment array over the ORIGINAL rings: winding per
+    # probe is a single vectorized pass instead of a per-ring loop
+    # (the per-ring _winding was 80% of resolve time at 100 rings)
+    closed = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        closed.append(r)
+    sx0 = np.concatenate([r[:-1, 0] for r in closed])
+    sy0 = np.concatenate([r[:-1, 1] for r in closed])
+    sx1 = np.concatenate([r[1:, 0] for r in closed])
+    sy1 = np.concatenate([r[1:, 1] for r in closed])
+
+    def wind(px: float, py: float) -> int:
+        up = (sy0 <= py) & (sy1 > py)
+        dn = (sy0 > py) & (sy1 <= py)
+        cross = ((sx1 - sx0) * (py - sy0) - (px - sx0) * (sy1 - sy0))
+        return (int(np.count_nonzero(up & (cross > 0)))
+                - int(np.count_nonzero(dn & (cross < 0))))
+
     keep = []
     for cyc in faces:
         pts = cxy[np.array([h[0] for h in cyc] + [cyc[0][0]])]
@@ -242,15 +294,16 @@ def resolve_rings(rings: list[np.ndarray], rule: str = "evenodd"
                 if first is None:
                     first = p
                 if _pt_in_cycle(pts, p[0], p[1]) == bounded:
-                    ws.append(_winding(p[0], p[1], rings))
+                    ws.append(wind(p[0], p[1]))
                     break
-            if len(ws) >= 9:
+            if len(ws) >= 9 or (len(ws) >= 3
+                                and ws.count(ws[0]) == len(ws)):
                 break
         if ws:
             vals, counts = np.unique(ws, return_counts=True)
             w = int(vals[np.argmax(counts)])
         elif first is not None:
-            w = _winding(first[0], first[1], rings)
+            w = wind(first[0], first[1])
         else:
             keep.append(False)
             continue
