@@ -1432,6 +1432,76 @@ def q56_lang_id(spark, sf_dir):
     )
 
 
+def q57_gtiff_pyramid(spark, sf_dir):
+    """GeoTIFF tile sink + pyramid data source round-trip
+    (frmts/gtiff/geotiff.cpp surface re-expressed as a distributed
+    sink, operators/gtiff.py): the z=4 page-density raster writes as
+    georeferenced z/x/y.tif files in the NATIVE dtype (TIFF is
+    lossless, unlike the png/jpeg Byte paths), reads back through
+    the tile_pyramid data source, and per-zoom tile count + total
+    mass must equal exact SQL — conservation through
+    encode -> file -> decode."""
+    import os
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.tiling import (
+        page_density_tiles, write_tiles,
+    )
+    from gdal_spark.sources.tile_datasource import register_tile_source
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=4)
+    out = os.path.join(tempfile.mkdtemp(prefix="q57_gtiff_"), "pyr")
+    write_tiles(tiles, out, convention="xyz", format="gtiff")
+
+    register_tile_source(spark)
+    back = (spark.read.format("tile_pyramid")
+            .option("path", out).load())
+
+    schema = StructType([
+        StructField("zoom", IntegerType()),
+        StructField("mass", LongType()),
+    ])
+
+    def mass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_rows = []
+            for _, r in b.iterrows():
+                arr = np.frombuffer(r["data"],
+                                    dtype=np.dtype(r["dtype"]))
+                out_rows.append(int(arr.sum()))
+            yield pd.DataFrame({
+                "zoom": b["zoom"],
+                "mass": np.array(out_rows, dtype=np.int64),
+            })
+
+    return (
+        back.mapInPandas(mass, schema)
+        .groupBy("zoom")
+        .agg(F.count("*").alias("n_tiles"),
+             F.sum("mass").alias("total_points"))
+        .orderBy("zoom")
+    )
+
+
+def _gtiff_pyramid_oracle() -> str:
+    px, py = _pixel_sql(4)
+    tx = "CAST(FLOOR(px / 256) AS BIGINT)"
+    ty = "CAST(FLOOR(py / 256) AS BIGINT)"
+    return (
+        f"WITH pts AS ({_POINTS_SQL}),"
+        f" pix AS (SELECT {px} AS px, {py} AS py FROM pts)"
+        f" SELECT 4 AS zoom,"
+        f" COUNT(DISTINCT ({tx}) * 65536 + ({ty})) AS n_tiles,"
+        f" COUNT(*) AS total_points FROM pix"
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -1917,6 +1987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_sieve_merge": q54_sieve_merge,
     "q55_ngram_jaccard": q55_ngram_jaccard,
     "q56_lang_id": q56_lang_id,
+    "q57_gtiff_pyramid": q57_gtiff_pyramid,
 }
 
 
@@ -2289,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
         "q54_sieve_merge": _sieve_oracle(),
         "q55_ngram_jaccard": _ngram_jaccard_oracle(),
         "q56_lang_id": _lang_id_oracle(),
+        "q57_gtiff_pyramid": _gtiff_pyramid_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -619,24 +619,28 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
     format="parquet" (default): zoom=*/... parquet layout (Hive
     scheme, the same layout as apps/gdalalg_vector_partition.cpp).
 
-    format="png" | "jpeg": real z/x/y.<ext> files (the slippy-map
-    layout the reference's tile writer emits,
+    format="png" | "jpeg" | "gtiff": real z/x/y.<ext> files (the
+    slippy-map layout the reference's tile writer emits,
     apps/gdalalg_raster_tile.cpp:520-545; the png/jpeg/webp format
     option surfaces at :2564-2569) — every tile's bands stack into
-    grey/RGB(/RGBA for png) channels, values clip+round to Byte (the
-    translate -ot Byte convention), and each executor writes its own
-    files (path must be a shared filesystem all executors can reach —
-    same contract as the reference writing a local output
-    directory).  Both codecs are in-repo spec implementations
-    (operators/png.py, operators/jpeg.py — baseline JFIF, ``quality``
-    applies the IJG scaling), so output decodes in any client; webp
-    is declared out of scope (COVERAGE.md).
+    grey/RGB(/RGBA for png) channels, and each executor writes its
+    own files (path must be a shared filesystem all executors can
+    reach — same contract as the reference writing a local output
+    directory).  png/jpeg clip+round values to Byte (the translate
+    -ot Byte convention); gtiff keeps the NATIVE dtype and stamps
+    each tile with its EPSG:3857 geotransform + GeoKeys, so the
+    pyramid doubles as a georeferenced raster dataset.  All three
+    codecs are in-repo spec implementations (operators/png.py,
+    operators/jpeg.py — baseline JFIF, ``quality`` applies the IJG
+    scaling — and operators/gtiff.py — TIFF 6.0 + GeoTIFF 1.1,
+    deflate), so output decodes in any client; webp is declared out
+    of scope (COVERAGE.md).
     """
     if format == "parquet":
         tile_y_file(tiles, convention).write.partitionBy("zoom") \
             .parquet(path, mode=mode)
         return
-    if format not in ("png", "jpeg"):
+    if format not in ("png", "jpeg", "gtiff"):
         raise ValueError(f"unknown tile sink format {format!r}")
 
     if "://" in str(path):
@@ -661,15 +665,19 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
 
     from pyspark.sql.types import LongType, StructField
 
+    from gdal_spark.operators.gtiff import encode_gtiff
     from gdal_spark.operators.jpeg import encode_jpeg
     from gdal_spark.operators.png import encode_png
 
     if format == "png":
         ext, ok_bands = "png", (1, 3, 4)
         enc = encode_png
-    else:
+    elif format == "jpeg":
         ext, ok_bands = "jpg", (1, 3)
         enc = lambda img: encode_jpeg(img, quality=quality)  # noqa: E731
+    else:                       # gtiff: native dtype, georeferenced
+        ext, ok_bands = "tif", (1, 2, 3, 4)
+        enc = None              # needs the tile key; built in flush
 
     out_schema = StructType([
         StructField("zoom", IntegerType()),
@@ -707,7 +715,19 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
                 else np.stack(chans, axis=-1)
             d = os.path.join(path, str(z), str(tx))
             os.makedirs(d, exist_ok=True)
-            data = enc(img)
+            if format == "gtiff":
+                # native dtype + EPSG:3857 georeferencing derived
+                # from the tile key (the reference tile writer's
+                # GeoTIFF output path)
+                ty = fy if convention == "xyz" \
+                    else (1 << z) - 1 - fy
+                size = 2.0 * geo.ORIGIN / (1 << z)
+                px = size / cur_ts
+                gt = (-geo.ORIGIN + tx * size, px, 0.0,
+                      geo.ORIGIN - ty * size, 0.0, -px)
+                data = encode_gtiff(img, geotransform=gt, epsg=3857)
+            else:
+                data = enc(img)
             with open(os.path.join(d, f"{fy}.{ext}"), "wb") as fh:
                 fh.write(data)
             rows["zoom"].append(z)
@@ -727,7 +747,9 @@ def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
                     chans = []
                     cur_ts = int(r["tile_size"])
                 arr = decode_tile(r["data"], r["dtype"], cur_ts)
-                if arr.dtype != np.uint8:
+                if arr.dtype != np.uint8 and format != "gtiff":
+                    # png/jpeg are Byte formats (translate -ot Byte
+                    # convention); gtiff keeps the native dtype
                     arr = np.clip(np.round(arr.astype(np.float64)),
                                   0, 255).astype(np.uint8)
                 chans.append(arr)

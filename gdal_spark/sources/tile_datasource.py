@@ -126,6 +126,7 @@ class TilePyramidReader(DataSourceReader):
             return
         import numpy as np
 
+        from gdal_spark.operators.gtiff import decode_gtiff
         from gdal_spark.operators.jpeg import decode_jpeg
         from gdal_spark.operators.png import decode_png
         from gdal_spark.operators.tiling import encode_tile
@@ -133,7 +134,8 @@ class TilePyramidReader(DataSourceReader):
         names = sorted(os.listdir(part.xdir))
         stems: dict[str, str] = {}
         for fn in names:
-            if fn.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg"):
+            if fn.rsplit(".", 1)[-1] in ("png", "jpg", "jpeg",
+                                         "tif", "tiff"):
                 stem = fn.rsplit(".", 1)[0]
                 if stem in stems:
                     raise ValueError(
@@ -147,6 +149,11 @@ class TilePyramidReader(DataSourceReader):
                 codec = decode_png
             elif fn.endswith(".jpg") or fn.endswith(".jpeg"):
                 codec = decode_jpeg
+            elif fn.endswith(".tif") or fn.endswith(".tiff"):
+                # geotiff tiles carry native (possibly non-uint8)
+                # dtypes; drop the georef meta — the tile key
+                # re-derives it
+                codec = lambda b: decode_gtiff(b)[0]  # noqa: E731
             else:
                 continue
             fy = int(fn.rsplit(".", 1)[0])
