@@ -1502,6 +1502,101 @@ def _gtiff_pyramid_oracle() -> str:
     )
 
 
+def q58_shapefile_roundtrip(spark, sf_dir):
+    """ESRI shapefile sink + source round-trip (the reference's
+    flagship vector driver — ogr/ogrsf_frmts/shape/shpopen.c record
+    I/O, dbfopen.c attributes — re-expressed as
+    sources/shapefile.py): the orders point layer writes as
+    distributed part-NNNNN.shp/.shx/.dbf sets (one per partition,
+    the parquet part-file convention), reads back through the
+    .shx-planned split reader, and count / key-sum / coordinate
+    checksums must equal exact SQL on the source table —
+    conservation through WKB -> .shp/.dbf -> WKB.  Coordinates ride
+    the .shp as float64 binary (bit-exact round trip), so
+    FLOOR(lon*1000) agrees with the oracle per element."""
+    import glob as _glob
+    import tempfile
+    from functools import reduce
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sources.shapefile import (
+        read_shapefile, write_shapefile,
+    )
+
+    pts = _points_from_orders(spark, sf_dir)
+
+    wkb_schema = StructType([
+        StructField("geometry", BinaryType()),
+        StructField("k", LongType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "k": b["k"].to_numpy(),
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q58_shp_"), "layer")
+    write_shapefile(pts.mapInPandas(to_wkb, wkb_schema), out,
+                    mode="parts")
+
+    parts = sorted(_glob.glob(os.path.join(out, "part-*.shp")))
+    back = reduce(lambda a, b: a.unionAll(b),
+                  [read_shapefile(spark, p) for p in parts])
+
+    coord_schema = StructType([
+        StructField("k", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "k": b["k"].to_numpy(np.int64),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+            })
+
+    return (
+        back.mapInPandas(coords, coord_schema)
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"))
+    )
+
+
+def _shapefile_oracle() -> str:
+    return (
+        f"WITH pts AS ({_POINTS_SQL})"
+        " SELECT COUNT(*) AS n,"
+        " CAST(SUM(k) AS BIGINT) AS sum_key,"
+        " CAST(SUM(FLOOR(lon * 1000.0)) AS BIGINT) AS lon_sum,"
+        " CAST(SUM(FLOOR(lat * 1000.0)) AS BIGINT) AS lat_sum"
+        " FROM pts"
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -1988,6 +2083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_ngram_jaccard": q55_ngram_jaccard,
     "q56_lang_id": q56_lang_id,
     "q57_gtiff_pyramid": q57_gtiff_pyramid,
+    "q58_shapefile_roundtrip": q58_shapefile_roundtrip,
 }
 
 
@@ -2361,6 +2457,7 @@ def oracle_sql() -> dict[str, str]:
         "q55_ngram_jaccard": _ngram_jaccard_oracle(),
         "q56_lang_id": _lang_id_oracle(),
         "q57_gtiff_pyramid": _gtiff_pyramid_oracle(),
+        "q58_shapefile_roundtrip": _shapefile_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
