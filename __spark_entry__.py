@@ -1597,6 +1597,102 @@ def _shapefile_oracle() -> str:
     )
 
 
+def q59_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON / GeoJSONSeq driver round-trip (the reference's
+    ogr/ogrsf_frmts/geojson/ reader+writer re-derived from RFC
+    7946/8142 as sources/geojson.py): the orders point layer (with
+    the order key as the RFC feature ``id`` and a derived string
+    property) writes as distributed part-NNNNN.geojsonl, reads back
+    through spark.read.text + the Arrow-batched parse kernel, and
+    count / fid-sum / coordinate / string-length checksums must
+    equal exact SQL on the source table.  JSON serializes float64
+    via repr (exact round trip), so FLOOR(lon*1000) agrees with the
+    oracle per element; the string property length checks the typed
+    property path end-to-end."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gdal_spark.sources.geojson import read_geojson, write_geojson
+
+    pts = _points_from_orders(spark, sf_dir).withColumn(
+        "tag", F.concat(F.lit("c"), (F.col("k") % 97).cast("string")))
+
+    wkb_schema = StructType([
+        StructField("fid", LongType()),
+        StructField("geometry", BinaryType()),
+        StructField("tag", StringType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "fid": b["k"].to_numpy(),
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "tag": b["tag"],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q59_gj_"), "layer")
+    write_geojson(pts.mapInPandas(to_wkb, wkb_schema), out)
+    back = read_geojson(spark, out)
+
+    coord_schema = StructType([
+        StructField("fid", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("tag", StringType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "fid": b["fid"].to_numpy(np.int64),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+                "tag": b["tag"],
+            })
+
+    return (
+        back.mapInPandas(coords, coord_schema)
+        .agg(F.count("*").alias("n"),
+             F.sum("fid").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"),
+             F.sum(F.length("tag")).cast("long").alias("tag_len"))
+    )
+
+
+def _geojson_oracle() -> str:
+    return (
+        f"WITH pts AS ({_POINTS_SQL})"
+        " SELECT COUNT(*) AS n,"
+        " CAST(SUM(k) AS BIGINT) AS sum_key,"
+        " CAST(SUM(FLOOR(lon * 1000.0)) AS BIGINT) AS lon_sum,"
+        " CAST(SUM(FLOOR(lat * 1000.0)) AS BIGINT) AS lat_sum,"
+        " CAST(SUM(LENGTH('c' || CAST(k % 97 AS VARCHAR)))"
+        "   AS BIGINT) AS tag_len"
+        " FROM pts"
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2084,6 +2180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_lang_id": q56_lang_id,
     "q57_gtiff_pyramid": q57_gtiff_pyramid,
     "q58_shapefile_roundtrip": q58_shapefile_roundtrip,
+    "q59_geojson_roundtrip": q59_geojson_roundtrip,
 }
 
 
@@ -2458,6 +2555,7 @@ def oracle_sql() -> dict[str, str]:
         "q56_lang_id": _lang_id_oracle(),
         "q57_gtiff_pyramid": _gtiff_pyramid_oracle(),
         "q58_shapefile_roundtrip": _shapefile_oracle(),
+        "q59_geojson_roundtrip": _geojson_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
