@@ -1693,6 +1693,91 @@ def _geojson_oracle() -> str:
     )
 
 
+def q60_csv_roundtrip(spark, sf_dir):
+    """OGR CSV driver round-trip (the reference's
+    ogr/ogrsf_frmts/csv/ layer re-derived over Spark's native CSV
+    source as sources/csvfile.py): the orders point layer (key,
+    point geometry, a derived string tag) writes as distributed
+    part-*.csv with GEOMETRY=AS_WKT (lossless repr floats) plus a
+    .csvt type sidecar, reads back through spark.read.csv + the
+    per-value geometry sniff kernel, and count / key / coordinate /
+    string-length checksums must equal exact SQL on the source
+    table.  The read side types the non-geometry fields from the
+    written .csvt (Integer64 key survives as bigint end-to-end)."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gdal_spark.sources.csvfile import (
+        read_csv_layer, write_csv_layer,
+    )
+
+    pts = _points_from_orders(spark, sf_dir).withColumn(
+        "tag", F.concat(F.lit("c"), (F.col("k") % 97).cast("string")))
+
+    wkb_schema = StructType([
+        StructField("geometry", BinaryType()),
+        StructField("fid", LongType()),
+        StructField("tag", StringType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "fid": b["k"].to_numpy(),
+                "tag": b["tag"],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q60_csv_"), "layer")
+    write_csv_layer(pts.mapInPandas(to_wkb, wkb_schema), out,
+                    create_csvt=True)
+    back = read_csv_layer(spark, out)
+
+    coord_schema = StructType([
+        StructField("fid", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("tag", StringType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "fid": b["fid"].to_numpy(np.int64),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+                "tag": b["tag"],
+            })
+
+    return (
+        back.mapInPandas(coords, coord_schema)
+        .agg(F.count("*").alias("n"),
+             F.sum("fid").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"),
+             F.sum(F.length("tag")).cast("long").alias("tag_len"))
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2181,6 +2266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_gtiff_pyramid": q57_gtiff_pyramid,
     "q58_shapefile_roundtrip": q58_shapefile_roundtrip,
     "q59_geojson_roundtrip": q59_geojson_roundtrip,
+    "q60_csv_roundtrip": q60_csv_roundtrip,
 }
 
 
@@ -2556,6 +2642,7 @@ def oracle_sql() -> dict[str, str]:
         "q57_gtiff_pyramid": _gtiff_pyramid_oracle(),
         "q58_shapefile_roundtrip": _shapefile_oracle(),
         "q59_geojson_roundtrip": _geojson_oracle(),
+        "q60_csv_roundtrip": _geojson_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -165,20 +165,30 @@ def multipolygon_wkb(polys) -> bytes:
     return b"".join(out)
 
 
-def to_wkt(geom: Geom, ndigits: int = 8) -> str:
-    """WKT export (OGRGeometry::exportToWkt ogrgeometry.cpp:1968)."""
+def to_wkt(geom: Geom, ndigits: int | None = 8) -> str:
+    """WKT export (OGRGeometry::exportToWkt ogrgeometry.cpp:1968).
 
-    def fmt(c):
-        return ",".join(
-            f"{round(x, ndigits):.{ndigits}f}".rstrip("0").rstrip(".")
-            + " "
-            + f"{round(y, ndigits):.{ndigits}f}".rstrip("0").rstrip(".")
-            for x, y in c
-        )
+    ndigits=None formats via repr (shortest float64 round-trip) —
+    the lossless mode drivers use for text interchange.
+    """
+
+    if ndigits is None:
+        def fmt(c):
+            return ",".join(f"{x!r} {y!r}" for x, y in c)
+    else:
+        def fmt(c):
+            return ",".join(
+                f"{round(x, ndigits):.{ndigits}f}".rstrip("0").rstrip(".")
+                + " "
+                + f"{round(y, ndigits):.{ndigits}f}".rstrip("0").rstrip(".")
+                for x, y in c
+            )
 
     k = geom.kind
     if k == POINT:
         return f"POINT ({fmt(geom.parts[0])})"
+    if k == MULTIPOINT:
+        return f"MULTIPOINT ({fmt([a[0] for a in geom.parts])})"
     if k == LINESTRING:
         return f"LINESTRING ({fmt(geom.parts[0])})"
     if k == POLYGON:
@@ -195,3 +205,114 @@ def to_wkt(geom: Geom, ndigits: int = 8) -> str:
             outs.append("(" + ",".join(f"({fmt(r)})" for r in rings) + ")")
         return f"MULTIPOLYGON ({','.join(outs)})"
     raise ValueError(f"to_wkt: unsupported kind {k}")
+
+
+# ----------------------------------------------------- WKT import
+
+_WKT_HEAD = None          # compiled lazily (keeps module import light)
+
+
+def _wkt_tree(s: str, i: int):
+    """Parse one parenthesized WKT group starting at s[i] == '('.
+
+    Returns (items, next_index) where each item is either a nested
+    group (list) or a coordinate tuple (x, y) — extra Z/M ordinates
+    drop (2-D engine, same declaration as the other drivers).
+    """
+    assert s[i] == "("
+    items: list = []
+    i += 1
+    while True:
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if i >= len(s):
+            raise ValueError("unbalanced WKT parentheses")
+        if s[i] == "(":
+            sub, i = _wkt_tree(s, i)
+            items.append(sub)
+        elif s[i] == ")":
+            return items, i + 1
+        else:
+            j = i
+            while j < len(s) and s[j] not in ",()":
+                j += 1
+            tok = s[i:j].split()
+            if len(tok) < 2:
+                raise ValueError(f"bad WKT coordinate {s[i:j]!r}")
+            items.append((float(tok[0]), float(tok[1])))
+            i = j
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if i < len(s) and s[i] == ",":
+            i += 1
+        elif i < len(s) and s[i] == ")":
+            return items, i + 1
+
+
+def parse_wkt(s: str) -> Geom | None:
+    """WKT import (OGRGeometry::importFromWkt ogrgeometry.cpp) —
+    the 6 homogeneous 2-D types; Z/M ordinates drop; EMPTY -> None;
+    GEOMETRYCOLLECTION out of scope (homogeneous-WKB engine)."""
+    import re
+    global _WKT_HEAD
+    if _WKT_HEAD is None:
+        _WKT_HEAD = re.compile(r"\s*([A-Za-z]+)\s*(ZM|Z|M)?\s*",
+                               re.IGNORECASE)
+    m = _WKT_HEAD.match(s)
+    if m is None or not m.group(1):
+        raise ValueError(f"not WKT: {s[:40]!r}")
+    name = m.group(1).upper()
+    rest = s[m.end():].strip()
+    if rest.upper() == "EMPTY":
+        return None
+    if name == "GEOMETRYCOLLECTION":
+        raise ValueError(
+            "GEOMETRYCOLLECTION WKT is out of scope (the engine's "
+            "WKB model holds homogeneous geometries)")
+    tree, _ = _wkt_tree(rest, rest.index("("))
+
+    def arr(coords):
+        return np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+
+    if name == "POINT":
+        return Geom(POINT, [arr(tree[:1])])
+    if name == "LINESTRING":
+        return Geom(LINESTRING, [arr(tree)])
+    if name == "POLYGON":
+        return Geom(POLYGON, [arr(r) for r in tree],
+                    [0, len(tree)])
+    if name == "MULTIPOINT":
+        # both spellings: (1 2,3 4) and ((1 2),(3 4))
+        pts = [p if isinstance(p, tuple) else p[0] for p in tree]
+        return Geom(MULTIPOINT, [arr([p]) for p in pts])
+    if name == "MULTILINESTRING":
+        return Geom(MULTILINESTRING, [arr(p) for p in tree])
+    if name == "MULTIPOLYGON":
+        parts, po = [], [0]
+        for poly in tree:
+            parts.extend(arr(r) for r in poly)
+            po.append(len(parts))
+        return Geom(MULTIPOLYGON, parts, po)
+    raise ValueError(f"unknown WKT type {name!r}")
+
+
+def wkt_wkb(s: str | None) -> bytes | None:
+    """WKT text -> WKB bytes (None/EMPTY pass through as None)."""
+    if s is None:
+        return None
+    g = parse_wkt(s)
+    if g is None:
+        return None
+    if g.kind == POINT:
+        return point_wkb(*g.parts[0][0])
+    if g.kind == LINESTRING:
+        return linestring_wkb(g.parts[0])
+    if g.kind == POLYGON:
+        return polygon_wkb(g.parts)
+    if g.kind == MULTIPOINT:
+        return multipoint_wkb([a[0] for a in g.parts])
+    if g.kind == MULTILINESTRING:
+        return multilinestring_wkb(g.parts)
+    po = g.part_offsets
+    return multipolygon_wkb(
+        [g.parts[po[i]:po[i + 1]] for i in range(len(po) - 1)])
