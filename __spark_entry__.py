@@ -1778,6 +1778,109 @@ def q60_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q61_flatgeobuf_roundtrip(spark, sf_dir):
+    """FlatGeobuf driver round-trip with R-tree bbox pushdown (the
+    reference's ogr/ogrsf_frmts/flatgeobuf/ layer + packedrtree.cpp
+    re-derived from the public spec as sources/flatgeobuf.py): the
+    orders point layer (key, point geometry, string tag) writes as
+    distributed Hilbert-indexed part-*.fgb, reads back with
+    ``bbox=(-90,-45,90,45)`` — the packed R-tree prunes feature
+    ranges driver-side, the decode kernel re-checks envelopes
+    exactly — and count / key / coordinate / string-length checksums
+    must equal exact SQL with the same inclusive box predicate.
+    Doubles ride the wire as LE float64 (exact), so FLOOR(lon*1000)
+    agrees per element; the Long property `k` checks the typed
+    property path end-to-end."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gdal_spark.sources.flatgeobuf import (
+        read_flatgeobuf, write_flatgeobuf,
+    )
+
+    pts = _points_from_orders(spark, sf_dir).withColumn(
+        "tag", F.concat(F.lit("c"), (F.col("k") % 97).cast("string")))
+
+    wkb_schema = StructType([
+        StructField("geometry", BinaryType()),
+        StructField("k", LongType()),
+        StructField("tag", StringType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "k": b["k"].to_numpy(),
+                "tag": b["tag"],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q61_fgb_"), "layer")
+    write_flatgeobuf(pts.mapInPandas(to_wkb, wkb_schema), out,
+                     mode="parts")
+    back = read_flatgeobuf(spark, out, bbox=(-90.0, -45.0,
+                                             90.0, 45.0))
+
+    coord_schema = StructType([
+        StructField("k", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("tag", StringType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "k": b["k"].to_numpy(np.int64),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+                "tag": b["tag"],
+            })
+
+    return (
+        back.mapInPandas(coords, coord_schema)
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"),
+             F.sum(F.length("tag")).cast("long").alias("tag_len"))
+    )
+
+
+def _flatgeobuf_oracle() -> str:
+    return (
+        f"WITH pts AS ({_POINTS_SQL})"
+        " SELECT COUNT(*) AS n,"
+        " CAST(SUM(k) AS BIGINT) AS sum_key,"
+        " CAST(SUM(FLOOR(lon * 1000.0)) AS BIGINT) AS lon_sum,"
+        " CAST(SUM(FLOOR(lat * 1000.0)) AS BIGINT) AS lat_sum,"
+        " CAST(SUM(LENGTH('c' || CAST(k % 97 AS VARCHAR)))"
+        "   AS BIGINT) AS tag_len"
+        " FROM pts"
+        " WHERE lon BETWEEN (-90.0) AND 90.0"
+        "   AND lat BETWEEN (-45.0) AND 45.0"
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2267,6 +2370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_shapefile_roundtrip": q58_shapefile_roundtrip,
     "q59_geojson_roundtrip": q59_geojson_roundtrip,
     "q60_csv_roundtrip": q60_csv_roundtrip,
+    "q61_flatgeobuf_roundtrip": q61_flatgeobuf_roundtrip,
 }
 
 
@@ -2643,6 +2747,7 @@ def oracle_sql() -> dict[str, str]:
         "q58_shapefile_roundtrip": _shapefile_oracle(),
         "q59_geojson_roundtrip": _geojson_oracle(),
         "q60_csv_roundtrip": _geojson_oracle(),
+        "q61_flatgeobuf_roundtrip": _flatgeobuf_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -1,0 +1,1026 @@
+"""FlatGeobuf driver (read + write), Spark-first.
+
+Re-derives the reference's FlatGeobuf driver
+(ogr/ogrsf_frmts/flatgeobuf/ogrflatgeobuflayer.cpp,
+packedrtree.cpp; the format is the public spec at
+https://flatgeobuf.org) from the wire format up:
+
+* file = 8 magic bytes (``fgb\\x03fgb\\x00``) + size-prefixed
+  Header flatbuffer + optional packed Hilbert R-tree index +
+  concatenated size-prefixed Feature flatbuffers;
+* the flatbuffers codec here is a from-scratch minimal
+  implementation of the PUBLIC flatbuffers wire format (uoffsets
+  forward, soffset->vtable, little-endian, back-to-front build) —
+  just the table/vector/string subset FlatGeobuf needs;
+* packed R-tree: 40-byte nodes (4 doubles + uint64), levels stored
+  top-down with leaves last (packedrtree.cpp generateLevelBounds),
+  leaf ``offset`` = feature byte offset inside the features
+  section, internal ``offset`` = first-child node index; features
+  sorted by DESCENDING Hilbert value of the bbox center on a
+  2^16-1 grid over the extent (packedrtree.h hilbertSort) — the
+  curve is the same public-domain function as alg/hilbert.cpp, so
+  the repo's vectorized ``hilbert_code_u16`` is reused bit-exactly;
+* properties blob: per value ``uint16`` column index + LE scalar,
+  or ``uint32`` length + bytes for String/Json/DateTime/Binary
+  (ogrflatgeobuflayer.cpp:1194-1434).
+
+Spark-first scale design:
+
+* READ plans **record-range splits from the index leaves**: tasks
+  get [feature i0, i1) ranges; each task does ONE 40-byte seek into
+  the leaf array to find its start byte (features are stored in
+  leaf order, so leaf offsets are monotone) and streams from there.
+  No driver materialization of the index, O(1) seeks per task.
+* ``bbox=`` pushdown runs the packed-R-tree search DRIVER-side
+  reading only the visited nodes (O(log n) I/O, the same traversal
+  as PackedRTree::streamSearch), merges hit indices into contiguous
+  runs, and ships only those ranges to executors; the decode kernel
+  re-checks the feature envelope exactly.
+* WRITE ``mode="parts"`` is the scale path: one fully valid .fgb
+  (with its own Hilbert-sorted index) per partition, built inside
+  ``mapInPandas`` — nothing passes through the driver.
+  ``mode="single"`` emits the classic one-file interchange layout:
+  the Hilbert sort itself is DISTRIBUTED (global extent from one
+  agg, per-row Hilbert keys, Spark orderBy), and the driver only
+  streams the sorted encoded features while accumulating the
+  40-byte leaf items (O(40B x features) driver memory — declared,
+  same stance as the Shapefile/GeoJSON drivers' single mode).
+
+Declared scope: the 6 homogeneous 2-D geometry types (curves,
+PolyhedralSurface/TIN/Triangle and GeometryCollection out — the
+engine is a homogeneous-WKB 2-D engine); Z/M/T ordinates drop on
+read; DateTime columns surface as ISO strings.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+
+from gdal_spark.functions.hilbert import hilbert_code_u16
+from gdal_spark.geometry.wkb import (
+    LINESTRING, MULTILINESTRING, MULTIPOINT, MULTIPOLYGON, POINT,
+    POLYGON, parse_wkb,
+)
+
+MAGIC = b"fgb\x03fgb\x00"
+NODE = struct.Struct("<4dQ")          # NodeItem: 40 bytes
+HILBERT_MAX_FGB = (1 << 16) - 1       # packedrtree.h HILBERT_MAX
+
+# FlatGeobuf GeometryType <-> engine WKB kind (same codes 1..6)
+_GEOM_OK = {POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING,
+            MULTIPOLYGON}
+
+# ColumnType enum (header_generated.h)
+CT_BYTE, CT_UBYTE, CT_BOOL, CT_SHORT, CT_USHORT, CT_INT, CT_UINT, \
+    CT_LONG, CT_ULONG, CT_FLOAT, CT_DOUBLE, CT_STRING, CT_JSON, \
+    CT_DATETIME, CT_BINARY = range(15)
+
+_CT_FMT = {CT_BYTE: "<b", CT_UBYTE: "<B", CT_BOOL: "<B",
+           CT_SHORT: "<h", CT_USHORT: "<H", CT_INT: "<i",
+           CT_UINT: "<I", CT_LONG: "<q", CT_ULONG: "<Q",
+           CT_FLOAT: "<f", CT_DOUBLE: "<d"}
+_CT_VAR = {CT_STRING, CT_JSON, CT_DATETIME, CT_BINARY}
+
+_CT_TO_SPARK = {CT_BYTE: "tinyint", CT_UBYTE: "smallint",
+                CT_BOOL: "boolean", CT_SHORT: "smallint",
+                CT_USHORT: "int", CT_INT: "int", CT_UINT: "bigint",
+                CT_LONG: "bigint", CT_ULONG: "bigint",
+                CT_FLOAT: "float", CT_DOUBLE: "double",
+                CT_STRING: "string", CT_JSON: "string",
+                CT_DATETIME: "string", CT_BINARY: "binary"}
+
+_SPARK_TO_CT = {"tinyint": CT_BYTE, "boolean": CT_BOOL,
+                "smallint": CT_SHORT, "int": CT_INT,
+                "bigint": CT_LONG, "float": CT_FLOAT,
+                "double": CT_DOUBLE, "string": CT_STRING,
+                "binary": CT_BINARY, "timestamp": CT_DATETIME,
+                "date": CT_DATETIME}
+
+
+# ================================================ flatbuffers read
+
+def _u8(b, o):
+    return b[o]
+
+
+def _u16(b, o):
+    return struct.unpack_from("<H", b, o)[0]
+
+
+def _u32(b, o):
+    return struct.unpack_from("<I", b, o)[0]
+
+
+def _i32(b, o):
+    return struct.unpack_from("<i", b, o)[0]
+
+
+class _Tbl:
+    """Minimal flatbuffers table accessor (public wire format)."""
+
+    __slots__ = ("b", "pos", "vt", "vsz")
+
+    def __init__(self, buf: bytes, pos: int):
+        self.b = buf
+        self.pos = pos
+        self.vt = pos - _i32(buf, pos)     # soffset
+        self.vsz = _u16(buf, self.vt)
+
+    def _slot(self, vt_off: int) -> int:
+        if vt_off >= self.vsz:
+            return 0
+        off = _u16(self.b, self.vt + vt_off)
+        return self.pos + off if off else 0
+
+    def scalar(self, vt_off, fmt, default):
+        p = self._slot(vt_off)
+        return struct.unpack_from(fmt, self.b, p)[0] if p else default
+
+    def string(self, vt_off):
+        p = self._slot(vt_off)
+        if not p:
+            return None
+        v = p + _u32(self.b, p)
+        n = _u32(self.b, v)
+        return self.b[v + 4:v + 4 + n].decode("utf-8")
+
+    def vec(self, vt_off, dtype):
+        p = self._slot(vt_off)
+        if not p:
+            return None
+        v = p + _u32(self.b, p)
+        n = _u32(self.b, v)
+        return np.frombuffer(self.b, dtype=dtype, count=n,
+                             offset=v + 4)
+
+    def tables(self, vt_off):
+        p = self._slot(vt_off)
+        if not p:
+            return []
+        v = p + _u32(self.b, p)
+        n = _u32(self.b, v)
+        out = []
+        for i in range(n):
+            ep = v + 4 + 4 * i
+            out.append(_Tbl(self.b, ep + _u32(self.b, ep)))
+        return out
+
+    def table(self, vt_off):
+        p = self._slot(vt_off)
+        return _Tbl(self.b, p + _u32(self.b, p)) if p else None
+
+
+def _root(buf: bytes) -> _Tbl:
+    return _Tbl(buf, _u32(buf, 0))
+
+
+# =============================================== flatbuffers build
+
+class _Builder:
+    """Minimal back-to-front flatbuffers builder (public wire
+    format): tables with explicit vtables, scalar/u8/u32/f64
+    vectors, strings, vectors of tables.  Scalars are always
+    written (force-defaults) — valid per spec, keeps layout
+    deterministic."""
+
+    def __init__(self, initial=512):
+        self.buf = bytearray(initial)
+        self.head = initial
+        self.minalign = 4
+
+    # -- low level
+    def _grow(self, need):
+        while self.head < need:
+            extra = len(self.buf) or 64
+            self.buf = bytearray(extra) + self.buf
+            self.head += extra
+
+    def _push(self, data: bytes):
+        n = len(data)
+        self._grow(n)
+        self.head -= n
+        self.buf[self.head:self.head + n] = data
+
+    def offset(self) -> int:
+        return len(self.buf) - self.head
+
+    def _prep(self, align, extra):
+        if align > self.minalign:
+            self.minalign = align
+        pad = (-(self.offset() + extra)) % align
+        if pad:
+            self._push(b"\0" * pad)
+
+    # -- elements (each returns its offset-from-end)
+    def bytes_vec(self, data: bytes, count=None, elem=1, align=1):
+        self._prep(4, len(data))
+        self._prep(align, len(data))
+        self._push(data)
+        self._push(struct.pack("<I",
+                               count if count is not None
+                               else len(data)))
+        return self.offset()
+
+    def f64_vec(self, arr: np.ndarray):
+        a = np.ascontiguousarray(arr, dtype="<f8")
+        return self.bytes_vec(a.tobytes(), len(a), 8, 8)
+
+    def u32_vec(self, arr) -> int:
+        a = np.ascontiguousarray(arr, dtype="<u4")
+        return self.bytes_vec(a.tobytes(), len(a), 4, 4)
+
+    def string(self, s: str) -> int:
+        raw = s.encode("utf-8")
+        self._push(b"\0")
+        return self.bytes_vec(raw, len(raw))
+
+    def uoffset_vec(self, offsets) -> int:
+        # element uoffset points forward from its own position
+        self._prep(4, 4 * len(offsets))
+        for o in reversed(offsets):
+            self._push(struct.pack("<I", self.offset() + 4 - o))
+        self._push(struct.pack("<I", len(offsets)))
+        return self.offset()
+
+    def table(self, slots) -> int:
+        """slots: list of (vt_off, kind, value) where kind is a
+        struct fmt for inline scalars or 'o' for an offset-from-end
+        reference.  Skips value None."""
+        live = [(v, k, x) for v, k, x in slots if x is not None]
+        field_off = {}
+        mark = self.offset()
+        for vt_off, kind, val in live:
+            if kind == "o":
+                self._prep(4, 4)
+                self._push(struct.pack("<I",
+                                       self.offset() + 4 - val))
+            else:
+                sz = struct.calcsize(kind)
+                self._prep(sz, sz)
+                self._push(struct.pack(kind, val))
+            field_off[vt_off] = self.offset()
+        self._prep(4, 4)
+        self._push(b"\0\0\0\0")            # soffset placeholder
+        t = self.offset()
+        max_vt = max(field_off) if field_off else 2
+        vsz = max_vt + 2
+        vt = bytearray(struct.pack("<HH", vsz, t - mark))
+        for vo in range(4, vsz, 2):
+            fo = field_off.get(vo, 0)
+            vt += struct.pack("<H", t - fo if fo else 0)
+        self._prep(2, len(vt))
+        self._push(bytes(vt))
+        v = self.offset()
+        struct.pack_into("<i", self.buf, len(self.buf) - t, v - t)
+        return t
+
+    def finish(self, root: int, size_prefixed=True) -> bytes:
+        self._prep(self.minalign, 8 if size_prefixed else 4)
+        self._push(struct.pack("<I", self.offset() + 4 - root))
+        out = bytes(self.buf[self.head:])
+        if size_prefixed:
+            out = struct.pack("<I", len(out)) + out
+        return out
+
+
+# ======================================================== header
+
+class FgbHeader:
+    __slots__ = ("name", "envelope", "geometry_type", "columns",
+                 "features_count", "index_node_size", "crs_code")
+
+    def __init__(self, name, envelope, geometry_type, columns,
+                 features_count, index_node_size, crs_code):
+        self.name = name
+        self.envelope = envelope
+        self.geometry_type = geometry_type
+        self.columns = columns            # [(name, ColumnType)]
+        self.features_count = features_count
+        self.index_node_size = index_node_size
+        self.crs_code = crs_code
+
+
+def parse_header(buf: bytes) -> FgbHeader:
+    h = _root(buf)
+    cols = [(c.string(4), c.scalar(6, "<B", 0))
+            for c in h.tables(18)]
+    env = h.vec(6, "<f8")
+    crs = h.table(24)
+    return FgbHeader(
+        name=h.string(4),
+        envelope=None if env is None else env.astype(np.float64),
+        geometry_type=h.scalar(8, "<B", 0),
+        columns=cols,
+        features_count=h.scalar(20, "<Q", 0),
+        index_node_size=h.scalar(22, "<H", 16),
+        crs_code=crs.scalar(6, "<i", 0) if crs else 0,
+    )
+
+
+def build_header(name, envelope, geometry_type, columns,
+                 features_count, index_node_size, crs_code=0) -> bytes:
+    b = _Builder(256)
+    crs_off = None
+    if crs_code:
+        org = b.string("EPSG")
+        crs_off = b.table([(4, "o", org), (6, "<i", crs_code)])
+    col_offs = []
+    for cname, ct in columns:
+        n = b.string(cname)
+        col_offs.append(b.table([(4, "o", n), (6, "<B", ct)]))
+    cols_vec = b.uoffset_vec(col_offs) if col_offs else None
+    env = b.f64_vec(np.asarray(envelope, dtype=np.float64)) \
+        if envelope is not None else None
+    nm = b.string(name) if name else None
+    root = b.table([
+        (4, "o", nm), (6, "o", env), (8, "<B", geometry_type),
+        (18, "o", cols_vec), (20, "<Q", features_count),
+        (22, "<H", index_node_size), (24, "o", crs_off),
+    ])
+    return b.finish(root)
+
+
+# ===================================================== geometries
+
+def _geom_to_slots(b: _Builder, g):
+    """Encode one engine Geom into Geometry-table slots."""
+    k = g.kind
+    if k == MULTIPOLYGON:
+        po = g.part_offsets
+        part_offs = []
+        for i in range(len(po) - 1):
+            rings = g.parts[po[i]:po[i + 1]]
+            xy = np.concatenate(rings, axis=0)
+            ends = (np.cumsum([len(r) for r in rings], dtype="<u4")
+                    if len(rings) > 1 else None)
+            xyo = b.f64_vec(xy.reshape(-1))
+            eo = b.u32_vec(ends) if ends is not None else None
+            part_offs.append(b.table(
+                [(4, "o", eo), (6, "o", xyo), (16, "<B", POLYGON)]))
+        pv = b.uoffset_vec(part_offs)
+        return [(16, "<B", MULTIPOLYGON), (18, "o", pv)]
+    if k == POLYGON:
+        po = g.part_offsets
+        rings = g.parts[po[0]:po[1]]
+        xy = np.concatenate(rings, axis=0)
+        ends = (np.cumsum([len(r) for r in rings], dtype="<u4")
+                if len(rings) > 1 else None)
+    elif k == MULTILINESTRING:
+        xy = np.concatenate(g.parts, axis=0)
+        ends = (np.cumsum([len(p) for p in g.parts], dtype="<u4")
+                if len(g.parts) > 1 else None)
+    elif k == MULTIPOINT:
+        xy = np.concatenate(g.parts, axis=0)
+        ends = None
+    else:                                  # POINT / LINESTRING
+        xy = g.parts[0]
+        ends = None
+    xyo = b.f64_vec(np.asarray(xy, dtype=np.float64).reshape(-1))
+    eo = b.u32_vec(ends) if ends is not None else None
+    return [(4, "o", eo), (6, "o", xyo), (16, "<B", k)]
+
+
+def _rings_wkb(kind, xy, ends):
+    """xy (n,2) + ends (point-count cumsum) -> WKB bytes."""
+    from gdal_spark.geometry import wkb as W
+    n = len(xy)
+    if kind == POINT:
+        return W.point_wkb(xy[0, 0], xy[0, 1])
+    if kind == LINESTRING:
+        return W.linestring_wkb(xy)
+    if kind == MULTIPOINT:
+        return W.multipoint_wkb([tuple(p) for p in xy])
+    bounds = [0] + ([int(e) for e in ends] if ends is not None
+                    and len(ends) >= 2 else [n])
+    parts = [xy[bounds[i]:bounds[i + 1]]
+             for i in range(len(bounds) - 1)]
+    if kind == POLYGON:
+        return W.polygon_wkb(parts)
+    if kind == MULTILINESTRING:
+        return W.multilinestring_wkb(parts)
+    raise ValueError(f"flatgeobuf: geometry type {kind}")
+
+
+def _decode_geometry(gt: _Tbl | None, header_type: int):
+    if gt is None:
+        return None
+    kind = gt.scalar(16, "<B", 0) or header_type
+    if kind == MULTIPOLYGON:
+        from gdal_spark.geometry import wkb as W
+        polys = []
+        for p in gt.tables(18):
+            xy = p.vec(6, "<f8").reshape(-1, 2)
+            ends = p.vec(4, "<u4")
+            n = len(xy)
+            bounds = [0] + ([int(e) for e in ends]
+                            if ends is not None and len(ends) >= 2
+                            else [n])
+            polys.append([xy[bounds[i]:bounds[i + 1]]
+                          for i in range(len(bounds) - 1)])
+        return W.multipolygon_wkb(polys)
+    if kind not in _GEOM_OK:
+        raise ValueError(
+            f"flatgeobuf: geometry type {kind} out of scope "
+            "(homogeneous 2-D engine; curves/surfaces excluded)")
+    xy = gt.vec(6, "<f8")
+    if xy is None:
+        return None
+    return _rings_wkb(kind, xy.reshape(-1, 2).astype(np.float64),
+                      gt.vec(4, "<u4"))
+
+
+# ===================================================== properties
+
+def _encode_props(row_vals, col_types) -> bytes:
+    out = []
+    for i, (v, ct) in enumerate(zip(row_vals, col_types)):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        out.append(struct.pack("<H", i))
+        if ct in _CT_VAR:
+            raw = (v if isinstance(v, (bytes, bytearray))
+                   else str(v).encode("utf-8"))
+            out.append(struct.pack("<I", len(raw)))
+            out.append(bytes(raw))
+        else:
+            fmt = _CT_FMT[ct]
+            if ct == CT_BOOL:
+                v = bool(v)
+            elif fmt in ("<f", "<d"):
+                v = float(v)
+            else:
+                v = int(v)     # pandas widens nullable ints to float
+            out.append(struct.pack(fmt, v))
+    return b"".join(out)
+
+
+def _decode_props(blob, col_types, out_cols, row):
+    """Fill out_cols[i][row] from one properties blob."""
+    o, n = 0, len(blob)
+    while o + 2 <= n:
+        i = _u16(blob, o)
+        o += 2
+        ct = col_types[i]
+        if ct in _CT_VAR:
+            ln = _u32(blob, o)
+            o += 4
+            raw = blob[o:o + ln]
+            o += ln
+            out_cols[i][row] = (bytes(raw) if ct == CT_BINARY
+                                else raw.decode("utf-8"))
+        else:
+            fmt = _CT_FMT[ct]
+            v = struct.unpack_from(fmt, blob, o)[0]
+            o += struct.calcsize(fmt)
+            out_cols[i][row] = bool(v) if ct == CT_BOOL else v
+
+
+# ==================================================== packed tree
+
+def _level_bounds(num_items: int, node_size: int):
+    """(start, end) node-index bounds per level, leaf level first —
+    packedrtree.cpp generateLevelBounds."""
+    counts = [num_items]
+    n = num_items
+    while True:               # do-while: one parent level even for
+        n = (n + node_size - 1) // node_size      # a single item
+        counts.append(n)
+        if n == 1:
+            break
+    total = sum(counts)
+    bounds, acc = [], total
+    for c in counts:
+        acc -= c
+        bounds.append((acc, acc + c))
+    return bounds, total
+
+
+def _build_tree(leaf_items: np.ndarray, node_size: int) -> bytes:
+    """leaf_items: structured (minx,miny,maxx,maxy,offset) in leaf
+    order -> packed node array bytes (top-down storage)."""
+    num = len(leaf_items)
+    bounds, total = _level_bounds(num, node_size)
+    nodes = np.zeros(total, dtype=[("minx", "<f8"), ("miny", "<f8"),
+                                   ("maxx", "<f8"), ("maxy", "<f8"),
+                                   ("off", "<u8")])
+    s0, e0 = bounds[0]
+    nodes[s0:e0] = leaf_items
+    for lvl in range(len(bounds) - 1):
+        cs, ce = bounds[lvl]
+        ps, _ = bounds[lvl + 1]
+        idx = np.arange(cs, ce)
+        grp = (idx - cs) // node_size
+        ngrp = grp[-1] + 1
+        for f in ("minx", "miny"):
+            acc = np.full(ngrp, np.inf)
+            np.minimum.at(acc, grp, nodes[f][cs:ce])
+            nodes[f][ps:ps + ngrp] = acc
+        for f in ("maxx", "maxy"):
+            acc = np.full(ngrp, -np.inf)
+            np.maximum.at(acc, grp, nodes[f][cs:ce])
+            nodes[f][ps:ps + ngrp] = acc
+        nodes["off"][ps:ps + ngrp] = cs + np.arange(ngrp) * node_size
+    return nodes.tobytes()
+
+
+def _tree_search(fh, idx_start, num_items, node_size, bbox):
+    """Driver-side PackedRTree::streamSearch — seeks only visited
+    nodes; returns sorted leaf feature indices."""
+    bounds, total = _level_bounds(num_items, node_size)
+    leaf_start = bounds[0][0]
+    qminx, qminy, qmaxx, qmaxy = bbox
+    queue = [(0, len(bounds) - 1)]
+    hits = []
+    while queue:
+        node_index, level = queue.pop(0)
+        end = min(node_index + node_size, bounds[level][1])
+        fh.seek(idx_start + node_index * 40)
+        raw = fh.read((end - node_index) * 40)
+        for k in range(end - node_index):
+            minx, miny, maxx, maxy, off = NODE.unpack_from(raw,
+                                                           k * 40)
+            if (qminx > maxx or qmaxx < minx or qminy > maxy
+                    or qmaxy < miny):
+                continue
+            if node_index >= leaf_start:
+                hits.append((node_index + k - leaf_start, off))
+            else:
+                queue.append((int(off), level - 1))
+        queue.sort()
+    hits.sort()
+    return hits
+
+
+def _index_size(features_count, node_size):
+    if node_size == 0 or features_count == 0:
+        return 0
+    _, total = _level_bounds(features_count, node_size)
+    return total * 40
+
+
+# ========================================================== read
+
+def _file_layout(path):
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+        if magic[:4] != MAGIC[:4]:
+            raise ValueError(f"{path}: not a FlatGeobuf file")
+        hlen = struct.unpack("<I", fh.read(4))[0]
+        hdr = parse_header(fh.read(hlen))
+        idx_start = 12 + hlen
+        isz = _index_size(hdr.features_count, hdr.index_node_size)
+        feat_start = idx_start + isz
+        return hdr, idx_start, feat_start, os.path.getsize(path)
+
+
+def _leaf_byte_offset(fh, idx_start, num_items, node_size, i):
+    """One 40-byte seek: byte offset of feature i inside the
+    features section (leaf offsets are monotone in file order)."""
+    bounds, _ = _level_bounds(num_items, node_size)
+    fh.seek(idx_start + (bounds[0][0] + i) * 40 + 32)
+    return struct.unpack("<Q", fh.read(8))[0]
+
+
+def _scan_offsets(path, feat_start, end, every):
+    """No-index fallback: size-prefix skip pass collecting every
+    Nth feature's (index, byte offset) driver-side (4-byte reads)."""
+    marks = []
+    with open(path, "rb") as fh:
+        pos, i = feat_start, 0
+        while pos < end:
+            if i % every == 0:
+                marks.append((i, pos - feat_start))
+            fh.seek(pos)
+            raw = fh.read(4)
+            if len(raw) < 4:
+                break
+            pos += 4 + struct.unpack("<I", raw)[0]
+            i += 1
+    return marks, i
+
+
+def read_flatgeobuf(spark, path: str, *, bbox=None, columns=None,
+                    rows_per_task: int = 65536):
+    """Read a .fgb file or a directory of part-*.fgb ->
+    DataFrame(fid long, geometry WKB, fields...).
+
+    ``bbox=(minx, miny, maxx, maxy)`` prunes via the packed R-tree
+    (only visited index nodes are read) and re-checks feature
+    envelopes exactly; ``columns`` keeps only the named property
+    columns (the skipped ones are never decoded)."""
+    if "://" in str(path):
+        raise ValueError(
+            "read_flatgeobuf needs a plain shared-filesystem path "
+            f"(got {path!r})")
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "part-*.fgb")))
+        if not files:
+            raise FileNotFoundError(f"{path}: no part-*.fgb")
+    else:
+        files = [path]
+
+    hdr0 = None
+    tasks = []            # (file, start_byte, end_byte, fid0, nmax)
+    fid_base = 0
+    for f in files:
+        hdr, idx_start, feat_start, fsize = _file_layout(f)
+        if hdr0 is None:
+            hdr0 = hdr
+        elif [c for c in hdr.columns] != [c for c in hdr0.columns]:
+            raise ValueError(f"{f}: column schema differs from "
+                             f"{files[0]}")
+        n = hdr.features_count
+        if bbox is not None and hdr.index_node_size and n:
+            with open(f, "rb") as fh:
+                hits = _tree_search(fh, idx_start, n,
+                                    hdr.index_node_size, bbox)
+            runs = []
+            for i, off in hits:
+                if runs and i == runs[-1][1]:
+                    runs[-1][1] = i + 1
+                else:
+                    runs.append([i, i + 1])
+            with open(f, "rb") as fh:
+                for i0, i1 in runs:
+                    b0 = feat_start + _leaf_byte_offset(
+                        fh, idx_start, n, hdr.index_node_size, i0)
+                    b1 = (feat_start + _leaf_byte_offset(
+                        fh, idx_start, n, hdr.index_node_size, i1)
+                        if i1 < n else fsize)
+                    tasks.append((f, b0, b1, fid_base + i0,
+                                  i1 - i0))
+        elif hdr.index_node_size and n:
+            with open(f, "rb") as fh:
+                for i0 in range(0, n, rows_per_task):
+                    i1 = min(i0 + rows_per_task, n)
+                    b0 = feat_start + _leaf_byte_offset(
+                        fh, idx_start, n, hdr.index_node_size, i0)
+                    b1 = (feat_start + _leaf_byte_offset(
+                        fh, idx_start, n, hdr.index_node_size, i1)
+                        if i1 < n else fsize)
+                    tasks.append((f, b0, b1, fid_base + i0,
+                                  i1 - i0))
+        else:
+            marks, total = _scan_offsets(f, feat_start, fsize,
+                                         rows_per_task)
+            for j, (i0, rel) in enumerate(marks):
+                b1 = (feat_start + marks[j + 1][1]
+                      if j + 1 < len(marks) else fsize)
+                tasks.append((f, feat_start + rel, b1,
+                              fid_base + i0,
+                              min(rows_per_task, total - i0)))
+            n = total
+        fid_base += n
+
+    col_names = [c[0] for c in hdr0.columns]
+    col_types = [c[1] for c in hdr0.columns]
+    keep = ([col_names.index(c) for c in columns]
+            if columns is not None else list(range(len(col_names))))
+    header_type = hdr0.geometry_type
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+        _parse_datatype_string,
+    )
+    schema = StructType(
+        [StructField("fid", LongType()),
+         StructField("geometry", BinaryType())]
+        + [StructField(col_names[i],
+                       _parse_datatype_string(
+                           _CT_TO_SPARK[col_types[i]]))
+           for i in keep])
+
+    qbbox = bbox
+
+    def kernel(batches):
+        for b in batches:
+            for _, t in b.iterrows():
+                f, b0, b1 = t["file"], int(t["start"]), int(t["end"])
+                fid0, nmax = int(t["fid0"]), int(t["nmax"])
+                with open(f, "rb") as fh:
+                    fh.seek(b0)
+                    raw = fh.read(b1 - b0)
+                fids, geoms = [], []
+                pcols = [[None] * nmax for _ in col_names]
+                pos = row = 0
+                while pos < len(raw) and row < nmax:
+                    sz = _u32(raw, pos)
+                    fb = raw[pos + 4:pos + 4 + sz]
+                    pos += 4 + sz
+                    ft = _root(fb)
+                    wkb = _decode_geometry(ft.table(4), header_type)
+                    if qbbox is not None and wkb is not None:
+                        g = parse_wkb(wkb)
+                        xs = np.concatenate(
+                            [p[:, 0] for p in g.parts])
+                        ys = np.concatenate(
+                            [p[:, 1] for p in g.parts])
+                        if (xs.min() > qbbox[2]
+                                or xs.max() < qbbox[0]
+                                or ys.min() > qbbox[3]
+                                or ys.max() < qbbox[1]):
+                            row += 1   # slot consumed, row dropped
+                            fids.append(None)
+                            geoms.append(None)
+                            continue
+                    props = ft.vec(6, np.uint8)
+                    if props is not None:
+                        _decode_props(props.tobytes(), col_types,
+                                      pcols, row)
+                    fids.append(fid0 + row)
+                    geoms.append(wkb)
+                    row += 1
+                data = {"fid": fids, "geometry": geoms}
+                for i in keep:
+                    data[col_names[i]] = pcols[i][:row]
+                out = pd.DataFrame(data)
+                yield out[out["fid"].notna()] \
+                    if qbbox is not None else out
+
+    ranges = spark.createDataFrame(
+        pd.DataFrame(tasks,
+                     columns=["file", "start", "end", "fid0",
+                              "nmax"])
+        if tasks else
+        pd.DataFrame({"file": pd.Series(dtype=str),
+                      "start": pd.Series(dtype="int64"),
+                      "end": pd.Series(dtype="int64"),
+                      "fid0": pd.Series(dtype="int64"),
+                      "nmax": pd.Series(dtype="int64")}))
+    nparts = max(len(tasks), 1)
+    return (ranges.repartition(min(nparts,
+                                   spark.sparkContext
+                                   .defaultParallelism * 2))
+            .mapInPandas(kernel, schema))
+
+
+# ========================================================== write
+
+def _encode_features(pdf, geom_col, prop_names, col_types,
+                     node_size):
+    """One partition -> (fgb file bytes) for parts mode."""
+    feats, boxes = [], []
+    for _, r in pdf.iterrows():
+        gv = r[geom_col]
+        g = parse_wkb(bytes(gv)) if gv is not None else None
+        b = _Builder(256)
+        gslots = _geom_to_slots(b, g) if g is not None else None
+        goff = b.table(gslots) if gslots is not None else None
+        props = _encode_props([r[c] for c in prop_names], col_types)
+        poff = b.bytes_vec(props) if props else None
+        root = b.table([(4, "o", goff), (6, "o", poff)])
+        feats.append(b.finish(root))
+        if g is not None:
+            xs = np.concatenate([p[:, 0] for p in g.parts])
+            ys = np.concatenate([p[:, 1] for p in g.parts])
+            boxes.append((xs.min(), ys.min(), xs.max(), ys.max()))
+        else:
+            boxes.append((np.nan,) * 4)
+    return feats, np.array(boxes, dtype=np.float64).reshape(-1, 4)
+
+
+def _hilbert_order(boxes: np.ndarray, extent) -> np.ndarray:
+    """Feature order = DESCENDING Hilbert of bbox centers
+    (packedrtree.h hilbertSort; same curve as hilbert_code_u16)."""
+    minx, miny, maxx, maxy = extent
+    w, h = maxx - minx, maxy - miny
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    x = (np.floor(HILBERT_MAX_FGB * (np.nan_to_num(cx, nan=minx)
+                                     - minx) / w)
+         if w != 0 else np.zeros(len(boxes))).astype(np.uint32)
+    y = (np.floor(HILBERT_MAX_FGB * (np.nan_to_num(cy, nan=miny)
+                                     - miny) / h)
+         if h != 0 else np.zeros(len(boxes))).astype(np.uint32)
+    hv = hilbert_code_u16(np.minimum(x, HILBERT_MAX_FGB),
+                          np.minimum(y, HILBERT_MAX_FGB))
+    return np.argsort(-hv.astype(np.int64), kind="stable")
+
+
+def _assemble(feats, boxes, order, geometry_type, columns,
+              node_size, name, crs_code, fh):
+    """Write one complete .fgb to file handle fh."""
+    n = len(feats)
+    fin = np.isfinite(boxes[:, 0])
+    env = (np.array([np.nanmin(boxes[fin, 0]),
+                     np.nanmin(boxes[fin, 1]),
+                     np.nanmax(boxes[fin, 2]),
+                     np.nanmax(boxes[fin, 3])])
+           if fin.any() else None)
+    hdr = build_header(name, env, geometry_type, columns, n,
+                       node_size if n else 0, crs_code)
+    fh.write(MAGIC)
+    fh.write(hdr)
+    if n and node_size:
+        offs = np.zeros(n, dtype=np.uint64)
+        acc = 0
+        for k, i in enumerate(order):
+            offs[k] = acc
+            acc += len(feats[i])
+        leaf = np.zeros(n, dtype=[("minx", "<f8"), ("miny", "<f8"),
+                                  ("maxx", "<f8"), ("maxy", "<f8"),
+                                  ("off", "<u8")])
+        ob = boxes[order]
+        bad = ~np.isfinite(ob[:, 0])
+        ob[bad] = 0.0
+        leaf["minx"], leaf["miny"] = ob[:, 0], ob[:, 1]
+        leaf["maxx"], leaf["maxy"] = ob[:, 2], ob[:, 3]
+        leaf["off"] = offs
+        fh.write(_build_tree(leaf, node_size))
+    for i in order:
+        fh.write(feats[i])
+
+
+def write_flatgeobuf(df, path: str, *, geometry_col="geometry",
+                     mode: str = "parts", index: bool = True,
+                     node_size: int = 16, name: str = "layer",
+                     crs_code: int = 0) -> int | None:
+    """Write a WKB DataFrame as FlatGeobuf.
+
+    mode="parts": one standalone Hilbert-indexed .fgb per partition
+    under ``path/`` — fully distributed, returns None.
+    mode="single": the classic one-file layout; the Hilbert sort is
+    distributed (Spark orderBy on per-row curve keys), the driver
+    streams the sorted features and keeps only the 40-byte leaf
+    items in memory; returns the feature count."""
+    if "://" in str(path):
+        raise ValueError(
+            "write_flatgeobuf needs a plain shared-filesystem path "
+            f"(got {path!r})")
+    dt = dict(df.dtypes)
+    prop_names = [c for c in df.columns if c != geometry_col]
+    try:
+        col_types = [_SPARK_TO_CT[dt[c]] for c in prop_names]
+    except KeyError as e:
+        raise ValueError(f"flatgeobuf: no ColumnType mapping for "
+                         f"Spark type {e}") from None
+    columns = list(zip(prop_names, col_types))
+    nsz = node_size if index else 0
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    if mode == "parts":
+        os.makedirs(path, exist_ok=True)
+        gt0 = _df_geom_type(df)
+        out_schema = StructType([StructField("file", StringType()),
+                                 StructField("n", LongType())])
+
+        def part_kernel(batches):
+            from pyspark import TaskContext
+            pid = TaskContext.get().partitionId()
+            rows = 0
+            chunks = []
+            for b in batches:
+                chunks.append(b)
+                rows += len(b)
+            if rows == 0:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            feats, boxes = _encode_features(
+                pdf, geometry_col, prop_names, col_types, nsz)
+            fin = np.isfinite(boxes[:, 0])
+            extent = ((boxes[fin, 0].min(), boxes[fin, 1].min(),
+                       boxes[fin, 2].max(), boxes[fin, 3].max())
+                      if fin.any() else (0, 0, 0, 0))
+            order = (_hilbert_order(boxes, extent) if nsz
+                     else np.arange(len(feats)))
+            out = os.path.join(path, f"part-{pid:05d}.fgb")
+            with open(out, "wb") as fh:
+                _assemble(feats, boxes, order, gt0,
+                          columns, nsz, name, crs_code, fh)
+            yield pd.DataFrame({"file": [out], "n": [rows]})
+
+        df.mapInPandas(part_kernel, out_schema).collect()
+        return None
+
+    if mode != "single":
+        raise ValueError(f"unknown mode {mode!r} (parts/single)")
+
+    # distributed Hilbert sort: bbox + curve key per row, orderBy,
+    # then a single driver stream over the sorted encoded features
+    from pyspark.sql.types import BinaryType, DoubleType
+    enc_schema = StructType([
+        StructField("hkey", LongType()),
+        StructField("minx", DoubleType()),
+        StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()),
+        StructField("maxy", DoubleType()),
+        StructField("feat", BinaryType()),
+    ])
+
+    # pass 1: global extent (one tiny agg over a bbox kernel)
+    bbox_schema = StructType([
+        StructField("minx", DoubleType()),
+        StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()),
+        StructField("maxy", DoubleType()),
+    ])
+
+    def bbox_kernel(batches):
+        for b in batches:
+            rows = []
+            for gv in b[geometry_col]:
+                if gv is None:
+                    rows.append((np.nan,) * 4)
+                    continue
+                g = parse_wkb(bytes(gv))
+                xs = np.concatenate([p[:, 0] for p in g.parts])
+                ys = np.concatenate([p[:, 1] for p in g.parts])
+                rows.append((xs.min(), ys.min(), xs.max(),
+                             ys.max()))
+            yield pd.DataFrame(rows, columns=["minx", "miny",
+                                              "maxx", "maxy"])
+
+    ext = (df.mapInPandas(bbox_kernel, bbox_schema)
+           .agg(F.min("minx"), F.min("miny"), F.max("maxx"),
+                F.max("maxy")).collect()[0])
+    extent = (ext[0] or 0.0, ext[1] or 0.0, ext[2] or 0.0,
+              ext[3] or 0.0)
+
+    def enc_kernel(batches):
+        for b in batches:
+            feats, boxes = _encode_features(
+                b, geometry_col, prop_names, col_types, nsz)
+            cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+            cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+            w = extent[2] - extent[0]
+            h = extent[3] - extent[1]
+            x = (np.floor(HILBERT_MAX_FGB * (np.nan_to_num(
+                cx, nan=extent[0]) - extent[0]) / w)
+                if w != 0 else np.zeros(len(boxes)))
+            y = (np.floor(HILBERT_MAX_FGB * (np.nan_to_num(
+                cy, nan=extent[1]) - extent[1]) / h)
+                if h != 0 else np.zeros(len(boxes)))
+            hv = hilbert_code_u16(
+                np.minimum(x, HILBERT_MAX_FGB).astype(np.uint32),
+                np.minimum(y, HILBERT_MAX_FGB).astype(np.uint32))
+            yield pd.DataFrame({
+                "hkey": hv.astype(np.int64),
+                "minx": boxes[:, 0], "miny": boxes[:, 1],
+                "maxx": boxes[:, 2], "maxy": boxes[:, 3],
+                "feat": feats,
+            })
+
+    sorted_df = (df.mapInPandas(enc_kernel, enc_schema)
+                 .orderBy(F.desc("hkey")))
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    import tempfile
+    leaf_rows = []
+    n = 0
+    gt = _df_geom_type(df)
+    with tempfile.TemporaryFile() as tmp:
+        acc = 0
+        env = [np.inf, np.inf, -np.inf, -np.inf]
+        for row in sorted_df.toLocalIterator():
+            raw = bytes(row.feat)
+            # null geometry -> null/NaN bbox through Arrow
+            has = (row.minx is not None
+                   and row.minx == row.minx)
+            mnx = row.minx if has else 0.0
+            mny = row.miny if has else 0.0
+            mxx = row.maxx if has else 0.0
+            mxy = row.maxy if has else 0.0
+            leaf_rows.append((mnx, mny, mxx, mxy, acc))
+            if has:
+                env[0] = min(env[0], mnx)
+                env[1] = min(env[1], mny)
+                env[2] = max(env[2], mxx)
+                env[3] = max(env[3], mxy)
+            acc += len(raw)
+            tmp.write(raw)
+            n += 1
+        hdr = build_header(
+            name, None if env[0] == np.inf else env, gt, columns,
+            n, nsz if n else 0, crs_code)
+        with open(path, "wb") as fh:
+            fh.write(MAGIC)
+            fh.write(hdr)
+            if n and nsz:
+                leaf = np.array(
+                    leaf_rows,
+                    dtype=[("minx", "<f8"), ("miny", "<f8"),
+                           ("maxx", "<f8"), ("maxy", "<f8"),
+                           ("off", "<u8")])
+                fh.write(_build_tree(leaf, nsz))
+            tmp.seek(0)
+            while True:
+                chunk = tmp.read(1 << 22)
+                if not chunk:
+                    break
+                fh.write(chunk)
+    return n
+
+
+def _df_geom_type(df) -> int:
+    """Header geometry type: Unknown (0) — per spec readers then
+    use the per-feature type, which this writer always emits."""
+    return 0
