@@ -1881,6 +1881,90 @@ def _flatgeobuf_oracle() -> str:
     )
 
 
+def q62_gpkg_roundtrip(spark, sf_dir):
+    """GeoPackage driver round-trip with R*Tree bbox pushdown (the
+    reference's ogr/ogrsf_frmts/gpkg/ layer re-derived from the OGC
+    spec over stdlib sqlite3 as sources/geopackage.py): the orders
+    point layer (key, point geometry, string tag) writes as
+    distributed part-*.gpkg (each a standalone conformant package
+    with its own R-tree), reads back with ``bbox=(-90,-45,90,45)``
+    — each task pushes an R-tree subquery into its fid-range SQL,
+    the kernel re-checks envelopes exactly — and count / key /
+    coordinate / string-length checksums must equal exact SQL with
+    the same inclusive box predicate (the oracle is shared with
+    q61: same bbox, same checksums)."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gdal_spark.sources.geopackage import read_gpkg, write_gpkg
+
+    pts = _points_from_orders(spark, sf_dir).withColumn(
+        "tag", F.concat(F.lit("c"), (F.col("k") % 97).cast("string")))
+
+    wkb_schema = StructType([
+        StructField("geometry", BinaryType()),
+        StructField("k", LongType()),
+        StructField("tag", StringType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "k": b["k"].to_numpy(),
+                "tag": b["tag"],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q62_gpkg_"), "layer")
+    write_gpkg(pts.mapInPandas(to_wkb, wkb_schema), out,
+               mode="parts")
+    back = read_gpkg(spark, out, bbox=(-90.0, -45.0, 90.0, 45.0))
+
+    coord_schema = StructType([
+        StructField("k", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("tag", StringType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "k": b["k"].to_numpy(np.int64),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+                "tag": b["tag"],
+            })
+
+    return (
+        back.mapInPandas(coords, coord_schema)
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"),
+             F.sum(F.length("tag")).cast("long").alias("tag_len"))
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2371,6 +2455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_geojson_roundtrip": q59_geojson_roundtrip,
     "q60_csv_roundtrip": q60_csv_roundtrip,
     "q61_flatgeobuf_roundtrip": q61_flatgeobuf_roundtrip,
+    "q62_gpkg_roundtrip": q62_gpkg_roundtrip,
 }
 
 
@@ -2748,6 +2833,7 @@ def oracle_sql() -> dict[str, str]:
         "q59_geojson_roundtrip": _geojson_oracle(),
         "q60_csv_roundtrip": _geojson_oracle(),
         "q61_flatgeobuf_roundtrip": _flatgeobuf_oracle(),
+        "q62_gpkg_roundtrip": _flatgeobuf_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
