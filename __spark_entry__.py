@@ -1965,6 +1965,83 @@ def q62_gpkg_roundtrip(spark, sf_dir):
     )
 
 
+def q63_gpkg_tile_pyramid(spark, sf_dir):
+    """GeoPackage tile-pyramid sink + source round-trip (the
+    reference's GPKG raster driver,
+    ogr/ogrsf_frmts/gpkg/gdalgeopackagerasterband.cpp, re-derived
+    over stdlib sqlite3 as sources/geopackage.py): the z=4
+    page-density raster encodes as PNG blobs distributed
+    (mapInPandas carry kernel), streams into one conformant
+    GeoPackage (gpkg_tile_matrix/_set metadata), reads back through
+    id-range splits + the in-repo PNG decoder, and per-zoom tile
+    count + total mass must equal exact SQL.  PNG tiles are Byte
+    (the translate -ot Byte convention clips counts at 255), so the
+    oracle sums LEAST(count, 255) per pixel — exact conservation
+    through encode -> SQLite blob -> decode including the clip
+    rule."""
+    import os
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.tiling import page_density_tiles
+    from gdal_spark.sources.geopackage import (
+        read_gpkg_tiles, write_gpkg_tiles,
+    )
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=4)
+    out = os.path.join(tempfile.mkdtemp(prefix="q63_gpkg_"),
+                       "pyr.gpkg")
+    write_gpkg_tiles(tiles, out, format="png")
+
+    back = read_gpkg_tiles(spark, out)
+
+    schema = StructType([
+        StructField("zoom", IntegerType()),
+        StructField("mass", LongType()),
+    ])
+
+    def mass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_rows = []
+            for _, r in b.iterrows():
+                arr = np.frombuffer(r["data"],
+                                    dtype=np.dtype(r["dtype"]))
+                out_rows.append(int(arr.sum()))
+            yield pd.DataFrame({
+                "zoom": b["zoom"],
+                "mass": np.array(out_rows, dtype=np.int64),
+            })
+
+    return (
+        back.mapInPandas(mass, schema)
+        .groupBy("zoom")
+        .agg(F.count("*").alias("n_tiles"),
+             F.sum("mass").alias("total_mass"))
+        .orderBy("zoom")
+    )
+
+
+def _gpkg_tile_oracle() -> str:
+    px, py = _pixel_sql(4)
+    tx = "CAST(FLOOR(px / 256) AS BIGINT)"
+    ty = "CAST(FLOOR(py / 256) AS BIGINT)"
+    return (
+        f"WITH pts AS ({_POINTS_SQL}),"
+        f" pix AS (SELECT {px} AS px, {py} AS py FROM pts),"
+        f" cnt AS (SELECT px, py, COUNT(*) AS c FROM pix"
+        f"         GROUP BY px, py)"
+        f" SELECT 4 AS zoom,"
+        f" COUNT(DISTINCT ({tx}) * 65536 + ({ty})) AS n_tiles,"
+        f" CAST(SUM(LEAST(c, 255)) AS BIGINT) AS total_mass"
+        f" FROM cnt"
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2456,6 +2533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_csv_roundtrip": q60_csv_roundtrip,
     "q61_flatgeobuf_roundtrip": q61_flatgeobuf_roundtrip,
     "q62_gpkg_roundtrip": q62_gpkg_roundtrip,
+    "q63_gpkg_tile_pyramid": q63_gpkg_tile_pyramid,
 }
 
 
@@ -2834,6 +2912,7 @@ def oracle_sql() -> dict[str, str]:
         "q60_csv_roundtrip": _geojson_oracle(),
         "q61_flatgeobuf_roundtrip": _flatgeobuf_oracle(),
         "q62_gpkg_roundtrip": _flatgeobuf_oracle(),
+        "q63_gpkg_tile_pyramid": _gpkg_tile_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -284,3 +284,108 @@ def test_object_store_paths_rejected(spark):
         read_gpkg(spark, "s3a://bucket/x.gpkg")
     with pytest.raises(ValueError, match="shared-filesystem"):
         write_gpkg(None, "hdfs://nn/x.gpkg")
+
+
+# ------------------------------------------------------ tiles
+
+def _tile_frame(spark, zooms=(1, 2), ts=16, seed=7):
+    from gdal_spark.operators.tiling import encode_tile
+    rng = np.random.RandomState(seed)
+    rows, arrays = [], {}
+    for z in zooms:
+        for tx, ty in [(0, 0), (1, 0), ((1 << z) - 1, (1 << z) - 1)]:
+            arr = rng.randint(0, 256, (ts, ts)).astype(np.uint8)
+            payload, dts = encode_tile(arr, None)
+            arrays[(z, tx, ty)] = arr
+            rows.append({"zoom": z, "tile_x": tx, "tile_y": ty,
+                         "band": 1, "data": payload, "dtype": dts,
+                         "tile_size": ts})
+    return spark.createDataFrame(pd.DataFrame(rows)), arrays
+
+
+def test_gpkg_tiles_roundtrip_png(spark, tmp_path):
+    from gdal_spark.operators.tiling import decode_tile
+    from gdal_spark.sources.geopackage import (
+        read_gpkg_tiles, write_gpkg_tiles,
+    )
+    tiles, arrays = _tile_frame(spark)
+    p = str(tmp_path / "pyr.gpkg")
+    assert write_gpkg_tiles(tiles, p, format="png") == len(arrays)
+    back = read_gpkg_tiles(spark, p)
+    got = {(r.zoom, r.tile_x, r.tile_y):
+           decode_tile(r.data, r.dtype, r.tile_size)
+           for r in back.collect()}
+    assert set(got) == set(arrays)
+    for k in arrays:
+        np.testing.assert_array_equal(got[k], arrays[k])
+    # zoom pushdown
+    z2 = read_gpkg_tiles(spark, p, zoom=2).collect()
+    assert {r.zoom for r in z2} == {2} and len(z2) == 3
+
+
+def test_gpkg_tiles_metadata_conformant(spark, tmp_path):
+    from gdal_spark.functions import geo
+    from gdal_spark.sources.geopackage import write_gpkg_tiles
+    tiles, arrays = _tile_frame(spark, zooms=(3,), ts=8)
+    p = str(tmp_path / "m.gpkg")
+    write_gpkg_tiles(tiles, p, table="osm", format="png")
+    con = sqlite3.connect(f"file:{p}?mode=ro", uri=True)
+    assert con.execute("PRAGMA application_id").fetchone()[0] == \
+        APPLICATION_ID
+    assert con.execute(
+        "SELECT data_type FROM gpkg_contents").fetchone()[0] == \
+        "tiles"
+    tm = con.execute(
+        "SELECT zoom_level, matrix_width, matrix_height, "
+        "tile_width, tile_height, pixel_x_size "
+        "FROM gpkg_tile_matrix").fetchall()
+    o = geo.ORIGIN
+    assert tm == [(3, 8, 8, 8, 8, 2.0 * o / (8 * 8))]
+    assert con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM "
+        "gpkg_tile_matrix_set").fetchone() == (-o, -o, o, o)
+    # contents extent covers exactly the occupied tile range
+    mnx, mny, mxx, mxy = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM "
+        "gpkg_contents").fetchone()
+    size = 2.0 * o / 8
+    assert mnx == -o and mxy == o          # tile (0,0) occupied
+    assert mxx == -o + 8 * size and mny == o - 8 * size
+    # UNIQUE key on the pyramid table
+    with pytest.raises(sqlite3.IntegrityError):
+        con2 = sqlite3.connect(p)
+        con2.execute("INSERT INTO osm (zoom_level, tile_column, "
+                     "tile_row, tile_data) VALUES (3, 0, 0, x'00')")
+    con.close()
+
+
+def test_gpkg_tiles_multiband_jpeg(spark, tmp_path):
+    from gdal_spark.operators.tiling import decode_tile, encode_tile
+    from gdal_spark.sources.geopackage import (
+        read_gpkg_tiles, write_gpkg_tiles,
+    )
+    rng = np.random.RandomState(2)
+    base = rng.randint(60, 200, (16, 16)).astype(np.uint8)
+    rows = []
+    for b in range(1, 4):   # smooth RGB so baseline JPEG stays close
+        payload, dts = encode_tile(base, None)
+        rows.append({"zoom": 0, "tile_x": 0, "tile_y": 0, "band": b,
+                     "data": payload, "dtype": dts, "tile_size": 16})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    p = str(tmp_path / "j.gpkg")
+    assert write_gpkg_tiles(tiles, p, format="jpeg",
+                            quality=95) == 1
+    back = read_gpkg_tiles(spark, p).collect()
+    assert sorted(r.band for r in back) == [1, 2, 3]
+    for r in back:
+        got = decode_tile(r.data, r.dtype, r.tile_size)
+        assert float(np.mean(np.abs(
+            got.astype(float) - base.astype(float)))) < 6.0
+
+
+def test_gpkg_tiles_format_rejected(spark, tmp_path):
+    from gdal_spark.sources.geopackage import write_gpkg_tiles
+    tiles, _ = _tile_frame(spark, zooms=(0,))
+    with pytest.raises(ValueError, match="PNG or JPEG"):
+        write_gpkg_tiles(tiles, str(tmp_path / "x.gpkg"),
+                         format="gtiff")
