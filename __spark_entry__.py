@@ -2042,6 +2042,54 @@ def _gpkg_tile_oracle() -> str:
     )
 
 
+def q64_st_functions(spark, sf_dir):
+    """SQLITE-dialect ST_* function surface driven through
+    spark.sql (the reference's spatialite-compatible function table,
+    doc/source/user/sql_sqlite_dialect.rst, registered as
+    Arrow-batched pandas UDFs in sql/stfuncs.py): points construct
+    via ST_MakePoint, round-trip through ST_AsText -> ST_GeomFromText
+    (exact — WKT emits repr floats), measure ST_Distance to the
+    origin (the same sqrt(x*x+y*y) float form the oracle computes)
+    and ST_Area of a 2x3 ST_MakeEnvelope box (rounds to exactly 6
+    per row); the checksums must equal plain SQL."""
+    from gdal_spark.sql.stfuncs import register_st_functions
+
+    register_st_functions(spark)
+    pts = _points_from_orders(spark, sf_dir)
+    g = pts.selectExpr(
+        "st_geomfromtext(st_astext(st_makepoint(lon, lat))) AS g",
+        "lon", "lat")
+    g = g.selectExpr(
+        "st_x(g) AS x", "st_y(g) AS y",
+        "st_distance(g, st_makepoint(CAST(0 AS DOUBLE), "
+        "CAST(0 AS DOUBLE))) AS d",
+        "st_area(st_makeenvelope(lon, lat, "
+        "lon + CAST(2 AS DOUBLE), lat + CAST(3 AS DOUBLE))) AS ea")
+    return g.agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("x") * F.lit(1000.0)))
+        .cast("long").alias("sx"),
+        F.sum(F.floor(F.col("y") * F.lit(1000.0)))
+        .cast("long").alias("sy"),
+        F.sum(F.floor(F.col("d") * F.lit(100.0)))
+        .cast("long").alias("sd"),
+        F.sum(F.floor(F.col("ea") + F.lit(0.5)))
+        .cast("long").alias("sa"))
+
+
+def _st_functions_oracle() -> str:
+    return (
+        f"WITH pts AS ({_POINTS_SQL})"
+        " SELECT COUNT(*) AS n,"
+        " CAST(SUM(FLOOR(lon * 1000.0)) AS BIGINT) AS sx,"
+        " CAST(SUM(FLOOR(lat * 1000.0)) AS BIGINT) AS sy,"
+        " CAST(SUM(FLOOR(SQRT(lon*lon + lat*lat) * 100.0))"
+        "   AS BIGINT) AS sd,"
+        " CAST(COUNT(*) * 6 AS BIGINT) AS sa"
+        " FROM pts"
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2534,6 +2582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_flatgeobuf_roundtrip": q61_flatgeobuf_roundtrip,
     "q62_gpkg_roundtrip": q62_gpkg_roundtrip,
     "q63_gpkg_tile_pyramid": q63_gpkg_tile_pyramid,
+    "q64_st_functions": q64_st_functions,
 }
 
 
@@ -2913,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         "q61_flatgeobuf_roundtrip": _flatgeobuf_oracle(),
         "q62_gpkg_roundtrip": _flatgeobuf_oracle(),
         "q63_gpkg_tile_pyramid": _gpkg_tile_oracle(),
+        "q64_st_functions": _st_functions_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

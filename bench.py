@@ -234,6 +234,16 @@ def main() -> None:
                                   convention="xyz", format="jpeg"))
     finally:
         shutil.rmtree(jpg_dir, ignore_errors=True)
+    from gdal_spark.sources.geopackage import write_gpkg_tiles
+
+    gpkg_dir = tempfile.mkdtemp(prefix="gdal_spark_gpkg_")
+    try:
+        timed("gpkg_tile_sink",
+              lambda: write_gpkg_tiles(
+                  cut_tiles, os.path.join(gpkg_dir, "pyr.gpkg"),
+                  format="png"))
+    finally:
+        shutil.rmtree(gpkg_dir, ignore_errors=True)
     cut_tiles.unpersist()
 
     # 8. minhash dedup over documents
