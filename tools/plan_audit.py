@@ -287,6 +287,95 @@ def main() -> None:
     checks.append(("big line overlay never collects to the driver",
                    "CollectLimit" not in p8))
 
+    # format drivers: the read-side pruning the 100TB design
+    # depends on — FlatGeobuf ships only R-tree-hit byte ranges to
+    # executors; GeoPackage reads are integer-PK index scans with
+    # the bbox as an R*Tree subquery (asserted via SQLite's own
+    # query planner)
+    import tempfile
+
+    from gdal_spark.sources.flatgeobuf import (
+        _file_layout, _tree_search, write_flatgeobuf,
+    )
+
+    rng = np.random.default_rng(17)
+    nf = 20_000
+    fgb_pdf = pd.DataFrame({
+        "geometry": [b"\x01\x01\x00\x00\x00" + np.array(
+            [x, y]).tobytes() for x, y in rng.uniform(0, 100,
+                                                      (nf, 2))],
+        "k": np.arange(nf, dtype=np.int64)})
+    fgb_path = os.path.join(tempfile.mkdtemp(prefix="audit_fgb_"),
+                            "pts.fgb")
+    write_flatgeobuf(spark.createDataFrame(fgb_pdf), fgb_path,
+                     mode="single")
+    hdr, idx_start, feat_start, fsize = _file_layout(fgb_path)
+    with open(fgb_path, "rb") as fh:
+        hits = _tree_search(fh, idx_start, nf,
+                            hdr.index_node_size, (40, 40, 50, 50))
+    # 1% of the area -> ~1% of the features; ranges ship O(hits)
+    # bytes, not the file
+    span = (max(o for _, o in hits) - min(o for _, o in hits)
+            if hits else 0)
+    checks.append((
+        "flatgeobuf bbox read prunes via the packed R-tree: "
+        f"{len(hits)} of {nf} features hit for a 1% box, hit byte "
+        f"span {span / (fsize - feat_start):.1%} of the features "
+        "section",
+        0 < len(hits) < nf * 0.05
+        and span < (fsize - feat_start) * 0.6))
+
+    import sqlite3
+
+    from gdal_spark.sources.geopackage import (
+        write_gpkg, write_gpkg_tiles,
+    )
+
+    gdir = tempfile.mkdtemp(prefix="audit_gpkg_")
+    gpath = os.path.join(gdir, "pts.gpkg")
+    write_gpkg(spark.createDataFrame(fgb_pdf), gpath, mode="single",
+               table="pts")
+    con = sqlite3.connect(f"file:{gpath}?mode=ro", uri=True)
+    ep = "".join(r[3] for r in con.execute(
+        'EXPLAIN QUERY PLAN SELECT "fid", "geometry" FROM "pts" '
+        'WHERE "fid" BETWEEN 1 AND 1000 AND "fid" IN (SELECT id '
+        'FROM "rtree_pts_geometry" WHERE maxx >= 40 AND minx <= 50 '
+        "AND maxy >= 40 AND miny <= 50)"))
+    con.close()
+    checks.append((
+        "gpkg task SQL is an integer-PK index scan with an R*Tree "
+        "virtual-table probe (SQLite query plan: "
+        f"{ep[:80]}...)",
+        "USING INTEGER PRIMARY KEY" in ep
+        and "VIRTUAL TABLE INDEX" in ep))
+
+    from gdal_spark.operators.tiling import encode_tile
+
+    trows = []
+    for z in (2, 3):
+        for t in range(4):
+            arr = (np.arange(64, dtype=np.uint8).reshape(8, 8)
+                   + t)
+            payload, dts = encode_tile(arr, None)
+            trows.append({"zoom": z, "tile_x": t, "tile_y": t,
+                          "band": 1, "data": payload, "dtype": dts,
+                          "tile_size": 8})
+    tpath = os.path.join(gdir, "pyr.gpkg")
+    write_gpkg_tiles(spark.createDataFrame(pd.DataFrame(trows)),
+                     tpath, format="png")
+    con = sqlite3.connect(f"file:{tpath}?mode=ro", uri=True)
+    ep2 = "".join(r[3] for r in con.execute(
+        "EXPLAIN QUERY PLAN SELECT zoom_level, tile_column, "
+        'tile_row, tile_data FROM "tiles" WHERE id BETWEEN 1 AND 4 '
+        "AND zoom_level = 3"))
+    con.close()
+    checks.append((
+        "gpkg tile task SQL is an index scan — PK range or the "
+        "UNIQUE (zoom,x,y) autoindex, never a full scan "
+        f"(SQLite query plan: {ep2[:60]}...)",
+        "USING INTEGER PRIMARY KEY" in ep2
+        or "USING INDEX sqlite_autoindex" in ep2))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
