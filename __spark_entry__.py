@@ -2090,6 +2090,166 @@ def _st_functions_oracle() -> str:
     )
 
 
+def q65_gpx_roundtrip(spark, sf_dir):
+    """GPX driver round-trip (the reference's ogr/ogrsf_frmts/gpx/
+    layer re-derived from the Topografix 1.1 schema as
+    sources/xmlgeo.py): the orders point layer writes as
+    distributed part-*.gpx waypoints (the order key rides in
+    ``ele`` — exact float64 via repr — and a derived tag in
+    ``name``), reads back through byte-range-split XML tasks (the
+    Hadoop ownership rule on <wpt> starts), and count / key /
+    coordinate / string-length checksums must equal exact SQL on
+    the source table (same checksums as q59's oracle)."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gdal_spark.sources.xmlgeo import read_gpx, write_gpx
+
+    pts = _points_from_orders(spark, sf_dir).withColumn(
+        "tag", F.concat(F.lit("c"), (F.col("k") % 97).cast("string")))
+
+    wkb_schema = StructType([
+        StructField("geometry", BinaryType()),
+        StructField("ele", DoubleType()),
+        StructField("name", StringType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "ele": b["k"].to_numpy(np.float64),
+                "name": b["tag"],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q65_gpx_"), "layer")
+    write_gpx(pts.mapInPandas(to_wkb, wkb_schema), out,
+              layer="waypoints")
+    back = read_gpx(spark, out, "waypoints")
+
+    coord_schema = StructType([
+        StructField("k", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("tag", StringType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "k": b["ele"].to_numpy(np.float64).astype(np.int64),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+                "tag": b["name"],
+            })
+
+    return (
+        back.mapInPandas(coords, coord_schema)
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"),
+             F.sum(F.length("tag")).cast("long").alias("tag_len"))
+    )
+
+
+def q66_kml_roundtrip(spark, sf_dir):
+    """KML driver round-trip (the reference's ogr/ogrsf_frmts/kml/
+    reader+writer re-derived from OGC KML 2.2 as sources/xmlgeo.py):
+    the orders point layer writes as distributed part-*.kml
+    Placemarks (key in ``description``, tag in ``name``), reads
+    back through byte-range-split Placemark tasks, and the same
+    conservation checksums must equal exact SQL."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gdal_spark.sources.xmlgeo import read_kml, write_kml
+
+    pts = _points_from_orders(spark, sf_dir).withColumn(
+        "tag", F.concat(F.lit("c"), (F.col("k") % 97).cast("string")))
+
+    wkb_schema = StructType([
+        StructField("geometry", BinaryType()),
+        StructField("name", StringType()),
+        StructField("description", StringType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "name": b["tag"],
+                "description": b["k"].astype(str),
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q66_kml_"), "layer")
+    write_kml(pts.mapInPandas(to_wkb, wkb_schema), out)
+    back = read_kml(spark, out)
+
+    coord_schema = StructType([
+        StructField("k", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("tag", StringType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "k": b["description"].astype(np.int64),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+                "tag": b["name"],
+            })
+
+    return (
+        back.mapInPandas(coords, coord_schema)
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"),
+             F.sum(F.length("tag")).cast("long").alias("tag_len"))
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2583,6 +2743,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_gpkg_roundtrip": q62_gpkg_roundtrip,
     "q63_gpkg_tile_pyramid": q63_gpkg_tile_pyramid,
     "q64_st_functions": q64_st_functions,
+    "q65_gpx_roundtrip": q65_gpx_roundtrip,
+    "q66_kml_roundtrip": q66_kml_roundtrip,
 }
 
 
@@ -2963,6 +3125,8 @@ def oracle_sql() -> dict[str, str]:
         "q62_gpkg_roundtrip": _flatgeobuf_oracle(),
         "q63_gpkg_tile_pyramid": _gpkg_tile_oracle(),
         "q64_st_functions": _st_functions_oracle(),
+        "q65_gpx_roundtrip": _geojson_oracle(),
+        "q66_kml_roundtrip": _geojson_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
