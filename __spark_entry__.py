@@ -2250,6 +2250,73 @@ def q66_kml_roundtrip(spark, sf_dir):
     )
 
 
+def q67_vrt_mosaic(spark, sf_dir):
+    """VRT mosaic surface (the reference's frmts/vrt/ +
+    apps/gdalbuildvrt_lib.cpp re-derived as sources/vrt.py): the
+    z=4 page-density raster writes as georeferenced z/x/y.tif files
+    (native int64 — lossless), gdalbuildvrt-style union over the
+    tile files (header-only mmap probes, no pixel I/O at build),
+    then the VRT MATERIALIZES distributed — one task per source
+    paints onto the union lattice, seam tiles composite in source
+    order — and tile count + total mass must equal exact SQL.
+    Tile origins differ by multiples of 256 px, so the union grid
+    is tile-aligned and both checksums are exact end-to-end."""
+    import glob
+    import os
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.tiling import (
+        page_density_tiles, write_tiles,
+    )
+    from gdal_spark.sources.vrt import build_vrt, read_vrt
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=4)
+    out = os.path.join(tempfile.mkdtemp(prefix="q67_vrt_"), "pyr")
+    write_tiles(tiles, out, convention="xyz", format="gtiff")
+
+    tifs = sorted(glob.glob(os.path.join(out, "4", "*", "*.tif")))
+    vrt_path = os.path.join(out, "mosaic.vrt")
+    build_vrt(tifs, vrt_path)
+    back, _grid = read_vrt(spark, vrt_path, tile_size=256)
+
+    schema = StructType([StructField("mass", LongType())])
+
+    def mass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_rows = []
+            for _, r in b.iterrows():
+                arr = np.frombuffer(r["data"],
+                                    dtype=np.dtype(r["dtype"]))
+                out_rows.append(int(arr.sum()))
+            yield pd.DataFrame({"mass": np.array(out_rows,
+                                                 dtype=np.int64)})
+
+    return (
+        back.mapInPandas(mass, schema)
+        .agg(F.count("*").alias("n_tiles"),
+             F.sum("mass").cast("long").alias("total_points"))
+    )
+
+
+def _vrt_mosaic_oracle() -> str:
+    px, py = _pixel_sql(4)
+    tx = "CAST(FLOOR(px / 256) AS BIGINT)"
+    ty = "CAST(FLOOR(py / 256) AS BIGINT)"
+    return (
+        f"WITH pts AS ({_POINTS_SQL}),"
+        f" pix AS (SELECT {px} AS px, {py} AS py FROM pts)"
+        f" SELECT"
+        f" COUNT(DISTINCT ({tx}) * 65536 + ({ty})) AS n_tiles,"
+        f" COUNT(*) AS total_points FROM pix"
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2745,6 +2812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_st_functions": q64_st_functions,
     "q65_gpx_roundtrip": q65_gpx_roundtrip,
     "q66_kml_roundtrip": q66_kml_roundtrip,
+    "q67_vrt_mosaic": q67_vrt_mosaic,
 }
 
 
@@ -3127,6 +3195,7 @@ def oracle_sql() -> dict[str, str]:
         "q64_st_functions": _st_functions_oracle(),
         "q65_gpx_roundtrip": _geojson_oracle(),
         "q66_kml_roundtrip": _geojson_oracle(),
+        "q67_vrt_mosaic": _vrt_mosaic_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
