@@ -2317,6 +2317,80 @@ def _vrt_mosaic_oracle() -> str:
     )
 
 
+def q68_ogrinfo(spark, sf_dir):
+    """Unified open + ogrinfo surface (ogr.Open / apps/
+    ogrinfo_lib.cpp re-derived as sources/registry.py): the orders
+    point layer writes as FlatGeobuf parts, opens back through the
+    format-sniffing ``open_vector`` entry point, and
+    ``vector_info`` computes featureCount + extent + geometry-type
+    histogram in ONE distributed pass; the numbers must equal SQL
+    COUNT/MIN/MAX (doubles ride FlatGeobuf exactly, so the floored
+    extents agree bit-for-bit)."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sources.flatgeobuf import write_flatgeobuf
+    from gdal_spark.sources.registry import vector_info
+
+    pts = _points_from_orders(spark, sf_dir)
+
+    wkb_schema = StructType([
+        StructField("geometry", BinaryType()),
+        StructField("k", LongType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "k": b["k"].to_numpy(),
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q68_info_"),
+                       "layer")
+    write_flatgeobuf(pts.mapInPandas(to_wkb, wkb_schema), out,
+                     mode="parts")
+    info = vector_info(spark, out)
+    ext = info["extent"]
+    row = {
+        "n": int(info["featureCount"]),
+        "minx_f": int(np.floor(ext[0] * 1000.0)),
+        "miny_f": int(np.floor(ext[1] * 1000.0)),
+        "maxx_f": int(np.floor(ext[2] * 1000.0)),
+        "maxy_f": int(np.floor(ext[3] * 1000.0)),
+        "gtypes": ",".join(info["geometryTypes"]),
+    }
+    return spark.createDataFrame(
+        pd.DataFrame([row]),
+        "n long, minx_f long, miny_f long, maxx_f long, "
+        "maxy_f long, gtypes string")
+
+
+def _ogrinfo_oracle() -> str:
+    return (
+        f"WITH pts AS ({_POINTS_SQL})"
+        " SELECT COUNT(*) AS n,"
+        " CAST(FLOOR(MIN(lon) * 1000.0) AS BIGINT) AS minx_f,"
+        " CAST(FLOOR(MIN(lat) * 1000.0) AS BIGINT) AS miny_f,"
+        " CAST(FLOOR(MAX(lon) * 1000.0) AS BIGINT) AS maxx_f,"
+        " CAST(FLOOR(MAX(lat) * 1000.0) AS BIGINT) AS maxy_f,"
+        " 'Point' AS gtypes"
+        " FROM pts"
+    )
+
+
 def _lang_id_oracle() -> str:
     # generated from the SAME LANG_MARKERS constants as the Spark
     # expression so the two can only drift together; DuckDB
@@ -2813,6 +2887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_gpx_roundtrip": q65_gpx_roundtrip,
     "q66_kml_roundtrip": q66_kml_roundtrip,
     "q67_vrt_mosaic": q67_vrt_mosaic,
+    "q68_ogrinfo": q68_ogrinfo,
 }
 
 
@@ -3196,6 +3271,7 @@ def oracle_sql() -> dict[str, str]:
         "q65_gpx_roundtrip": _geojson_oracle(),
         "q66_kml_roundtrip": _geojson_oracle(),
         "q67_vrt_mosaic": _vrt_mosaic_oracle(),
+        "q68_ogrinfo": _ogrinfo_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
