@@ -353,7 +353,18 @@ def write_gpkg(df, path: str, *, geometry_col: str = "geometry",
             "write_gpkg needs a plain shared-filesystem path "
             f"(got {path!r}); object-store URIs are not supported")
     dt = dict(df.dtypes)
-    prop_names = [c for c in df.columns if c != geometry_col]
+    fid_col = None
+    if "fid" in df.columns:
+        # the reference preserves source FIDs (ogr2ogr
+        # -preserve_fid is the GPKG default): an integer `fid`
+        # column becomes the primary key instead of autoincrement
+        if dt["fid"] not in ("bigint", "int"):
+            raise ValueError(
+                "geopackage: a `fid` column must be integer to "
+                f"become the primary key (got {dt['fid']})")
+        fid_col = "fid"
+    prop_names = [c for c in df.columns
+                  if c != geometry_col and c != fid_col]
     try:
         prop_defs = [(c, _SPARK_TO_GPKG[dt[c]]) for c in prop_names]
     except KeyError as e:
@@ -381,6 +392,9 @@ def write_gpkg(df, path: str, *, geometry_col: str = "geometry",
             pdf = pd.concat(chunks, ignore_index=True)
             blobs, env, props = _encode_partition(
                 pdf, geometry_col, prop_names, srs_id)
+            fids = (pdf["fid"].to_numpy(np.int64) if fid_col
+                    else np.arange(1, len(pdf) + 1,
+                                   dtype=np.int64))
             out = os.path.join(path, f"part-{pid:05d}.gpkg")
             con = _create_gpkg(out, table, geometry_col,
                                geometry_type, srs_id, prop_defs)
@@ -389,14 +403,14 @@ def write_gpkg(df, path: str, *, geometry_col: str = "geometry",
             con.executemany(
                 f'INSERT INTO "{table}" ("fid", "{geometry_col}"'
                 + (", " + cols if cols else "") + f") VALUES ({ph})",
-                [(i + 1, blobs[i], *props[i])
+                [(int(fids[i]), blobs[i], *props[i])
                  for i in range(len(pdf))])
             fin = np.isfinite(env[:, 0])
             extent = ((env[fin, 0].min(), env[fin, 1].min(),
                        env[fin, 2].max(), env[fin, 3].max())
                       if fin.any() else None)
             _finish_gpkg(con, table, geometry_col, srs_id, extent,
-                         np.flatnonzero(fin) + 1,
+                         fids[fin],
                          _f32_outward(env[fin]), index)
             yield pd.DataFrame({"file": [out], "n": [len(pdf)]})
 
@@ -414,6 +428,7 @@ def write_gpkg(df, path: str, *, geometry_col: str = "geometry",
     enc_schema = StructType(
         [StructField("blob", BinaryType())]
         + [StructField(f"_e{i}", DoubleType()) for i in range(4)]
+        + ([StructField("fid", LongType())] if fid_col else [])
         + [StructField(c, df.schema[c].dataType)
            for c in prop_names])
 
@@ -426,6 +441,8 @@ def write_gpkg(df, path: str, *, geometry_col: str = "geometry",
             out = {"blob": blobs}
             for i in range(4):
                 out[f"_e{i}"] = env[:, i]
+            if fid_col:
+                out["fid"] = b["fid"]
             for c in prop_names:
                 out[c] = b[c]
             yield pd.DataFrame(out)
@@ -434,8 +451,9 @@ def write_gpkg(df, path: str, *, geometry_col: str = "geometry",
     con = _create_gpkg(path, table, geometry_col, geometry_type,
                        srs_id, prop_defs)
     cols = ", ".join(f'"{c}"' for c in prop_names)
-    ph = ",".join("?" * (len(prop_names) + 1))
-    ins = (f'INSERT INTO "{table}" ("{geometry_col}"'
+    lead = '"fid", ' if fid_col else ""
+    ph = ",".join("?" * (len(prop_names) + 1 + bool(fid_col)))
+    ins = (f'INSERT INTO "{table}" ({lead}"{geometry_col}"'
            + (", " + cols if cols else "") + f") VALUES ({ph})")
     cur = con.cursor()
     n = 0
@@ -446,7 +464,8 @@ def write_gpkg(df, path: str, *, geometry_col: str = "geometry",
         vals = [None if isinstance(v, float) and np.isnan(v) else v
                 for v in (row[c] for c in prop_names)]
         blob = bytes(row["blob"]) if row["blob"] is not None else None
-        cur.execute(ins, (blob, *vals))
+        cur.execute(ins, ((int(row["fid"]), blob, *vals)
+                          if fid_col else (blob, *vals)))
         n += 1
         if blob is not None:
             e = (row["_e0"], row["_e1"], row["_e2"], row["_e3"])

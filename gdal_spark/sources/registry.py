@@ -125,6 +125,62 @@ def open_vector(spark, path: str, driver: str | None = None,
     raise ValueError(f"unknown driver {drv!r}")
 
 
+def write_vector(df, path: str, driver: str | None = None,
+                 **opts):
+    """Writer dispatch (the other half of ogr2ogr): the driver
+    comes from the explicit argument or the output extension.
+    Passes ``opts`` through (``mode="single"``, ``layer=`` for
+    GPX, ...)."""
+    drv = driver
+    if drv is None:
+        ext = os.path.splitext(path)[1].lower()
+        drv = _VECTOR_EXT.get(ext)
+        if drv is None:
+            raise ValueError(
+                f"{path}: give driver= or use a known extension "
+                f"({sorted(_VECTOR_EXT)})")
+    if drv == "ESRI Shapefile":
+        from gdal_spark.sources.shapefile import write_shapefile
+        return write_shapefile(df, path, **opts)
+    if drv in ("GeoJSON", "GeoJSONSeq"):
+        from gdal_spark.sources.geojson import write_geojson
+        return write_geojson(df, path, **opts)
+    if drv == "CSV":
+        from gdal_spark.sources.csvfile import write_csv_layer
+        return write_csv_layer(df, path, **opts)
+    if drv == "FlatGeobuf":
+        from gdal_spark.sources.flatgeobuf import write_flatgeobuf
+        return write_flatgeobuf(df, path, **opts)
+    if drv == "GPKG":
+        from gdal_spark.sources.geopackage import write_gpkg
+        return write_gpkg(df, path, **opts)
+    if drv == "GPX":
+        from gdal_spark.sources.xmlgeo import write_gpx
+        return write_gpx(df, path, **opts)
+    if drv == "KML":
+        from gdal_spark.sources.xmlgeo import write_kml
+        return write_kml(df, path, **opts)
+    if drv == "Parquet":
+        df.write.parquet(path, mode="overwrite")
+        return None
+    raise ValueError(f"unknown driver {drv!r}")
+
+
+def convert(spark, src: str, dst: str, *,
+            src_driver: str | None = None,
+            dst_driver: str | None = None,
+            src_opts: dict | None = None,
+            dst_opts: dict | None = None):
+    """ogr2ogr: open ``src`` with any driver, write ``dst`` with
+    any driver — fully distributed on both sides (the frame never
+    materializes on the driver except in a single-file writer's
+    declared streaming mode)."""
+    df = open_vector(spark, src, driver=src_driver,
+                     **(src_opts or {}))
+    return write_vector(df, dst, driver=dst_driver,
+                        **(dst_opts or {}))
+
+
 _KIND_NAMES = {1: "Point", 2: "LineString", 3: "Polygon",
                4: "MultiPoint", 5: "MultiLineString",
                6: "MultiPolygon"}

@@ -133,6 +133,34 @@ def parse_xy(wkb):
     return float(p[0]), float(p[1])
 
 
+def test_ogr2ogr_convert_chain(spark, tmp_path):
+    """fgb -> gpkg -> kml across the registry: geometry must
+    survive byte-exact through every hop."""
+    from gdal_spark.sources.registry import convert, write_vector
+
+    df, pdf = _pts_df(spark, n=40, seed=8)
+    src = str(tmp_path / "a.fgb")
+    write_vector(df, src, mode="single")
+    mid = str(tmp_path / "b.gpkg")
+    convert(spark, src, mid, dst_opts={"mode": "single"})
+    last = str(tmp_path / "c.kml")
+    # kml keeps name/description: project k into name first
+    kdf = open_vector(spark, mid).selectExpr(
+        "geometry", "CAST(k AS STRING) AS name")
+    write_vector(kdf, last, mode="single")
+    back = open_vector(spark, last)
+    a = {int(r["name"]): bytes(r.geometry) for r in back.collect()}
+    assert len(a) == 40
+    for _, row in pdf.iterrows():
+        assert a[int(row.k)] == bytes(row.geometry)
+
+
+def test_write_vector_unknown_extension(spark):
+    from gdal_spark.sources.registry import write_vector
+    with pytest.raises(ValueError, match="driver"):
+        write_vector(None, "/tmp/out.xyzzy")
+
+
 def test_raster_info_gtiff_and_pyramid(spark, tmp_path):
     from gdal_spark.operators.gtiff import encode_gtiff
     from gdal_spark.operators.tiling import write_tiles
