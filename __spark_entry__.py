@@ -2378,6 +2378,124 @@ def q68_ogrinfo(spark, sf_dir):
         "maxy_f long, gtypes string")
 
 
+def q69_mvt_roundtrip(spark, sf_dir):
+    """Mapbox Vector Tiles sink + source round-trip (the
+    reference's MVT driver, ogr/ogrsf_frmts/mvt/ogrmvtdataset.cpp,
+    re-derived from the public vector-tile-spec 2.1 as
+    sources/mvt.py): the orders point layer writes as a z=5 .pbf
+    pyramid (buffer=0, so every point encodes into exactly its
+    GetTileIndices tile), reads back distributed through Spark's
+    binaryFile source, and per-tile feature count + quantized
+    tile-coordinate sums must equal the closed-form SQL — the
+    shared mercator/tile fragments plus the writer's
+    floor(v*extent+0.5) quantizer (requantizing the dequantized
+    grid point is exact: the spec's integer lattice round-trips
+    through lon/lat with ~1e-4 tile-unit error, far from the 0.5
+    rounding boundary)."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sources.mvt import read_mvt, write_mvt
+
+    z = 5
+    pts = _points_from_orders(spark, sf_dir)
+
+    wkb_schema = StructType([
+        StructField("fid", LongType()),
+        StructField("geometry", BinaryType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "fid": b["k"].to_numpy(),
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q69_mvt_"),
+                       "tiles.mvt")
+    write_mvt(pts.mapInPandas(to_wkb, wkb_schema), out,
+              minzoom=z, maxzoom=z, buffer=0)
+
+    back = read_mvt(spark, out)
+
+    ll_schema = StructType([
+        StructField("tile_x", LongType()),
+        StructField("tile_y", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+
+    def to_ll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            raw = b"".join(bytes(v) for v in b["geometry"])
+            a = np.frombuffer(raw, dtype=[("hdr", "S5"),
+                                          ("x", "<f8"),
+                                          ("y", "<f8")])
+            yield pd.DataFrame({
+                "tile_x": b["tile_x"].to_numpy(),
+                "tile_y": b["tile_y"].to_numpy(),
+                "lon": a["x"], "lat": a["y"],
+            })
+
+    # E-notation keeps the literals DOUBLE in BOTH engines (Spark
+    # parses a bare decimal literal as DECIMAL — CLAUDE.md pitfall;
+    # DECIMAL vs DOUBLE arithmetic drifts an ulp and flips a
+    # floor(+0.5) boundary about once per 15k points)
+    tw = f"{2.0 * geo.ORIGIN / (1 << z)!r}e0"
+    origin = f"{geo.ORIGIN!r}e0"
+    ll = back.select("tile_x", "tile_y", "geometry") \
+        .mapInPandas(to_ll, ll_schema)
+    mx = geo.merc_x_sql("lon")
+    my = geo.merc_y_sql("lat")
+    ix = (f"CAST(FLOOR((({mx}) - (tile_x * {tw} - "
+          f"{origin})) / {tw} * 4096.0 + 0.5) AS BIGINT)")
+    iy = (f"CAST(FLOOR((({origin} - tile_y * {tw}) - "
+          f"({my})) / {tw} * 4096.0 + 0.5) AS BIGINT)")
+    return (
+        ll.selectExpr("tile_x", "tile_y", f"{ix} AS ix",
+                      f"{iy} AS iy")
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"),
+             F.sum("ix").alias("six"),
+             F.sum("iy").alias("siy"))
+    )
+
+
+def _mvt_oracle() -> str:
+    z = 5
+    tw = f"{2.0 * geo.ORIGIN / (1 << z)!r}e0"
+    origin = f"{geo.ORIGIN!r}e0"
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        m AS (SELECT {geo.merc_x_sql('lon')} AS mx,
+                     {geo.merc_y_sql('lat')} AS my FROM pts),
+        t AS (SELECT {geo.tile_x_sql('mx', z)} AS tile_x,
+                     {geo.tile_y_sql('my', z)} AS tile_y,
+                     mx, my FROM m)
+        SELECT tile_x, tile_y, COUNT(*) AS n,
+          CAST(SUM(CAST(FLOOR((mx - (tile_x * {tw} - {origin}))
+               / {tw} * 4096.0 + 0.5) AS BIGINT)) AS BIGINT) AS six,
+          CAST(SUM(CAST(FLOOR((({origin} - tile_y * {tw}) - my)
+               / {tw} * 4096.0 + 0.5) AS BIGINT)) AS BIGINT) AS siy
+        FROM t GROUP BY 1, 2
+    """
+
+
 def _ogrinfo_oracle() -> str:
     return (
         f"WITH pts AS ({_POINTS_SQL})"
@@ -2888,6 +3006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_kml_roundtrip": q66_kml_roundtrip,
     "q67_vrt_mosaic": q67_vrt_mosaic,
     "q68_ogrinfo": q68_ogrinfo,
+    "q69_mvt_roundtrip": q69_mvt_roundtrip,
 }
 
 
@@ -3272,6 +3391,7 @@ def oracle_sql() -> dict[str, str]:
         "q66_kml_roundtrip": _geojson_oracle(),
         "q67_vrt_mosaic": _vrt_mosaic_oracle(),
         "q68_ogrinfo": _ogrinfo_oracle(),
+        "q69_mvt_roundtrip": _mvt_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

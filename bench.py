@@ -246,6 +246,43 @@ def main() -> None:
         shutil.rmtree(gpkg_dir, ignore_errors=True)
     cut_tiles.unpersist()
 
+    # 7e. MVT vector-tile sink: n_geo points -> z6 .pbf pyramid
+    # (sources/mvt.py; vectorized point cover + all-points flush)
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sources.mvt import write_mvt
+
+    mvt_pts = pages_coords_df(spark, n_geo)
+    pt_schema = StructType([StructField("fid", LongType()),
+                            StructField("geometry", BinaryType())])
+
+    def _to_wkb(batches):
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "fid": b["i"].to_numpy(),
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+            })
+
+    mvt_dir = tempfile.mkdtemp(prefix="gdal_spark_mvt_")
+    try:
+        timed("mvt_tile_sink",
+              lambda: write_mvt(
+                  mvt_pts.mapInPandas(_to_wkb, pt_schema),
+                  os.path.join(mvt_dir, "tiles.mvt"),
+                  minzoom=6, maxzoom=6, buffer=0))
+    finally:
+        shutil.rmtree(mvt_dir, ignore_errors=True)
+
     # 8. minhash dedup over documents
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())

@@ -39,6 +39,7 @@ _VECTOR_EXT = {
     ".gpx": "GPX",
     ".kml": "KML",
     ".parquet": "Parquet",
+    ".mvt": "MVT",
 }
 
 _MAGIC = [
@@ -54,6 +55,10 @@ def sniff_vector_driver(path: str) -> str:
     loop, GDALOpenEx): extension first, then magic bytes, then
     content sniff for XML/JSON text formats."""
     if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "metadata.json")):
+            # MVT directory dataset (the reference's MVT driver
+            # identifies on metadata.json too, ogrmvtdataset.cpp)
+            return "MVT"
         for ext, drv in _VECTOR_EXT.items():
             if _glob.glob(os.path.join(path, f"part-*{ext}")):
                 return drv
@@ -120,6 +125,9 @@ def open_vector(spark, path: str, driver: str | None = None,
     if drv == "KML":
         from gdal_spark.sources.xmlgeo import read_kml
         return read_kml(spark, path, **opts)
+    if drv == "MVT":
+        from gdal_spark.sources.mvt import read_mvt
+        return read_mvt(spark, path, **opts)
     if drv == "Parquet":
         return spark.read.parquet(path)
     raise ValueError(f"unknown driver {drv!r}")
@@ -160,6 +168,9 @@ def write_vector(df, path: str, driver: str | None = None,
     if drv == "KML":
         from gdal_spark.sources.xmlgeo import write_kml
         return write_kml(df, path, **opts)
+    if drv == "MVT":
+        from gdal_spark.sources.mvt import write_mvt
+        return write_mvt(df, path, **opts)
     if drv == "Parquet":
         df.write.parquet(path, mode="overwrite")
         return None
