@@ -2042,6 +2042,154 @@ def _gpkg_tile_oracle() -> str:
     )
 
 
+def q70_mbtiles_pyramid(spark, sf_dir):
+    """MBTiles raster container round-trip (the reference's MBTiles
+    driver, ogr/ogrsf_frmts/mbtiles/mbtilesdataset.cpp, re-derived
+    from the public mbtiles-spec 1.3 as sources/mbtiles.py): the
+    z=4 page-density raster encodes as PNG blobs distributed
+    (tile_blob_frame), streams into one SQLite file in the spec's
+    TMS row order, reads back through rowid-range splits (the TMS
+    flip undone), and per-zoom tile count + total mass must equal
+    exact SQL — the same Byte-clip conservation rule as the
+    GeoPackage pyramid (q63), so a flip or container bug cannot
+    hide."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.tiling import page_density_tiles
+    from gdal_spark.sources.mbtiles import (
+        read_mbtiles, write_mbtiles,
+    )
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=4)
+    out = os.path.join(tempfile.mkdtemp(prefix="q70_mbt_"),
+                       "pyr.mbtiles")
+    write_mbtiles(tiles, out, format="png")
+
+    back = read_mbtiles(spark, out)
+
+    schema = StructType([
+        StructField("zoom", IntegerType()),
+        StructField("mass", LongType()),
+    ])
+
+    def mass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_rows = []
+            for _, r in b.iterrows():
+                arr = np.frombuffer(r["data"],
+                                    dtype=np.dtype(r["dtype"]))
+                out_rows.append(int(arr.sum()))
+            yield pd.DataFrame({
+                "zoom": b["zoom"],
+                "mass": np.array(out_rows, dtype=np.int64),
+            })
+
+    return (
+        back.mapInPandas(mass, schema)
+        .groupBy("zoom")
+        .agg(F.count("*").alias("n_tiles"),
+             F.sum("mass").alias("total_mass"))
+        .orderBy("zoom")
+    )
+
+
+def q71_mbtiles_vector(spark, sf_dir):
+    """Vector-tile MBTiles round-trip (the MVT writer's MBTILES
+    container, reference mvtutils.h:54-60): the same z=5 point
+    pyramid as q69 writes through write_mbtiles_vector (gzip MVT
+    blobs in TMS row order inside SQLite), reads back through
+    rowid-range splits, and the per-tile count + quantized-sum
+    aggregation must equal the SAME closed-form SQL as the
+    directory sink — the container and the y-flip must be exactly
+    transparent."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sources.mbtiles import (
+        read_mbtiles, write_mbtiles_vector,
+    )
+
+    z = 5
+    pts = _points_from_orders(spark, sf_dir)
+
+    wkb_schema = StructType([
+        StructField("fid", LongType()),
+        StructField("geometry", BinaryType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "fid": b["k"].to_numpy(),
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q71_mbt_"),
+                       "pts.mbtiles")
+    write_mbtiles_vector(pts.mapInPandas(to_wkb, wkb_schema), out,
+                         minzoom=z, maxzoom=z, buffer=0)
+
+    back = read_mbtiles(spark, out)
+
+    ll_schema = StructType([
+        StructField("tile_x", LongType()),
+        StructField("tile_y", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+
+    def to_ll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            raw = b"".join(bytes(v) for v in b["geometry"])
+            a = np.frombuffer(raw, dtype=[("hdr", "S5"),
+                                          ("x", "<f8"),
+                                          ("y", "<f8")])
+            yield pd.DataFrame({
+                "tile_x": b["tile_x"].to_numpy(),
+                "tile_y": b["tile_y"].to_numpy(),
+                "lon": a["x"], "lat": a["y"],
+            })
+
+    tw = f"{2.0 * geo.ORIGIN / (1 << z)!r}e0"
+    origin = f"{geo.ORIGIN!r}e0"
+    ll = back.select("tile_x", "tile_y", "geometry") \
+        .mapInPandas(to_ll, ll_schema)
+    mx = geo.merc_x_sql("lon")
+    my = geo.merc_y_sql("lat")
+    ix = (f"CAST(FLOOR((({mx}) - (tile_x * {tw} - "
+          f"{origin})) / {tw} * 4096.0 + 0.5) AS BIGINT)")
+    iy = (f"CAST(FLOOR((({origin} - tile_y * {tw}) - "
+          f"({my})) / {tw} * 4096.0 + 0.5) AS BIGINT)")
+    return (
+        ll.selectExpr("tile_x", "tile_y", f"{ix} AS ix",
+                      f"{iy} AS iy")
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"),
+             F.sum("ix").alias("six"),
+             F.sum("iy").alias("siy"))
+    )
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3007,6 +3155,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_vrt_mosaic": q67_vrt_mosaic,
     "q68_ogrinfo": q68_ogrinfo,
     "q69_mvt_roundtrip": q69_mvt_roundtrip,
+    "q70_mbtiles_pyramid": q70_mbtiles_pyramid,
+    "q71_mbtiles_vector": q71_mbtiles_vector,
 }
 
 
@@ -3392,6 +3542,8 @@ def oracle_sql() -> dict[str, str]:
         "q67_vrt_mosaic": _vrt_mosaic_oracle(),
         "q68_ogrinfo": _ogrinfo_oracle(),
         "q69_mvt_roundtrip": _mvt_oracle(),
+        "q70_mbtiles_pyramid": _gpkg_tile_oracle(),
+        "q71_mbtiles_vector": _mvt_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

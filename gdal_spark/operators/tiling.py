@@ -611,6 +611,89 @@ def tile_y_file(tiles: DataFrame, convention: str = "xyz") -> DataFrame:
     )
 
 
+def tile_blob_frame(tiles: DataFrame, format: str = "png",
+                    quality: int = 75) -> DataFrame:
+    """TILE_SCHEMA -> DataFrame(zoom, tile_x, tile_y, blob,
+    tile_size): the distributed image-encode stage shared by every
+    container tile sink (GeoPackage, MBTiles).
+
+    Hash-partition on the tile key + band sort, one mapInPandas
+    carry kernel stacks bands and runs the in-repo PNG/JPEG codec —
+    the expensive encode never serializes through the driver; only
+    finished blobs leave this frame."""
+    if format not in ("png", "jpeg"):
+        raise ValueError(f"tile blobs must be png or jpeg; got "
+                         f"{format!r}")
+
+    from pyspark.sql.types import LongType, StructField
+
+    from gdal_spark.operators.jpeg import encode_jpeg
+    from gdal_spark.operators.png import encode_png
+
+    enc = (encode_png if format == "png"
+           else lambda img: encode_jpeg(img, quality=quality))
+    ok_bands = (1, 3, 4) if format == "png" else (1, 3)
+
+    out_schema = StructType([
+        StructField("zoom", IntegerType()),
+        StructField("tile_x", LongType()),
+        StructField("tile_y", LongType()),
+        StructField("blob", BinaryType()),
+        StructField("tile_size", IntegerType()),
+    ])
+    spark = tiles.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    wt = (tiles.repartition(par, "zoom", "tile_x", "tile_y")
+          .sortWithinPartitions("zoom", "tile_x", "tile_y", "band"))
+
+    def encode_kernel(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+        cur = None
+        chans: list = []
+        cur_ts = 0
+
+        def flush(rows):
+            if cur is None:
+                return
+            if len(chans) not in ok_bands:
+                raise ValueError(
+                    f"{format} tile needs bands in {ok_bands}; "
+                    f"got {len(chans)}")
+            img = chans[0] if len(chans) == 1 \
+                else np.stack(chans, axis=-1)
+            rows["zoom"].append(cur[0])
+            rows["tile_x"].append(cur[1])
+            rows["tile_y"].append(cur[2])
+            rows["blob"].append(enc(img))
+            rows["tile_size"].append(cur_ts)
+
+        for b in batches:
+            rows = {"zoom": [], "tile_x": [], "tile_y": [],
+                    "blob": [], "tile_size": []}
+            for _, r in b.iterrows():
+                key = (int(r["zoom"]), int(r["tile_x"]),
+                       int(r["tile_y"]))
+                if key != cur:
+                    flush(rows)
+                    cur = key
+                    chans = []
+                    cur_ts = int(r["tile_size"])
+                arr = decode_tile(r["data"], r["dtype"], cur_ts)
+                if arr.dtype != np.uint8:
+                    arr = np.clip(np.round(arr.astype(np.float64)),
+                                  0, 255).astype(np.uint8)
+                chans.append(arr)
+            if rows["zoom"]:
+                yield pd.DataFrame(rows)
+        rows = {"zoom": [], "tile_x": [], "tile_y": [],
+                "blob": [], "tile_size": []}
+        flush(rows)
+        if rows["zoom"]:
+            yield pd.DataFrame(rows)
+
+    return wt.mapInPandas(encode_kernel, out_schema)
+
+
 def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
                 mode: str = "overwrite", format: str = "parquet",
                 quality: int = 75) -> None:

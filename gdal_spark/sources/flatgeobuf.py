@@ -687,9 +687,16 @@ def read_flatgeobuf(spark, path: str, *, bbox=None, columns=None,
         BinaryType, LongType, StructField, StructType,
         _parse_datatype_string,
     )
+    # a STORED `fid` attribute wins over the positional one (the
+    # reference's -preserve_fid round-trip: FlatGeobuf has no
+    # per-feature id on the wire, so a written fid column comes
+    # back as the fid — without this, write(fid,...) -> read
+    # produces two `fid` columns and every downstream plan breaks
+    # on AMBIGUOUS_REFERENCE)
+    has_fid_prop = any(col_names[i] == "fid" for i in keep)
     schema = StructType(
-        [StructField("fid", LongType()),
-         StructField("geometry", BinaryType())]
+        ([] if has_fid_prop else [StructField("fid", LongType())])
+        + [StructField("geometry", BinaryType())]
         + [StructField(col_names[i],
                        _parse_datatype_string(
                            _CT_TO_SPARK[col_types[i]]))
@@ -735,12 +742,14 @@ def read_flatgeobuf(spark, path: str, *, bbox=None, columns=None,
                     fids.append(fid0 + row)
                     geoms.append(wkb)
                     row += 1
-                data = {"fid": fids, "geometry": geoms}
+                data = ({} if has_fid_prop else {"fid": fids})
+                data["geometry"] = geoms
                 for i in keep:
                     data[col_names[i]] = pcols[i][:row]
                 out = pd.DataFrame(data)
-                yield out[out["fid"].notna()] \
-                    if qbbox is not None else out
+                if qbbox is not None:
+                    out = out[pd.notna(pd.array(fids))]
+                yield out
 
     ranges = spark.createDataFrame(
         pd.DataFrame(tasks,

@@ -695,74 +695,10 @@ def write_gpkg_tiles(tiles, path: str, *, table: str = "tiles",
         raise ValueError("gpkg tile_data must be PNG or JPEG per "
                          f"spec; got {format!r}")
 
-    from pyspark.sql.types import (
-        BinaryType, IntegerType, LongType, StructField, StructType,
-    )
-
     from gdal_spark.functions import geo
-    from gdal_spark.operators.jpeg import encode_jpeg
-    from gdal_spark.operators.png import encode_png
-    from gdal_spark.operators.tiling import decode_tile
+    from gdal_spark.operators.tiling import tile_blob_frame
 
-    enc = (encode_png if format == "png"
-           else lambda img: encode_jpeg(img, quality=quality))
-    ok_bands = (1, 3, 4) if format == "png" else (1, 3)
-
-    out_schema = StructType([
-        StructField("zoom", IntegerType()),
-        StructField("tile_x", LongType()),
-        StructField("tile_y", LongType()),
-        StructField("blob", BinaryType()),
-        StructField("tile_size", IntegerType()),
-    ])
-    spark = tiles.sparkSession
-    par = max(spark.sparkContext.defaultParallelism, 8)
-    wt = (tiles.repartition(par, "zoom", "tile_x", "tile_y")
-          .sortWithinPartitions("zoom", "tile_x", "tile_y", "band"))
-
-    def encode_kernel(batches):
-        cur = None
-        chans: list = []
-        cur_ts = 0
-
-        def flush(rows):
-            if cur is None:
-                return
-            if len(chans) not in ok_bands:
-                raise ValueError(
-                    f"{format} tile needs bands in {ok_bands}; "
-                    f"got {len(chans)}")
-            img = chans[0] if len(chans) == 1 \
-                else np.stack(chans, axis=-1)
-            rows["zoom"].append(cur[0])
-            rows["tile_x"].append(cur[1])
-            rows["tile_y"].append(cur[2])
-            rows["blob"].append(enc(img))
-            rows["tile_size"].append(cur_ts)
-
-        for b in batches:
-            rows = {"zoom": [], "tile_x": [], "tile_y": [],
-                    "blob": [], "tile_size": []}
-            for _, r in b.iterrows():
-                key = (int(r["zoom"]), int(r["tile_x"]),
-                       int(r["tile_y"]))
-                if key != cur:
-                    flush(rows)
-                    cur = key
-                    chans = []
-                    cur_ts = int(r["tile_size"])
-                arr = decode_tile(r["data"], r["dtype"], cur_ts)
-                if arr.dtype != np.uint8:
-                    arr = np.clip(np.round(arr.astype(np.float64)),
-                                  0, 255).astype(np.uint8)
-                chans.append(arr)
-            if rows["zoom"]:
-                yield pd.DataFrame(rows)
-        rows = {"zoom": [], "tile_x": [], "tile_y": [],
-                "blob": [], "tile_size": []}
-        flush(rows)
-        if rows["zoom"]:
-            yield pd.DataFrame(rows)
+    blobs = tile_blob_frame(tiles, format=format, quality=quality)
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if os.path.exists(path):
@@ -820,8 +756,7 @@ def write_gpkg_tiles(tiles, path: str, *, table: str = "tiles",
     ext_tiles: dict[int, list] = {}         # zoom -> [mnx,mny,mxx,mxy]
     ins = (f'INSERT INTO "{table}" (zoom_level, tile_column, '
            "tile_row, tile_data) VALUES (?,?,?,?)")
-    for row in (wt.mapInPandas(encode_kernel, out_schema)
-                .toLocalIterator(prefetchPartitions=True)):
+    for row in blobs.toLocalIterator(prefetchPartitions=True):
         z, tx, ty = int(row["zoom"]), int(row["tile_x"]), \
             int(row["tile_y"])
         cur.execute(ins, (z, tx, ty, bytes(row["blob"])))

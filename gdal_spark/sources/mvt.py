@@ -469,23 +469,11 @@ _TILEJSON_TYPE = {"String": "String", "Integer64": "Number",
                   "Real": "Number", "Boolean": "Boolean"}
 
 
-def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
-              minzoom: int = 0, maxzoom: int = 5, extent: int = 4096,
-              buffer: int = 80, compress: bool = True,
-              simplification: float | None = None,
-              geometry_col: str = "geometry") -> dict:
-    """Write a vector frame as an MVT directory dataset.
-
-    ``{path}/{z}/{x}/{y}.pbf`` (XYZ scheme, gzip when ``compress``)
-    plus ``metadata.json``.  An integer ``fid`` column becomes the
-    feature id; every other column is a layer property (string /
-    int / real / boolean).  Returns summary stats (tiles, features,
-    bytes) computed JVM-side — the per-tile manifest never lands on
-    the driver.
-    """
-    if "://" in str(path):
-        raise ValueError(
-            f"mvt sink needs a plain filesystem path, got {path!r}")
+def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
+                 maxzoom: int, extent: int, buffer: int):
+    """Shared stage A of every MVT sink (directory, MBTiles): the
+    cover kernel + one keyed shuffle.  Returns (covered frame
+    sorted by tile key, fid_col, prop_cols, field_types)."""
     if not minzoom <= maxzoom:
         raise ValueError("minzoom must be <= maxzoom")
     dt = dict(df.dtypes)
@@ -500,14 +488,8 @@ def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
             f"{[(c, dt[c]) for c in bad]}")
     field_types = {c: _OK_PROP_TYPES[dt[c]] for c in prop_cols}
 
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-
     zooms = list(range(minzoom, maxzoom + 1))
-    ext, buf, comp, simp = extent, buffer, compress, simplification
-    lyr = layer
+    ext, buf = extent, buffer
 
     cover_schema = StructType(
         [StructField("zoom", IntegerType()),
@@ -625,13 +607,32 @@ def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
     covered = (df.mapInPandas(cover, cover_schema)
                .repartition(par, "zoom", "tile_x", "tile_y")
                .sortWithinPartitions("zoom", "tile_x", "tile_y"))
+    return covered, fid_col, prop_cols, field_types
+
+
+def _mvt_encode_frame(covered: DataFrame, *, path: str | None,
+                      layer: str, extent: int, buffer: int,
+                      compress: bool, simplification: float | None,
+                      fid_col: str | None, prop_cols: list[str],
+                      field_types: dict, geometry_col: str
+                      ) -> DataFrame:
+    """Stage B: per-tile clip + quantize + protobuf encode over the
+    sorted cover.  With ``path`` set the kernel writes
+    ``{z}/{x}/{y}.pbf`` files and emits a manifest (zoom, tile_x,
+    tile_y, n_features, nbytes); with ``path=None`` it emits the
+    gzip blobs themselves (zoom, tile_x, tile_y, n_features, blob)
+    for container sinks (MBTiles)."""
+    ext, buf, comp, simp = extent, buffer, compress, simplification
+    lyr = layer
 
     man_schema = StructType([
         StructField("zoom", IntegerType()),
         StructField("tile_x", LongType()),
         StructField("tile_y", LongType()),
         StructField("n_features", LongType()),
-        StructField("nbytes", LongType()),
+        StructField("nbytes", LongType())
+        if path is not None else
+        StructField("blob", BinaryType()),
     ])
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -681,13 +682,18 @@ def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
             blob = _encode_layer(lyr, ext, enc_feats)
             if comp:
                 blob = gzip.compress(blob, 6, mtime=0)
-            d = os.path.join(path, str(z), str(tx))
-            os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, f"{ty}.pbf"), "wb") as fh:
-                fh.write(blob)
-            out.append({"zoom": z, "tile_x": tx, "tile_y": ty,
-                        "n_features": len(enc_feats),
-                        "nbytes": len(blob)})
+            if path is not None:
+                d = os.path.join(path, str(z), str(tx))
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{ty}.pbf"), "wb") as fh:
+                    fh.write(blob)
+                out.append({"zoom": z, "tile_x": tx, "tile_y": ty,
+                            "n_features": len(enc_feats),
+                            "nbytes": len(blob)})
+            else:
+                out.append({"zoom": z, "tile_x": tx, "tile_y": ty,
+                            "n_features": len(enc_feats),
+                            "blob": blob})
 
         for b in batches:
             zs = b["zoom"].to_numpy()
@@ -715,7 +721,40 @@ def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
         if out:
             yield pd.DataFrame(out)
 
-    man = covered.mapInPandas(encode, man_schema)
+    return covered.mapInPandas(encode, man_schema)
+
+
+def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
+              minzoom: int = 0, maxzoom: int = 5, extent: int = 4096,
+              buffer: int = 80, compress: bool = True,
+              simplification: float | None = None,
+              geometry_col: str = "geometry") -> dict:
+    """Write a vector frame as an MVT directory dataset.
+
+    ``{path}/{z}/{x}/{y}.pbf`` (XYZ scheme, gzip when ``compress``)
+    plus ``metadata.json``.  An integer ``fid`` column becomes the
+    feature id; every other column is a layer property (string /
+    int / real / boolean).  Returns summary stats (tiles, features,
+    bytes) computed JVM-side — the per-tile manifest never lands on
+    the driver.
+    """
+    if "://" in str(path):
+        raise ValueError(
+            f"mvt sink needs a plain filesystem path, got {path!r}")
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    covered, fid_col, prop_cols, field_types = _mvt_prepare(
+        df, geometry_col, minzoom, maxzoom, extent, buffer)
+    man = _mvt_encode_frame(
+        covered, path=path, layer=layer, extent=extent,
+        buffer=buffer, compress=compress,
+        simplification=simplification, fid_col=fid_col,
+        prop_cols=prop_cols, field_types=field_types,
+        geometry_col=geometry_col)
     stats = man.agg(
         F.count("*").alias("tiles"),
         F.sum("n_features").alias("features"),
@@ -726,6 +765,20 @@ def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
         F.max(F.when(F.col("zoom") == maxzoom, F.col("tile_y"))).alias("tymax"),
     ).collect()[0]
 
+    meta = _mvt_metadata(
+        os.path.basename(path.rstrip("/")) or "mvt", layer,
+        minzoom, maxzoom, stats, field_types, bool(fid_col))
+    with open(os.path.join(path, "metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    return {"tiles": int(stats["tiles"] or 0),
+            "features": int(stats["features"] or 0),
+            "nbytes": int(stats["nbytes"] or 0)}
+
+
+def _mvt_metadata(name: str, layer: str, minzoom: int, maxzoom: int,
+                  stats, field_types: dict, has_fid: bool) -> dict:
+    """TileJSON-ish metadata key/value dict (the same content the
+    reference writes for directory AND mbtiles outputs)."""
     span = 2.0 * ORIGIN / (1 << maxzoom)
     if stats["txmin"] is not None:
         corners = np.array([
@@ -737,8 +790,8 @@ def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
         bounds = [ll[0, 0], ll[0, 1], ll[1, 0], ll[1, 1]]
     else:
         bounds = [-180.0, -85.0, 180.0, 85.0]
-    meta = {
-        "name": os.path.basename(path.rstrip("/")) or "mvt",
+    return {
+        "name": name,
         "format": "pbf",
         "minzoom": str(minzoom),
         "maxzoom": str(maxzoom),
@@ -747,22 +800,17 @@ def write_mvt(df: DataFrame, path: str, *, layer: str = "layer0",
         "version": "1.1",
         "json": json.dumps({
             "vector_layers": [{
-                "id": lyr,
+                "id": layer,
                 "fields": {c: _TILEJSON_TYPE[t]
                            for c, t in field_types.items()},
                 "minzoom": minzoom, "maxzoom": maxzoom,
             }],
             # exact engine types for lossless schema round-trip
             # (additive; standard readers use vector_layers.fields)
-            "field_types": {lyr: field_types},
-            "fid": bool(fid_col),
+            "field_types": {layer: field_types},
+            "fid": has_fid,
         }),
     }
-    with open(os.path.join(path, "metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
-    return {"tiles": int(stats["tiles"] or 0),
-            "features": int(stats["features"] or 0),
-            "nbytes": int(stats["nbytes"] or 0)}
 
 
 # ---------------------------------------------------------------------

@@ -40,6 +40,7 @@ _VECTOR_EXT = {
     ".kml": "KML",
     ".parquet": "Parquet",
     ".mvt": "MVT",
+    ".mbtiles": "MBTiles",
 }
 
 _MAGIC = [
@@ -73,6 +74,12 @@ def sniff_vector_driver(path: str) -> str:
         head = fh.read(256)
     for magic, drv in _MAGIC:
         if head.startswith(magic):
+            if drv == "GPKG" and head[68:72] != b"GPKG":
+                # SQLite but no GeoPackage application_id (offset
+                # 68, spec Req 2): the other sqlite container we
+                # read is MBTiles (identified by its metadata
+                # table, mbtilesdataset.cpp's Identify)
+                return "MBTiles"
             return drv
     s = head.lstrip()
     if s.startswith(b"<?xml") or s.startswith(b"<"):
@@ -128,6 +135,9 @@ def open_vector(spark, path: str, driver: str | None = None,
     if drv == "MVT":
         from gdal_spark.sources.mvt import read_mvt
         return read_mvt(spark, path, **opts)
+    if drv == "MBTiles":
+        from gdal_spark.sources.mbtiles import read_mbtiles
+        return read_mbtiles(spark, path, **opts)
     if drv == "Parquet":
         return spark.read.parquet(path)
     raise ValueError(f"unknown driver {drv!r}")
@@ -171,6 +181,9 @@ def write_vector(df, path: str, driver: str | None = None,
     if drv == "MVT":
         from gdal_spark.sources.mvt import write_mvt
         return write_mvt(df, path, **opts)
+    if drv == "MBTiles":
+        from gdal_spark.sources.mbtiles import write_mbtiles_vector
+        return write_mbtiles_vector(df, path, **opts)
     if drv == "Parquet":
         df.write.parquet(path, mode="overwrite")
         return None

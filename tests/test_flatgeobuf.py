@@ -331,3 +331,26 @@ def test_magic_and_framing(spark, tmp_path):
         bad = str(tmp_path / "bad.fgb")
         open(bad, "wb").write(b"NOPE1234")
         read_flatgeobuf(spark, bad)
+
+
+def test_fid_column_preserved_not_duplicated(spark, tmp_path):
+    """A written `fid` column comes back AS the fid (stored
+    attribute wins over the positional one) — previously the read
+    frame carried two `fid` columns and broke every downstream
+    plan on AMBIGUOUS_REFERENCE."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.wkb import point_wkb
+
+    pdf = pd.DataFrame({
+        "fid": np.array([10, 20, 30], dtype=np.int64),
+        "geometry": [point_wkb(float(i), float(i))
+                     for i in range(3)],
+    })
+    df = spark.createDataFrame(pdf)
+    p = str(tmp_path / "fidkeep.fgb")
+    write_flatgeobuf(df, p, mode="single")
+    back = read_flatgeobuf(spark, p)
+    assert back.columns.count("fid") == 1
+    assert sorted(r["fid"] for r in back.collect()) == [10, 20, 30]
