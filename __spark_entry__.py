@@ -2190,6 +2190,90 @@ def q71_mbtiles_vector(spark, sf_dir):
     )
 
 
+def q72_gml_roundtrip(spark, sf_dir):
+    """GML driver round-trip (the reference's ogr/ogrsf_frmts/gml/
+    surface re-derived from the OGC GML grammar as sources/gml.py):
+    the orders point layer writes as distributed part-*.gml
+    featureMembers (key in the long field ``k`` — schema INFERRED
+    from the head sample, no .gfs/.xsd sidecar — and a derived tag
+    string), reads back through byte-range-split member tasks, and
+    the same conservation checksums as the other XML drivers must
+    equal exact SQL (q59's oracle)."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gdal_spark.sources.gml import read_gml, write_gml
+
+    pts = _points_from_orders(spark, sf_dir).withColumn(
+        "tag", F.concat(F.lit("c"), (F.col("k") % 97).cast("string")))
+
+    wkb_schema = StructType([
+        StructField("geometry", BinaryType()),
+        StructField("k", LongType()),
+        StructField("tag", StringType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+                "k": b["k"].to_numpy(),
+                "tag": b["tag"],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q72_gml_"), "layer")
+    write_gml(pts.mapInPandas(to_wkb, wkb_schema), out,
+              layer="orders")
+    back = read_gml(spark, out)
+
+    coord_schema = StructType([
+        StructField("k", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("tag", StringType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            if not n:
+                continue
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "k": b["k"].to_numpy(),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+                "tag": b["tag"],
+            })
+
+    return (
+        back.select("k", "geometry", "tag")
+        .mapInPandas(coords, coord_schema)
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"),
+             F.sum(F.length("tag")).cast("long").alias("tag_len"))
+    )
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3157,6 +3241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_mvt_roundtrip": q69_mvt_roundtrip,
     "q70_mbtiles_pyramid": q70_mbtiles_pyramid,
     "q71_mbtiles_vector": q71_mbtiles_vector,
+    "q72_gml_roundtrip": q72_gml_roundtrip,
 }
 
 
@@ -3544,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
         "q69_mvt_roundtrip": _mvt_oracle(),
         "q70_mbtiles_pyramid": _gpkg_tile_oracle(),
         "q71_mbtiles_vector": _mvt_oracle(),
+        "q72_gml_roundtrip": _geojson_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

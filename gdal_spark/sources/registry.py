@@ -38,6 +38,7 @@ _VECTOR_EXT = {
     ".gpkg": "GPKG",
     ".gpx": "GPX",
     ".kml": "KML",
+    ".gml": "GML",
     ".parquet": "Parquet",
     ".mvt": "MVT",
     ".mbtiles": "MBTiles",
@@ -87,6 +88,9 @@ def sniff_vector_driver(path: str) -> str:
             return "GPX"
         if b"<kml" in head or b"Placemark" in head:
             return "KML"
+        if b"FeatureCollection" in head or b"featureMember" in head \
+                or b"opengis.net/gml" in head:
+            return "GML"
     if s.startswith(b"{") or s.startswith(b"["):
         return "GeoJSON"
     raise ValueError(f"{path}: no driver recognizes this dataset "
@@ -132,6 +136,9 @@ def open_vector(spark, path: str, driver: str | None = None,
     if drv == "KML":
         from gdal_spark.sources.xmlgeo import read_kml
         return read_kml(spark, path, **opts)
+    if drv == "GML":
+        from gdal_spark.sources.gml import read_gml
+        return read_gml(spark, path, **opts)
     if drv == "MVT":
         from gdal_spark.sources.mvt import read_mvt
         return read_mvt(spark, path, **opts)
@@ -178,6 +185,9 @@ def write_vector(df, path: str, driver: str | None = None,
     if drv == "KML":
         from gdal_spark.sources.xmlgeo import write_kml
         return write_kml(df, path, **opts)
+    if drv == "GML":
+        from gdal_spark.sources.gml import write_gml
+        return write_gml(df, path, **opts)
     if drv == "MVT":
         from gdal_spark.sources.mvt import write_mvt
         return write_mvt(df, path, **opts)
