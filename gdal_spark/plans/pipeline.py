@@ -67,8 +67,17 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
             src = args[0]
             if layers and src in layers:
                 df = layers[src]
-            else:
+            elif src.endswith(".parquet") or args[1:] == ["parquet"]:
                 df = spark.read.parquet(src)
+            else:
+                # any registered driver (shp/geojson/csv/fgb/gpkg/
+                # gpx/kml/gml/mvt/mbtiles) through the ogr.Open
+                # analog — `gdal vector pipeline read x.shp ! ...`
+                from gdal_spark.sources.registry import open_vector
+
+                df = open_vector(spark, src,
+                                 driver=args[1] if len(args) > 1
+                                 else None)
         elif verb == "filter":
             df = df.filter(_ogr_expr(args[0]))
         elif verb == "select":
@@ -137,10 +146,27 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
         elif verb == "partition":
             partition_col = args[0]
         elif verb == "write":
+            import os as _os
+
+            dst = args[0]
+            ext = _os.path.splitext(dst)[1].lower()
+            if len(args) > 1 or (ext and ext != ".parquet"):
+                # format dispatch (ogr2ogr's other half); the
+                # hive-partitioned layout stays parquet-only
+                if partition_col:
+                    raise ValueError(
+                        "partition is only supported by the "
+                        "parquet sink")
+                from gdal_spark.sources.registry import write_vector
+
+                write_vector(df, dst,
+                             driver=args[1] if len(args) > 1
+                             else None)
+                return None
             writer = df.write.mode("overwrite")
             if partition_col:
                 writer = writer.partitionBy(partition_col)
-            writer.parquet(args[0])
+            writer.parquet(dst)
             return None
         else:
             raise ValueError(f"unknown pipeline step {verb}")
