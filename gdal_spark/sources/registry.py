@@ -316,7 +316,53 @@ def raster_info(path: str) -> dict:
     """gdalinfo -json analog, header-only.  Accepts a GeoTIFF file
     or a z/x/y tile-pyramid directory (the engine's pyramid
     layout): driver, size, band count, dtype, geotransform,
-    EPSG; for pyramids also the zoom levels and tile counts."""
+    EPSG; for pyramids also the zoom levels and tile counts.
+    SQLite tile containers (MBTiles, GeoPackage pyramids) report
+    driver, format, zoom levels, tile counts and bounds — all from
+    the metadata tables, no blob decode."""
+    if os.path.isfile(path):
+        with open(path, "rb") as fh:
+            head = fh.read(72)
+        if head.startswith(b"SQLite format 3\x00"):
+            import sqlite3 as _sq
+
+            con = _sq.connect(f"file:{path}?mode=ro", uri=True)
+            try:
+                if head[68:72] == b"GPKG":
+                    tbl = con.execute(
+                        "SELECT table_name FROM gpkg_contents "
+                        "WHERE data_type = 'tiles' "
+                        "ORDER BY table_name").fetchone()
+                    if tbl is None:
+                        raise ValueError(
+                            f"{path}: GeoPackage has no tile "
+                            "pyramid (use vector_info)")
+                    per_zoom = dict(con.execute(
+                        f'SELECT zoom_level, COUNT(*) FROM '
+                        f'"{tbl[0]}" GROUP BY zoom_level '
+                        "ORDER BY zoom_level"))
+                    ext = con.execute(
+                        "SELECT min_x, min_y, max_x, max_y, srs_id "
+                        "FROM gpkg_contents WHERE table_name = ?",
+                        (tbl[0],)).fetchone()
+                    return {"driver": "GPKG", "table": tbl[0],
+                            "zooms": per_zoom,
+                            "bounds": list(ext[:4]),
+                            "epsg": ext[4]}
+                meta = dict(con.execute(
+                    "SELECT name, value FROM metadata"))
+                per_zoom = dict(con.execute(
+                    "SELECT zoom_level, COUNT(*) FROM tiles "
+                    "GROUP BY zoom_level ORDER BY zoom_level"))
+                return {"driver": "MBTiles",
+                        "format": meta.get("format", "png"),
+                        "zooms": per_zoom,
+                        "bounds": ([float(v) for v in
+                                    meta["bounds"].split(",")]
+                                   if "bounds" in meta else None),
+                        "name": meta.get("name")}
+            finally:
+                con.close()
     if os.path.isdir(path):
         zooms = sorted(int(z) for z in os.listdir(path)
                        if z.isdigit())

@@ -171,3 +171,24 @@ def test_object_store_paths_rejected(spark):
         read_mbtiles(spark, "s3a://bucket/x.mbtiles")
     with pytest.raises(ValueError, match="shared-filesystem"):
         write_mbtiles(None, "hdfs://nn/x.mbtiles")
+
+
+def test_raster_info_containers(spark, tmp_path):
+    """gdalinfo analog over SQLite containers: header-only."""
+    from gdal_spark.sources.geopackage import write_gpkg_tiles
+    from gdal_spark.sources.registry import raster_info
+
+    tiles, arrays = _tile_frame(spark, zooms=(1, 2))
+    m = str(tmp_path / "i.mbtiles")
+    write_mbtiles(tiles, m, name="probe")
+    info = raster_info(m)
+    assert info["driver"] == "MBTiles"
+    assert info["format"] == "png"
+    assert info["zooms"] == {1: 3, 2: 3}
+    assert info["name"] == "probe"
+    g = str(tmp_path / "i.gpkg")
+    write_gpkg_tiles(tiles, g, format="png")
+    gi = raster_info(g)
+    assert gi["driver"] == "GPKG"
+    assert gi["zooms"] == {1: 3, 2: 3}
+    assert gi["epsg"] == 3857
