@@ -376,3 +376,90 @@ def test_jpeg_roundtrip_property(seed, q):
     # mean error near 85-128, real quantization loss stays below ~50
     err = np.abs(got.astype(np.int32) - img.astype(np.int32))
     assert err.mean() <= 64, (h, w, q, err.mean())
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(3, 10), st.integers(0, 10_000), st.integers(2, 5))
+@example(
+    n_vert=4,
+    seed=7497,
+    z=2,
+).via('discovered failure')
+def test_mvt_tile_partition_area_property(n_vert, seed, z):
+    """MVT clip+quantize partitions a convex polygon across its
+    covering tiles: decoded per-tile areas must sum to the true
+    area within the quantization bound (0.5 tile units per
+    boundary vertex).  Pure-kernel twin of the Spark sink —
+    the same class of check that caught the GH union sliver bug."""
+    from gdal_spark.functions.geo import ORIGIN
+    from gdal_spark.geometry.wkb import POLYGON, Geom
+    from gdal_spark.sources.mvt import (
+        _decode_cmds, _int_ring_area2, _prep_feature, _tile_cover,
+    )
+
+    rng = np.random.RandomState(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n_vert))
+    if len(np.unique(np.round(ang, 6))) < 3:
+        return
+    span = 2.0 * ORIGIN / (1 << z)
+    cx, cy = rng.uniform(-ORIGIN * 0.6, ORIGIN * 0.6, 2)
+    r = rng.uniform(span * 0.3, span * 2.5)
+    ring = np.column_stack([cx + r * np.cos(ang),
+                            cy + r * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    g = Geom(POLYGON, [ring])
+    bbox = g.bbox()
+    txmin, txmax, tymin, tymax = _tile_cover(bbox, z, 0.0)
+    unit = span / 4096.0
+    got = 0.0
+    n_rings = 0
+    for tx in range(txmin, txmax + 1):
+        for ty in range(tymin, tymax + 1):
+            x0 = tx * span - ORIGIN
+            y_top = ORIGIN - ty * span
+            prep = _prep_feature(Geom(POLYGON, [ring.copy()]),
+                                 x0, y_top, span, 4096, 0, None)
+            if prep is None:
+                continue
+            for part in _decode_cmds(3, prep[1]):
+                a2 = _int_ring_area2(part)
+                got += abs(a2) / 2.0 * unit * unit
+                n_rings += 1
+    # expected = the polygon CLIPPED TO THE WORLD SQUARE: the tile
+    # matrix is [-ORIGIN, ORIGIN]^2 and GetTileIndices clamps to
+    # it (area beyond the mercator square has no tile — the same
+    # drop the reference applies)
+    from gdal_spark.geometry.ops import clip_ring_rect
+
+    w = clip_ring_rect(ring, -ORIGIN, -ORIGIN, ORIGIN, ORIGIN)
+    if not len(w):
+        assert got == 0.0
+        return
+    want = 0.5 * abs(np.sum(w[:-1, 0] * w[1:, 1]
+                            - w[1:, 0] * w[:-1, 1]))
+    # quantization moves each boundary vertex <= 0.5 units; bound
+    # the growth by (total boundary length) * 0.5 units with slack
+    perim = np.sum(np.hypot(*(ring[1:] - ring[:-1]).T)) + \
+        8 * (txmax - txmin + tymax - tymin + 2) * span
+    tol = perim * unit * 2 + unit * unit * 8 * max(n_rings, 1)
+    assert abs(got - want) <= tol
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 4))
+def test_mvt_command_codec_roundtrip_property(seed, n_parts):
+    """Geometry command zigzag/delta encoding is exactly
+    invertible for arbitrary integer paths."""
+    from gdal_spark.sources.mvt import _cmds_paths, _decode_cmds
+
+    rng = np.random.RandomState(seed)
+    parts = []
+    for _ in range(n_parts):
+        n = rng.randint(2, 30)
+        parts.append(rng.randint(-100_000, 100_000,
+                                 (n, 2)).astype(np.int64))
+    cmds = _cmds_paths(parts, close=False)
+    back = _decode_cmds(2, cmds)
+    assert len(back) == len(parts)
+    for a, b in zip(parts, back):
+        np.testing.assert_array_equal(a, b)
