@@ -2274,6 +2274,102 @@ def q72_gml_roundtrip(spark, sf_dir):
     )
 
 
+def q73_geoparquet_bbox(spark, sf_dir):
+    """GeoParquet round-trip + footer bbox pruning (the reference's
+    Parquet driver writes/reads the public geoparquet.org spec,
+    ogr/ogrsf_frmts/parquet/, re-derived as sources/geoparquet.py):
+    the orders point layer sorts into longitude ranges, writes one
+    part per range with its own per-file bbox `geo` footer, reads
+    back with a bbox that PRUNES files before Spark plans the scan,
+    applies the exact predicate as the second stage (the repo's
+    two-stage convention), and count/key/coordinate checksums must
+    equal exact SQL with the same WHERE."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sources.geoparquet import (
+        read_geoparquet, write_geoparquet,
+    )
+
+    pts = _points_from_orders(spark, sf_dir)
+
+    wkb_schema = StructType([
+        StructField("k", LongType()),
+        StructField("geometry", BinaryType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "k": b["k"].to_numpy(),
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+            })
+
+    out = os.path.join(tempfile.mkdtemp(prefix="q73_gpq_"), "pts")
+    write_geoparquet(
+        pts.repartitionByRange(16, "lon")
+        .mapInPandas(to_wkb, wkb_schema), out)
+
+    lo, hi = -20.0, 20.0
+    back = read_geoparquet(spark, out, bbox=(lo, -90.0, hi, 90.0))
+
+    coord_schema = StructType([
+        StructField("k", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+
+    def coords(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            if not n:
+                continue
+            flat = np.frombuffer(b"".join(bytes(g)
+                                          for g in b["geometry"]),
+                                 dtype=np.uint8).reshape(n, 21)
+            xy = np.ascontiguousarray(flat[:, 5:21]).view("<f8")
+            yield pd.DataFrame({
+                "k": b["k"].to_numpy(),
+                "lon": xy[:, 0], "lat": xy[:, 1],
+            })
+
+    return (
+        back.select("k", "geometry")
+        .mapInPandas(coords, coord_schema)
+        .filter((F.col("lon") >= F.lit(lo))
+                & (F.col("lon") <= F.lit(hi)))
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_key"),
+             F.sum(F.floor(F.col("lon") * F.lit(1000.0)))
+             .cast("long").alias("lon_sum"),
+             F.sum(F.floor(F.col("lat") * F.lit(1000.0)))
+             .cast("long").alias("lat_sum"))
+    )
+
+
+def _geoparquet_oracle() -> str:
+    return (
+        f"WITH pts AS ({_POINTS_SQL})"
+        " SELECT COUNT(*) AS n,"
+        " CAST(SUM(k) AS BIGINT) AS sum_key,"
+        " CAST(SUM(FLOOR(lon * 1000.0)) AS BIGINT) AS lon_sum,"
+        " CAST(SUM(FLOOR(lat * 1000.0)) AS BIGINT) AS lat_sum"
+        " FROM pts WHERE lon >= -20.0 AND lon <= 20.0"
+    )
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3242,6 +3338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_mbtiles_pyramid": q70_mbtiles_pyramid,
     "q71_mbtiles_vector": q71_mbtiles_vector,
     "q72_gml_roundtrip": q72_gml_roundtrip,
+    "q73_geoparquet_bbox": q73_geoparquet_bbox,
 }
 
 
@@ -3630,6 +3727,7 @@ def oracle_sql() -> dict[str, str]:
         "q70_mbtiles_pyramid": _gpkg_tile_oracle(),
         "q71_mbtiles_vector": _mvt_oracle(),
         "q72_gml_roundtrip": _geojson_oracle(),
+        "q73_geoparquet_bbox": _geoparquet_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -694,6 +694,32 @@ def tile_blob_frame(tiles: DataFrame, format: str = "png",
     return wt.mapInPandas(encode_kernel, out_schema)
 
 
+def bounded_local_stream(df: DataFrame, limit_rows: int = 100_000):
+    """Driver-side row iterator for single-writer sinks (SQLite
+    containers): materialize the frame ONCE (persist + count),
+    ``collect()`` when provably small — ``toLocalIterator`` pays a
+    ~0.1 s job launch PER PARTITION, which dominated the GeoPackage
+    sink (0.6 s collect vs 4.3 s iterator for 256 tiles, measured) —
+    else stream partitions from the cache with bounded driver
+    memory.  Returns (iterator, row_count)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    n = df.count()
+    if n <= limit_rows:
+        rows = df.collect()
+        df.unpersist()
+        return iter(rows), n
+
+    def gen():
+        try:
+            yield from df.toLocalIterator(prefetchPartitions=True)
+        finally:
+            df.unpersist()
+
+    return gen(), n
+
+
 def write_tiles(tiles: DataFrame, path: str, convention: str = "xyz",
                 mode: str = "overwrite", format: str = "parquet",
                 quality: int = 75) -> None:

@@ -756,7 +756,10 @@ def write_gpkg_tiles(tiles, path: str, *, table: str = "tiles",
     ext_tiles: dict[int, list] = {}         # zoom -> [mnx,mny,mxx,mxy]
     ins = (f'INSERT INTO "{table}" (zoom_level, tile_column, '
            "tile_row, tile_data) VALUES (?,?,?,?)")
-    for row in blobs.toLocalIterator(prefetchPartitions=True):
+    from gdal_spark.operators.tiling import bounded_local_stream
+
+    rows_it, _n = bounded_local_stream(blobs)
+    for row in rows_it:
         z, tx, ty = int(row["zoom"]), int(row["tile_x"]), \
             int(row["tile_y"])
         cur.execute(ins, (z, tx, ty, bytes(row["blob"])))

@@ -103,7 +103,10 @@ def write_mbtiles(tiles: DataFrame, path: str, *,
     n = 0
     zooms: set[int] = set()
     ext_tiles: dict[int, list] = {}
-    for row in blobs.toLocalIterator(prefetchPartitions=True):
+    from gdal_spark.operators.tiling import bounded_local_stream
+
+    rows_it, _n = bounded_local_stream(blobs)
+    for row in rows_it:
         z, tx, ty = int(row["zoom"]), int(row["tile_x"]), \
             int(row["tile_y"])
         cur.execute(
@@ -164,7 +167,10 @@ def write_mbtiles_vector(df: DataFrame, path: str, *,
     cur = con.cursor()
     n = n_feat = nbytes = 0
     ext_tiles: dict[int, list] = {}
-    for row in blobs.toLocalIterator(prefetchPartitions=True):
+    from gdal_spark.operators.tiling import bounded_local_stream
+
+    rows_it, _n = bounded_local_stream(blobs)
+    for row in rows_it:
         z, tx, ty = int(row["zoom"]), int(row["tile_x"]), \
             int(row["tile_y"])
         blob = bytes(row["blob"])

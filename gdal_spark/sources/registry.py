@@ -146,7 +146,10 @@ def open_vector(spark, path: str, driver: str | None = None,
         from gdal_spark.sources.mbtiles import read_mbtiles
         return read_mbtiles(spark, path, **opts)
     if drv == "Parquet":
-        return spark.read.parquet(path)
+        # GeoParquet-aware: a plain read unless bbox= asks for the
+        # footer-pruned scan (files without geo footers pass through)
+        from gdal_spark.sources.geoparquet import read_geoparquet
+        return read_geoparquet(spark, path, **opts)
     raise ValueError(f"unknown driver {drv!r}")
 
 
@@ -194,6 +197,9 @@ def write_vector(df, path: str, driver: str | None = None,
     if drv == "MBTiles":
         from gdal_spark.sources.mbtiles import write_mbtiles_vector
         return write_mbtiles_vector(df, path, **opts)
+    if drv == "GeoParquet":
+        from gdal_spark.sources.geoparquet import write_geoparquet
+        return write_geoparquet(df, path, **opts)
     if drv == "Parquet":
         df.write.parquet(path, mode="overwrite")
         return None
