@@ -376,6 +376,70 @@ def main() -> None:
         "USING INTEGER PRIMARY KEY" in ep2
         or "USING INDEX sqlite_autoindex" in ep2))
 
+    # ---- MVT sink: the whole write is ONE keyed shuffle ----------
+    from gdal_spark.sources.mvt import _mvt_encode_frame, _mvt_prepare
+
+    mvt_df = spark.createDataFrame(fgb_pdf.head(1000))
+    covered, fid_col, prop_cols, ftypes = _mvt_prepare(
+        mvt_df, "geometry", 3, 3, 4096, 0)
+    blobs = _mvt_encode_frame(
+        covered, path=None, layer="l", extent=4096, buffer=0,
+        compress=True, simplification=None, fid_col=fid_col,
+        prop_cols=prop_cols, field_types=ftypes,
+        geometry_col="geometry")
+    import io
+    from contextlib import redirect_stdout
+
+    buf_io = io.StringIO()
+    with redirect_stdout(buf_io):
+        blobs.explain()          # simple mode: each op printed once
+    mvt_plan = buf_io.getvalue()
+    n_ex = mvt_plan.count("Exchange")
+    checks.append((
+        "mvt sink is ONE keyed shuffle end-to-end (cover kernel -> "
+        f"hash repartition -> sorted encode; found {n_ex} Exchange)",
+        n_ex == 1))
+
+    # ---- MBTiles read: task SQL is a rowid index scan ------------
+    from gdal_spark.sources.mbtiles import write_mbtiles
+
+    mpath = os.path.join(gdir, "pyr.mbtiles")
+    write_mbtiles(spark.createDataFrame(pd.DataFrame(trows)), mpath)
+    con = sqlite3.connect(f"file:{mpath}?mode=ro", uri=True)
+    ep3 = "".join(r[3] for r in con.execute(
+        "EXPLAIN QUERY PLAN SELECT zoom_level, tile_column, "
+        "tile_row, tile_data FROM tiles WHERE rowid BETWEEN 1 AND 4"
+        " AND zoom_level = 3"))
+    con.close()
+    checks.append((
+        "mbtiles task SQL is an index scan (rowid PK or the tile "
+        f"UNIQUE index), never a full scan (SQLite query plan: "
+        f"{ep3[:60]}...)",
+        "USING INTEGER PRIMARY KEY" in ep3
+        or "USING INDEX tile_index" in ep3))
+
+    # ---- GeoParquet: footer bbox pruning drops files --------------
+    from gdal_spark.sources.geoparquet import (
+        read_geoparquet, write_geoparquet,
+    )
+
+    gp_pdf = fgb_pdf.copy()
+    gp_pdf["lon"] = [np.frombuffer(g[5:13], "<f8")[0]
+                     for g in gp_pdf.geometry]
+    gp_pdf = gp_pdf.sort_values("lon").drop(columns=["lon"])
+    gp_pdf["k"] = np.arange(len(gp_pdf), dtype=np.int64)
+    gp_path = os.path.join(gdir, "gpq")
+    write_geoparquet(
+        spark.createDataFrame(gp_pdf).repartitionByRange(8, "k"),
+        gp_path)
+    full_files = len(read_geoparquet(spark, gp_path).inputFiles())
+    pruned_files = len(read_geoparquet(
+        spark, gp_path, bbox=(40.0, 0.0, 50.0, 100.0)).inputFiles())
+    checks.append((
+        "geoparquet bbox read prunes part files from footers "
+        f"({pruned_files} of {full_files} planned for a 10% box)",
+        0 < pruned_files < full_files))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
