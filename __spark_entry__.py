@@ -2370,6 +2370,124 @@ def _geoparquet_oracle() -> str:
     )
 
 
+def _neighbors_raster_pdf():
+    """The q74 deterministic 256x256 raster as 16 tile rows: pixel
+    law v(px, py) = (px*31 + py*17) % 101 — recomputable exactly in
+    SQL via generate_series."""
+    rows = []
+    ts = 64
+    py_g, px_g = np.mgrid[0:256, 0:256]
+    v = ((px_g * 31 + py_g * 17) % 101).astype(np.float64)
+    for ty in range(4):
+        for tx in range(4):
+            blk = v[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({
+                "zoom": 2, "tile_x": tx, "tile_y": ty, "band": 1,
+                "data": np.ascontiguousarray(blk).tobytes(),
+                "dtype": "float64", "tile_size": ts,
+            })
+    return pd.DataFrame(rows)
+
+
+def q74_neighbors_focal(spark, sf_dir):
+    """gdal raster neighbors (apps/gdalalg_raster_neighbors.cpp via
+    the VRTKernelFilteredSource loop, frmts/vrt/vrtfilters.cpp:480):
+    a deterministic 256x256 raster (pixel law a pure function of
+    (px,py)) runs TWO distributed focal passes — 5x5 equal-kernel
+    MEAN and 3x3 gaussian-weighted SUM — with the reference's
+    edge-replication boundary rule; per-row (py) sums must equal a
+    closed-form SQL oracle that re-joins clamped window coordinates
+    (replicated edges fall out of the coordinate clamp)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.neighbors import neighbors_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+
+    tiles = spark.createDataFrame(_neighbors_raster_pdf(),
+                                  TILE_SCHEMA)
+    mean5 = neighbors_tiles(tiles, kernel="equal", method="mean",
+                            size=5, extent_tiles=(0, 0, 3, 3))
+    gsum3 = neighbors_tiles(tiles, kernel="gaussian", method="sum",
+                            size=3, extent_tiles=(0, 0, 3, 3))
+
+    row_schema = StructType([
+        StructField("py", LongType()),
+        StructField("s", DoubleType()),
+    ])
+
+    def row_sums(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pys, sums = [], []
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], ts)
+                pys.extend(range(int(r["tile_y"]) * ts,
+                                 (int(r["tile_y"]) + 1) * ts))
+                sums.extend(a.sum(axis=1).tolist())
+            yield pd.DataFrame({"py": pys, "s": sums})
+
+    m = (mean5.mapInPandas(row_sums, row_schema)
+         .groupBy("py")
+         .agg(F.round(F.sum("s"), 4).alias("mean5_sum")))
+    g = (gsum3.mapInPandas(row_sums, row_schema)
+         .groupBy("py")
+         .agg(F.round(F.sum("s"), 4).alias("gauss3_sum")))
+    return m.join(g, "py").orderBy("py")
+
+
+def _neighbors_oracle() -> str:
+    # clamped window keys land in MATERIALIZED probe CTEs joined on
+    # plain columns: an expression join (n.x = LEAST(...)) makes
+    # DuckDB nested-loop the 1.6M x 65k pair space (~minutes); the
+    # column-equality form hash-joins in <1s
+    return """
+        WITH px AS MATERIALIZED (
+            SELECT gx.x AS x, gy.y AS y,
+                   CAST((gx.x*31 + gy.y*17) % 101 AS DOUBLE) AS v
+            FROM generate_series(0, 255) gx(x)
+            CROSS JOIN generate_series(0, 255) gy(y)
+        ),
+        w5 AS (SELECT d FROM generate_series(-2, 2) t(d)),
+        w3 AS (SELECT d FROM generate_series(-1, 1) t(d)),
+        probe5 AS MATERIALIZED (
+            SELECT p.x AS x, p.y AS y,
+                   LEAST(GREATEST(p.x + dx.d, 0), 255) AS nx,
+                   LEAST(GREATEST(p.y + dy.d, 0), 255) AS ny
+            FROM px p CROSS JOIN w5 dx CROSS JOIN w5 dy
+        ),
+        probe3 AS MATERIALIZED (
+            SELECT p.x AS x, p.y AS y,
+                   LEAST(GREATEST(p.x + dx.d, 0), 255) AS nx,
+                   LEAST(GREATEST(p.y + dy.d, 0), 255) AS ny,
+                   (CASE WHEN dx.d = 0 THEN 2e0 ELSE 1e0 END)
+                   * (CASE WHEN dy.d = 0 THEN 2e0 ELSE 1e0 END)
+                   / 16e0 AS coef
+            FROM px p CROSS JOIN w3 dx CROSS JOIN w3 dy
+        ),
+        mean5 AS (
+            SELECT q.y AS py, SUM(n.v) / 25e0 AS m
+            FROM probe5 q JOIN px n ON n.x = q.nx AND n.y = q.ny
+            GROUP BY q.x, q.y
+        ),
+        g3 AS (
+            SELECT q.y AS py, SUM(n.v * q.coef) AS s
+            FROM probe3 q JOIN px n ON n.x = q.nx AND n.y = q.ny
+            GROUP BY q.x, q.y
+        )
+        SELECT a.py AS py, a.mean5_sum, b.gauss3_sum
+        FROM (SELECT py, ROUND(SUM(m), 4) AS mean5_sum
+              FROM mean5 GROUP BY py) a
+        JOIN (SELECT py, ROUND(SUM(s), 4) AS gauss3_sum
+              FROM g3 GROUP BY py) b
+          ON a.py = b.py
+        ORDER BY a.py
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3339,6 +3457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_mbtiles_vector": q71_mbtiles_vector,
     "q72_gml_roundtrip": q72_gml_roundtrip,
     "q73_geoparquet_bbox": q73_geoparquet_bbox,
+    "q74_neighbors_focal": q74_neighbors_focal,
 }
 
 
@@ -3728,6 +3847,7 @@ def oracle_sql() -> dict[str, str]:
         "q71_mbtiles_vector": _mvt_oracle(),
         "q72_gml_roundtrip": _geojson_oracle(),
         "q73_geoparquet_bbox": _geoparquet_oracle(),
+        "q74_neighbors_focal": _neighbors_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -98,6 +98,16 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
                 df = spark.read.parquet(name)
         elif verb in focal_ops:
             df = focal_tiles(df, verb)
+        elif verb == "neighbors":
+            # gdal raster neighbors (gdalalg_raster_neighbors.cpp):
+            # "neighbors <kernel> [method] [size] [nodata]"
+            from gdal_spark.operators.neighbors import neighbors_tiles
+            df = neighbors_tiles(
+                df, kernel=args[0],
+                method=(args[1] if len(args) > 1 and
+                        args[1] != "-" else None),
+                size=(int(args[2]) if len(args) > 2 else 0),
+                nodata=(float(args[3]) if len(args) > 3 else None))
         elif verb == "calc":
             expr = args[0]
             code = compile(expr, "<raster-calc>", "eval")
