@@ -2488,6 +2488,148 @@ def _neighbors_oracle() -> str:
     """
 
 
+def q75_raster_tindex(spark, sf_dir):
+    """gdaltindex / gdal raster index (apps/gdaltindex_lib.cpp):
+    the z=4 page-density pyramid writes as georeferenced GeoTIFF
+    tiles, the index builder probes ONLY the TIFF headers
+    (distributed mmap IFD reads, zero pixel I/O), and the extents it
+    reports must reconstruct the exact set of occupied z/x/y tiles —
+    which the oracle recomputes from the point law in closed form."""
+    import tempfile
+
+    from gdal_spark.operators.tiling import (
+        page_density_tiles, write_tiles,
+    )
+    from gdal_spark.sources.tindex import raster_index
+
+    pts = _points_from_orders(spark, sf_dir)
+    tiles = page_density_tiles(pts, zoom=4)
+    d = os.path.join(tempfile.mkdtemp(prefix="q75_tindex_"), "pyr")
+    write_tiles(tiles, d, format="gtiff")
+
+    span = geo.tile_span(4)
+    idx = raster_index(spark, d).select(
+        F.round((F.col("minx") + F.lit(geo.ORIGIN)) / F.lit(span))
+        .cast("long").alias("tx"),
+        F.round((F.lit(geo.ORIGIN) - F.col("maxy")) / F.lit(span))
+        .cast("long").alias("ty"),
+        "epsg", "width", "height")
+    return idx.agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("tx").cast("long").alias("sum_tx"),
+        F.sum("ty").cast("long").alias("sum_ty"),
+        F.min("epsg").alias("epsg_min"),
+        F.max("epsg").alias("epsg_max"),
+        F.sum(F.col("width").cast("long") * F.col("height"))
+        .cast("long").alias("sum_px"))
+
+
+def _raster_tindex_oracle() -> str:
+    res = geo.tile_span(4) / 256
+    maxpx = 16 * 256 - 1
+    mx = geo.merc_x_sql("lon")
+    my = geo.merc_y_sql("lat")
+    px = (f"LEAST(GREATEST(CAST(FLOOR((({mx}) - (-{geo.ORIGIN!r}))"
+          f" / {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+    py = (f"LEAST(GREATEST(CAST(FLOOR(({geo.ORIGIN!r} - ({my}))"
+          f" / {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        occ AS (
+            SELECT DISTINCT
+                CAST(FLOOR(CAST(({px}) AS DOUBLE) / 256e0) AS BIGINT)
+                    AS tx,
+                CAST(FLOOR(CAST(({py}) AS DOUBLE) / 256e0) AS BIGINT)
+                    AS ty
+            FROM pts
+        )
+        SELECT COUNT(*) AS n_tiles,
+               CAST(SUM(tx) AS BIGINT) AS sum_tx,
+               CAST(SUM(ty) AS BIGINT) AS sum_ty,
+               CAST(3857 AS INTEGER) AS epsg_min,
+               CAST(3857 AS INTEGER) AS epsg_max,
+               CAST(COUNT(*) * 65536 AS BIGINT) AS sum_px
+        FROM occ
+    """
+
+
+def q76_vector_tindex(spark, sf_dir):
+    """ogrtindex / gdal vector index (apps/ogrtindex.cpp,
+    apps/gdalalg_vector_index.cpp): four deterministic key-range
+    buckets of the orders point layer write as four single-file
+    shapefiles; the index builder reads ONLY the 100-byte .shp
+    headers (+ the dBASE record-count word), and each file's bbox +
+    feature count must equal the per-bucket min/max/count the oracle
+    computes from the same point law."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sources.shapefile import write_shapefile
+    from gdal_spark.sources.tindex import vector_index
+
+    pts = _points_from_orders(spark, sf_dir)
+
+    wkb_schema = StructType([
+        StructField("fid", LongType()),
+        StructField("geometry", BinaryType()),
+    ])
+
+    def to_wkb(batches: Iterator[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            arr = np.empty(n, dtype=[("hdr", "S5"), ("x", "<f8"),
+                                     ("y", "<f8")])
+            arr["hdr"] = b"\x01\x01\x00\x00\x00"
+            arr["x"] = b["lon"].to_numpy()
+            arr["y"] = b["lat"].to_numpy()
+            raw = arr.tobytes()
+            yield pd.DataFrame({
+                "fid": b["k"].to_numpy(),
+                "geometry": [raw[i * 21:(i + 1) * 21]
+                             for i in range(n)],
+            })
+
+    d = tempfile.mkdtemp(prefix="q76_tindex_")
+    feats = pts.mapInPandas(to_wkb, wkb_schema)
+    for bkt in range(4):
+        write_shapefile(
+            feats.filter(F.col("fid") % 4 == bkt),
+            os.path.join(d, f"b{bkt}.shp"), mode="single")
+
+    idx = vector_index(spark, d)
+    return (idx.select(
+        F.regexp_extract(F.col("location"), r"b(\d)\.shp", 1)
+        .cast("long").alias("bucket"),
+        "n_features",
+        F.floor(F.col("minx") * F.lit(1000.0)).cast("long")
+        .alias("fminx"),
+        F.floor(F.col("miny") * F.lit(1000.0)).cast("long")
+        .alias("fminy"),
+        F.floor(F.col("maxx") * F.lit(1000.0)).cast("long")
+        .alias("fmaxx"),
+        F.floor(F.col("maxy") * F.lit(1000.0)).cast("long")
+        .alias("fmaxy"))
+        .orderBy("bucket"))
+
+
+def _vector_tindex_oracle() -> str:
+    return f"""
+        WITH pts AS ({_POINTS_SQL})
+        SELECT k % 4 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_features,
+               CAST(FLOOR(MIN(lon) * 1000.0) AS BIGINT) AS fminx,
+               CAST(FLOOR(MIN(lat) * 1000.0) AS BIGINT) AS fminy,
+               CAST(FLOOR(MAX(lon) * 1000.0) AS BIGINT) AS fmaxx,
+               CAST(FLOOR(MAX(lat) * 1000.0) AS BIGINT) AS fmaxy
+        FROM pts GROUP BY k % 4 ORDER BY bucket
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3458,6 +3600,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_gml_roundtrip": q72_gml_roundtrip,
     "q73_geoparquet_bbox": q73_geoparquet_bbox,
     "q74_neighbors_focal": q74_neighbors_focal,
+    "q75_raster_tindex": q75_raster_tindex,
+    "q76_vector_tindex": q76_vector_tindex,
 }
 
 
@@ -3848,6 +3992,8 @@ def oracle_sql() -> dict[str, str]:
         "q72_gml_roundtrip": _geojson_oracle(),
         "q73_geoparquet_bbox": _geoparquet_oracle(),
         "q74_neighbors_focal": _neighbors_oracle(),
+        "q75_raster_tindex": _raster_tindex_oracle(),
+        "q76_vector_tindex": _vector_tindex_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
