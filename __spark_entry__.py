@@ -2630,6 +2630,112 @@ def _vector_tindex_oracle() -> str:
     """
 
 
+_Q77_GRID = dict(x0=-180.0, y1=85.0, pw=22.5, ph=21.25, w=16, h=8,
+                 radius=15.0, nodata=-9.0)
+
+
+def q77_grid_data_metrics(spark, sf_dir):
+    """gdal_grid data metrics (GDALGridDataMetricMinimum/Maximum/
+    Range/AverageDistance + count, alg/gdalgrid.cpp; surfaced as the
+    gdal vector grid minimum/maximum/... steps): a 16x8 lon/lat grid
+    over the orders point law, radius-windowed, computed as the
+    distributed tile-gather kernel — per-node count, value range and
+    mean node->point distance must match the closed-form SQL window
+    (same circle predicate, same pixel-center law)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.grid import grid_interpolate
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import decode_tile
+
+    G = _Q77_GRID
+    pts = _points_from_orders(spark, sf_dir) \
+        .select(F.col("lon").alias("x"), F.col("lat").alias("y"),
+                F.col("lat").alias("v"))
+    grid = GridSpec(G["x0"], G["y1"], G["pw"], G["ph"],
+                    G["w"], G["h"])
+
+    def run(alg):
+        return grid_interpolate(pts, grid, alg, radius=G["radius"],
+                                nodata=G["nodata"], tile_size=8)
+
+    px_schema = StructType([
+        StructField("px", LongType()),
+        StructField("py", LongType()),
+        StructField("val", DoubleType()),
+    ])
+
+    def pixels(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pxs, pys, vals = [], [], []
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], ts)
+                w = min(ts, G["w"] - int(r["tile_x"]) * ts)
+                h = min(ts, G["h"] - int(r["tile_y"]) * ts)
+                jj, ii = np.mgrid[0:h, 0:w]
+                pxs.extend((int(r["tile_x"]) * ts + ii).ravel()
+                           .tolist())
+                pys.extend((int(r["tile_y"]) * ts + jj).ravel()
+                           .tolist())
+                vals.extend(a[:h, :w].ravel().tolist())
+            yield pd.DataFrame({"px": pxs, "py": pys, "val": vals})
+
+    def frame(alg, name):
+        return (run(alg).mapInPandas(pixels, px_schema)
+                .select("px", "py",
+                        F.round("val", 4).alias(name)))
+
+    out = (frame("count", "n_pts")
+           .join(frame("range", "v_range"), ["px", "py"])
+           .join(frame("average_distance", "avg_dist"),
+                 ["px", "py"]))
+    return (out.select(
+        "px", "py",
+        F.col("n_pts").cast("long").alias("n_pts"),
+        "v_range", "avg_dist")
+        .orderBy("px", "py"))
+
+
+def _grid_metrics_oracle() -> str:
+    G = _Q77_GRID
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        nodes AS (
+            SELECT gi.i AS px, gj.j AS py,
+                   {G['x0']!r} + (gi.i + 0.5e0) * {G['pw']!r} AS cx,
+                   {G['y1']!r} - (gj.j + 0.5e0) * {G['ph']!r} AS cy
+            FROM generate_series(0, {G['w'] - 1}) gi(i)
+            CROSS JOIN generate_series(0, {G['h'] - 1}) gj(j)
+        ),
+        win AS (
+            SELECT n.px, n.py,
+                   COUNT(p.lon) AS cnt,
+                   MAX(p.lat) - MIN(p.lat) AS rng,
+                   AVG(SQRT((n.cx - p.lon) * (n.cx - p.lon)
+                            + (n.cy - p.lat) * (n.cy - p.lat)))
+                       AS avgd
+            FROM nodes n
+            LEFT JOIN pts p
+              ON (n.cx - p.lon) * (n.cx - p.lon)
+                 + (n.cy - p.lat) * (n.cy - p.lat)
+                 <= {G['radius'] * G['radius']!r}
+            GROUP BY n.px, n.py
+        )
+        SELECT px, py,
+               CAST(cnt AS BIGINT) AS n_pts,
+               ROUND(CASE WHEN cnt > 0 THEN rng
+                          ELSE {G['nodata']!r} END, 4) AS v_range,
+               ROUND(CASE WHEN cnt > 0 THEN avgd
+                          ELSE {G['nodata']!r} END, 4) AS avg_dist
+        FROM win ORDER BY px, py
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3602,6 +3708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_neighbors_focal": q74_neighbors_focal,
     "q75_raster_tindex": q75_raster_tindex,
     "q76_vector_tindex": q76_vector_tindex,
+    "q77_grid_data_metrics": q77_grid_data_metrics,
 }
 
 
@@ -3994,6 +4101,7 @@ def oracle_sql() -> dict[str, str]:
         "q74_neighbors_focal": _neighbors_oracle(),
         "q75_raster_tindex": _raster_tindex_oracle(),
         "q76_vector_tindex": _vector_tindex_oracle(),
+        "q77_grid_data_metrics": _grid_metrics_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

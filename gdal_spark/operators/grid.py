@@ -2,7 +2,8 @@
 sampling at points.
 
 Re-creates the reference's gridding catalog (alg/gdalgrid.h:31-87;
-invdist / nearest / average / data-metric count) and its
+invdist / invdistnn / nearest / average + the data metrics
+minimum / maximum / range / count / average_distance) and its
 interpolate-at-point API (alg/gdal_interpolateatpoint.cpp:165/415):
 
 * gdalgrid searches neighbors with a CPLQuadTree + expanding radius
@@ -37,7 +38,7 @@ def grid_interpolate(
     x_col: str = "x", y_col: str = "y", v_col: str = "v",
     radius: float = 0.0, power: float = 2.0, smoothing: float = 0.0,
     nodata: float = 0.0, tile_size: int = 256,
-    codec: str | None = None,
+    codec: str | None = None, max_points: int = 12,
 ) -> DataFrame:
     """Interpolate scattered (x, y, v) onto ``grid`` -> tile rows.
 
@@ -118,6 +119,52 @@ def grid_interpolate(
                                     nodata)
             elif algorithm == "count":
                 res[s:e] = mask.sum(axis=1)
+            elif algorithm in ("minimum", "maximum", "range"):
+                # GDALGridDataMetricMinimum/Maximum/Range
+                # (alg/gdalgrid.cpp data-metric family)
+                cnt = mask.sum(axis=1)
+                mn = np.where(mask, vs[None, :], np.inf).min(axis=1)
+                mx = np.where(mask, vs[None, :], -np.inf).max(axis=1)
+                pick = {"minimum": mn, "maximum": mx,
+                        "range": mx - mn}[algorithm]
+                res[s:e] = np.where(cnt > 0, pick, nodata)
+            elif algorithm == "average_distance":
+                # mean node->point distance within the radius
+                cnt = mask.sum(axis=1)
+                dsum = np.where(mask, np.sqrt(d2), 0.0).sum(axis=1)
+                res[s:e] = np.where(cnt > 0,
+                                    dsum / np.maximum(cnt, 1),
+                                    nodata)
+            elif algorithm == "invdistnn":
+                # GDALGridInverseDistanceToAPowerNearestNeighbor:
+                # the max_points nearest inside the radius
+                d2m = np.where(mask, d2, np.inf)
+                if d2m.shape[1] > max_points:
+                    sel = np.argpartition(d2m, max_points - 1,
+                                          axis=1)[:, :max_points]
+                    dsel = np.take_along_axis(d2m, sel, axis=1)
+                    vsel = vs[sel]
+                else:
+                    dsel, vsel = d2m, np.broadcast_to(
+                        vs[None, :], d2m.shape)
+                ok = np.isfinite(dsel)
+                d2s = dsel + smoothing * smoothing
+                wgt = np.where(ok, 1.0 / np.maximum(d2s, 1e-300)
+                               ** (power / 2.0), 0.0)
+                num = (wgt * np.where(ok, vsel, 0.0)).sum(axis=1)
+                den = wgt.sum(axis=1)
+                val = np.where(den > 0,
+                               num / np.where(den == 0, 1, den),
+                               nodata)
+                hit = ok & (dsel == 0.0)
+                any_hit = hit.any(axis=1)
+                first = np.argmax(hit, axis=1)
+                res[s:e] = np.where(
+                    any_hit,
+                    np.take_along_axis(
+                        np.where(ok, vsel, 0.0),
+                        first[:, None], axis=1)[:, 0],
+                    val)
             elif algorithm == "invdist":
                 d2s = d2 + smoothing * smoothing
                 exact = (d2s == 0.0)
@@ -192,13 +239,27 @@ def _grid_all_points(points: DataFrame, grid: GridSpec, algorithm: str,
     n_ty = (gh + ts - 1) // ts
     gx0, gy1, pw, ph = grid.x0, grid.y1, grid.px_w, grid.px_h
 
-    if algorithm in ("average", "count"):
+    if algorithm in ("average", "count", "minimum", "maximum",
+                     "range"):
+        # radius=0: these metrics are the SAME global scalar at
+        # every node — one JVM agg, then a constant fill
         row = points.agg(
             F.count("*").alias("n"),
-            F.avg(F.col(v_col)).alias("avg")).collect()[0]
-        const = float(row["n"] if algorithm == "count"
-                      else (row["avg"] if row["avg"] is not None
-                            else nodata))
+            F.avg(F.col(v_col)).alias("avg"),
+            F.min(F.col(v_col)).alias("mn"),
+            F.max(F.col(v_col)).alias("mx")).collect()[0]
+        if algorithm == "count":
+            const = float(row["n"])
+        elif row["avg"] is None:
+            const = nodata
+        elif algorithm == "average":
+            const = float(row["avg"])
+        elif algorithm == "minimum":
+            const = float(row["mn"])
+        elif algorithm == "maximum":
+            const = float(row["mx"])
+        else:
+            const = float(row["mx"]) - float(row["mn"])
         tiles_pdf = pd.DataFrame(
             [(tx, ty) for tx in range(n_tx) for ty in range(n_ty)],
             columns=["tile_x", "tile_y"])
@@ -224,6 +285,10 @@ def _grid_all_points(points: DataFrame, grid: GridSpec, algorithm: str,
         return spark.createDataFrame(tiles_pdf).mapInPandas(
             fill, TILE_SCHEMA)
 
+    if algorithm in ("average_distance", "invdistnn"):
+        raise ValueError(
+            f"{algorithm} needs a search radius (the radius=0 "
+            "reduction would be a full |points| scan per node)")
     if algorithm not in ("invdist", "nearest"):
         raise ValueError(f"unknown grid algorithm {algorithm}")
 

@@ -143,6 +143,23 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
 
             xc, yc = args[0], args[1]
             df = _make_point(df, xc, yc)
+        elif verb == "grid":
+            # gdal vector grid (gdalalg_vector_grid*.cpp): scattered
+            # (x,y,v) columns -> raster tile frame.  "grid <alg>
+            # <x0> <y1> <pw> <ph> <w> <h> [radius] [nodata]"; the
+            # result is a TILE frame — follow with raster steps or
+            # end the pipeline here.
+            from gdal_spark.operators.grid import grid_interpolate
+            from gdal_spark.operators.rasterize import GridSpec
+
+            alg = args[0]
+            gs = GridSpec(float(args[1]), float(args[2]),
+                          float(args[3]), float(args[4]),
+                          int(args[5]), int(args[6]))
+            df = grid_interpolate(
+                df, gs, alg,
+                radius=(float(args[7]) if len(args) > 7 else 0.0),
+                nodata=(float(args[8]) if len(args) > 8 else 0.0))
         elif verb == "partition":
             partition_col = args[0]
         elif verb == "write":
