@@ -2736,6 +2736,96 @@ def _grid_metrics_oracle() -> str:
     """
 
 
+def q78_clean_collar(spark, sf_dir):
+    """gdal raster clean-collar / nearblack flood fill
+    (apps/nearblack_lib.cpp, algorithm=floodfill): a deterministic
+    256x256 raster carries jagged near-black top/bottom collars
+    whose per-column depths cross tile boundaries (so the fill must
+    propagate between tiles) plus an interior near-black lake that
+    must SURVIVE (it never touches the border).  Per-row zero counts
+    and value checksums after the distributed fill must equal the
+    closed-form SQL recomputation of exactly the edge-connected
+    bands."""
+    from gdal_spark.operators.nearblack import clean_collar_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    px_g = np.arange(256)
+    h = 20 + (px_g * 7) % 60
+    g = 10 + (px_g * 13) % 40
+    py_g = np.arange(256)[:, None]
+    arr = np.full((256, 256), 200, dtype=np.uint8)
+    arr[py_g < h[None, :]] = 3
+    arr[py_g >= (256 - g)[None, :]] = 6
+    arr[100:140, 100:140] = 5
+
+    rows = []
+    ts = 64
+    for ty in range(4):
+        for tx in range(4):
+            blk = arr[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({
+                "zoom": 2, "tile_x": tx, "tile_y": ty, "band": 1,
+                "data": np.ascontiguousarray(blk).tobytes(),
+                "dtype": "uint8", "tile_size": ts,
+            })
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    out = clean_collar_tiles(tiles, color=0.0, threshold=15.0,
+                             set_value=0.0)
+
+    row_schema = StructType([
+        StructField("py", LongType()),
+        StructField("n_zero", LongType()),
+        StructField("row_sum", LongType()),
+    ])
+
+    def per_row(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pys, zs, ss = [], [], []
+            for _, r in b.iterrows():
+                t = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], t) \
+                    .astype(np.int64)
+                pys.extend(range(int(r["tile_y"]) * t,
+                                 (int(r["tile_y"]) + 1) * t))
+                zs.extend((a == 0).sum(axis=1).tolist())
+                ss.extend(a.sum(axis=1).tolist())
+            yield pd.DataFrame({"py": pys, "n_zero": zs,
+                                "row_sum": ss})
+
+    return (out.mapInPandas(per_row, row_schema)
+            .groupBy("py")
+            .agg(F.sum("n_zero").cast("long").alias("n_zero"),
+                 F.sum("row_sum").cast("long").alias("row_sum"))
+            .orderBy("py"))
+
+
+def _clean_collar_oracle() -> str:
+    return """
+        WITH px AS (
+            SELECT gx.x AS x, gy.y AS y,
+                   (gy.y < 20 + (gx.x * 7) % 60
+                    OR gy.y >= 256 - (10 + (gx.x * 13) % 40))
+                       AS coll,
+                   (gx.x BETWEEN 100 AND 139
+                    AND gy.y BETWEEN 100 AND 139) AS lake
+            FROM generate_series(0, 255) gx(x)
+            CROSS JOIN generate_series(0, 255) gy(y)
+        )
+        SELECT y AS py,
+               CAST(SUM(CASE WHEN coll THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zero,
+               CAST(SUM(CASE WHEN coll THEN 0
+                             WHEN lake THEN 5
+                             ELSE 200 END) AS BIGINT) AS row_sum
+        FROM px GROUP BY y ORDER BY py
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3709,6 +3799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_raster_tindex": q75_raster_tindex,
     "q76_vector_tindex": q76_vector_tindex,
     "q77_grid_data_metrics": q77_grid_data_metrics,
+    "q78_clean_collar": q78_clean_collar,
 }
 
 
@@ -4102,6 +4193,7 @@ def oracle_sql() -> dict[str, str]:
         "q75_raster_tindex": _raster_tindex_oracle(),
         "q76_vector_tindex": _vector_tindex_oracle(),
         "q77_grid_data_metrics": _grid_metrics_oracle(),
+        "q78_clean_collar": _clean_collar_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

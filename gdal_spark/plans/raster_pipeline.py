@@ -124,6 +124,22 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
                      for part in args[0].split(",")]
             default = float(args[1]) if len(args) > 1 else None
             df = reclassify(df, rules, default=default)
+        elif verb == "clean-collar":
+            # gdal raster clean-collar (nearblack flood fill):
+            # "clean-collar <black|white|v[,v...]> [thr] [set]"
+            from gdal_spark.operators.nearblack import (
+                clean_collar_tiles,
+            )
+            spec = args[0] if args else "black"
+            named = {"black": [0.0], "white": [255.0]}
+            cols = named.get(
+                spec, None) or [float(v) for v in spec.split(",")]
+            df = clean_collar_tiles(
+                df, color=cols,
+                threshold=(float(args[1]) if len(args) > 1
+                           else 15.0),
+                set_value=(float(args[2]) if len(args) > 2
+                           else None))
         elif verb == "proximity":
             df = proximity_tiles(df, [float(args[0])],
                                  max_dist=float(args[1]))
