@@ -1,0 +1,136 @@
+"""Small per-band raster operators backing the ``gdal raster``
+pipeline verbs select / set-type / nodata-to-alpha / stack.
+
+Reference: apps/gdalalg_raster_select.cpp (band subset),
+gdalalg_raster_set_type.cpp (GDALTranslate -ot semantics: round to
+nearest for integer targets and clamp to the type range —
+gcore/rasterio.cpp GDALCopyWord), gdalalg_raster_nodata_to_alpha.cpp
+(append an alpha band that is 0 on nodata, 255 elsewhere),
+gdalalg_raster_stack.cpp (inputs stack as consecutive bands).
+
+All four are narrow per-tile maps (select/stack are pure JVM
+DataFrame ops — no kernel at all); nothing shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from gdal_spark.operators.tiling import (
+    TILE_SCHEMA, decode_tile, encode_tile,
+)
+
+_INT_RANGES = {
+    "uint8": (0, 255), "int8": (-128, 127),
+    "uint16": (0, 65535), "int16": (-32768, 32767),
+    "uint32": (0, 4294967295), "int32": (-2147483648, 2147483647),
+    "uint64": (0, 2 ** 64 - 1),
+    "int64": (-(2 ** 63), 2 ** 63 - 1),
+}
+
+
+def select_bands(tiles: DataFrame, bands: list[int]) -> DataFrame:
+    """gdal raster select: keep ``bands`` (1-based order defines the
+    output numbering).  Pure JVM: a filter + a literal band remap —
+    no Python touches the payload."""
+    if not bands:
+        raise ValueError("select needs at least one band")
+    mapping = F.create_map(
+        *[F.lit(v) for pair in
+          ((src, dst + 1) for dst, src in enumerate(bands))
+          for v in pair])
+    return (tiles.filter(F.col("band").isin([int(b) for b in bands]))
+            .withColumn("band", mapping[F.col("band")]
+                        .cast("int")))
+
+
+def stack_bands(tile_sets: list[DataFrame]) -> DataFrame:
+    """gdal raster stack: each input's bands become consecutive
+    output bands.  Band counts come from one tiny agg per input
+    (bounded scalar reads); the stack itself is a pure unionByName —
+    no shuffle, no kernel."""
+    out = None
+    offset = 0
+    for t in tile_sets:
+        row = t.agg(F.max("band").alias("m")).collect()[0]
+        nb = int(row["m"] or 0)
+        shifted = t.withColumn(
+            "band", (F.col("band") + F.lit(offset)).cast("int"))
+        out = shifted if out is None else out.unionByName(shifted)
+        offset += nb
+    if out is None:
+        raise ValueError("stack needs at least one input")
+    return out
+
+
+def set_dtype(tiles: DataFrame, dtype: str) -> DataFrame:
+    """gdal raster set-type: convert the pixel type with the
+    reference's GDALCopyWord rules — round to nearest for integer
+    targets, clamp to the target range."""
+    dt = np.dtype(dtype)
+    name = str(dt)
+    if name not in _INT_RANGES and not np.issubdtype(dt, np.floating):
+        raise ValueError(f"unsupported target type {dtype!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b.copy()
+            datas, dts = [], []
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], ts)
+                if name in _INT_RANGES:
+                    lo, hi = _INT_RANGES[name]
+                    f = a.astype(np.float64)
+                    # GDALCopyWord rounds half AWAY from zero
+                    # (gcore/gdal_priv_templates.hpp:479,641)
+                    r = np.where(f >= 0, np.trunc(f + 0.5),
+                                 np.trunc(f - 0.5))
+                    a = np.clip(r, lo, hi).astype(dt)
+                else:
+                    a = a.astype(dt)
+                payload, dstr = encode_tile(a)
+                datas.append(payload)
+                dts.append(dstr)
+            out["data"] = datas
+            out["dtype"] = dts
+            yield out[[f.name for f in TILE_SCHEMA.fields]]
+
+    return tiles.mapInPandas(kernel, TILE_SCHEMA)
+
+
+def nodata_to_alpha(tiles: DataFrame, nodata: float) -> DataFrame:
+    """gdal raster nodata-to-alpha: append an alpha band (0 where
+    EVERY source band is nodata, 255 elsewhere) after the last
+    band.  One narrow per-tile group (bands of a tile meet to AND
+    their nodata masks)."""
+    nd = float(nodata)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = int(pdf["tile_size"].iloc[0])
+        all_nd = None
+        maxb = int(pdf["band"].max())
+        for _, r in pdf.iterrows():
+            a = decode_tile(r["data"], r["dtype"], ts) \
+                .astype(np.float64)
+            m = a == nd
+            all_nd = m if all_nd is None else (all_nd & m)
+        alpha = np.where(all_nd, 0, 255).astype(np.uint8)
+        extra = pd.DataFrame({
+            "zoom": [int(pdf["zoom"].iloc[0])],
+            "tile_x": [int(key[0])], "tile_y": [int(key[1])],
+            "band": [maxb + 1],
+            "data": [alpha.tobytes()],
+            "dtype": ["uint8"], "tile_size": [ts],
+        })
+        return pd.concat(
+            [pdf[[f.name for f in TILE_SCHEMA.fields]], extra],
+            ignore_index=True)
+
+    return (tiles.groupBy("tile_x", "tile_y")
+            .applyInPandas(kernel, TILE_SCHEMA))

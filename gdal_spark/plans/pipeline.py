@@ -130,8 +130,19 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
             x0, y0, x1, y1 = (float(a) for a in args[:4])
             df = _geom_map(df, _mk_clip_bbox(x0, y0, x1, y1),
                            drop_empty=True)
-        elif verb == "explode":
+        elif verb in ("explode", "explode-collections"):
+            # gdalalg_vector_explode_collections.cpp: multi-part
+            # geometries -> one row per part
             df = _explode_parts(df)
+        elif verb == "concat":
+            # gdalalg_vector_concat.cpp: append the named layers
+            for name in args:
+                df = df.unionByName(layers[name],
+                                    allowMissingColumns=True)
+        elif verb == "set-geom-type":
+            # gdalalg_vector_set_geom_type.cpp: promote to multi /
+            # demote to single ("set-geom-type multi|single")
+            df = _geom_map(df, _mk_set_geom_kind(args[0]))
         elif verb == "dissolve":
             from gdal_spark.operators.layer_algebra import dissolve
 
@@ -354,6 +365,46 @@ def _mk_concave_hull(ratio: float):
 
         return W.polygon_wkb([concave_hull(np.vstack(g.parts),
                                            ratio=ratio)])
+    return fn
+
+
+def _mk_set_geom_kind(mode: str):
+    """gdal vector set-geom-type: 'multi' promotes singles into
+    their multi type (OGR_G_ForceTo semantics); 'single' keeps the
+    FIRST part of a multi (declared — the reference errors or
+    linearizes depending on driver; a deterministic first-part rule
+    is the distributed-safe choice)."""
+    if mode not in ("multi", "single"):
+        raise ValueError("set-geom-type takes 'multi' or 'single'")
+
+    def fn(g):
+        from gdal_spark.geometry import wkb as W
+
+        po = g.part_offsets
+        groups = [g.parts[po[i]:po[i + 1]]
+                  for i in range(len(po) - 1)]
+        if mode == "multi":
+            if g.kind in (W.POINT, W.MULTIPOINT):
+                return W.multipoint_wkb(
+                    [tuple(p[0]) for p in g.parts])
+            if g.kind in (W.LINESTRING, W.MULTILINESTRING):
+                return W.multilinestring_wkb(g.parts)
+            return W.multipolygon_wkb(groups)
+        # single
+        if g.kind == W.MULTIPOINT:
+            return W.point_wkb(float(g.parts[0][0, 0]),
+                               float(g.parts[0][0, 1]))
+        if g.kind == W.MULTILINESTRING:
+            return W.linestring_wkb(g.parts[0])
+        if g.kind == W.MULTIPOLYGON:
+            return W.polygon_wkb(groups[0])
+        if g.kind == W.POINT:
+            return W.point_wkb(float(g.parts[0][0, 0]),
+                               float(g.parts[0][0, 1]))
+        if g.kind == W.LINESTRING:
+            return W.linestring_wkb(g.parts[0])
+        return W.polygon_wkb(g.parts)
+
     return fn
 
 

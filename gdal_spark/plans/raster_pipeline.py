@@ -119,6 +119,23 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
             mul, add = float(args[0]), float(args[1])
             df = raster_calc({"A": df},
                              lambda A, m=mul, a=add: A * m + a)
+        elif verb == "select":
+            # gdal raster select: "select <b1,b2,...>"
+            from gdal_spark.operators.bandops import select_bands
+            df = select_bands(df,
+                              [int(v) for v in args[0].split(",")])
+        elif verb == "set-type":
+            from gdal_spark.operators.bandops import set_dtype
+            df = set_dtype(df, args[0])
+        elif verb == "nodata-to-alpha":
+            from gdal_spark.operators.bandops import nodata_to_alpha
+            df = nodata_to_alpha(df, float(args[0]))
+        elif verb == "stack":
+            # gdal raster stack: "stack <layer2> [layer3...]" —
+            # current frame's bands first, then each named layer's
+            from gdal_spark.operators.bandops import stack_bands
+            extra = [layers[name] for name in args]
+            df = stack_bands([df] + extra)
         elif verb == "reclassify":
             rules = [tuple(float(v) for v in part.split(":"))
                      for part in args[0].split(",")]

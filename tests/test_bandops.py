@@ -1,0 +1,121 @@
+"""raster select / set-type / nodata-to-alpha / stack verbs
+(operators/bandops.py) + the vector concat / set-geom-type /
+explode-collections pipeline verbs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.geometry import wkb as W
+from gdal_spark.operators.bandops import (
+    nodata_to_alpha, select_bands, set_dtype, stack_bands,
+)
+from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+
+
+def _band_tiles(spark, nbands, base=0.0, dtype="float64"):
+    rows = []
+    for b in range(1, nbands + 1):
+        arr = np.full((8, 8), base + b * 10, dtype=dtype)
+        arr[0, 0] = base
+        rows.append({"zoom": 0, "tile_x": 0, "tile_y": 0, "band": b,
+                     "data": arr.tobytes(), "dtype": dtype,
+                     "tile_size": 8})
+    return spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+
+
+def test_select_reorders_and_renumbers(spark):
+    t = _band_tiles(spark, 3)
+    out = select_bands(t, [3, 1]).toPandas() \
+        .sort_values("band").reset_index(drop=True)
+    assert out["band"].tolist() == [1, 2]
+    a1 = decode_tile(out.loc[0, "data"], "float64", 8)
+    a2 = decode_tile(out.loc[1, "data"], "float64", 8)
+    assert a1[1, 1] == 30.0 and a2[1, 1] == 10.0     # 3 -> 1, 1 -> 2
+
+
+def test_set_type_rounds_and_clamps(spark):
+    rows = [{"zoom": 0, "tile_x": 0, "tile_y": 0, "band": 1,
+             "data": np.array([[-5.7, 0.5, 130.4, 300.0]] * 4,
+                              dtype=np.float64)[:4, :4].tobytes(),
+             "dtype": "float64", "tile_size": 4}]
+    t = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    out = set_dtype(t, "uint8").toPandas()
+    a = decode_tile(out.loc[0, "data"], out.loc[0, "dtype"], 4)
+    assert a.dtype == np.uint8
+    # GDALCopyWord: round half AWAY from zero, clamp to [0, 255]
+    assert a[0].tolist() == [0, 1, 130, 255]
+    out2 = set_dtype(t, "int16").toPandas()
+    b = decode_tile(out2.loc[0, "data"], out2.loc[0, "dtype"], 4)
+    assert b[0].tolist() == [-6, 1, 130, 300]
+
+
+def test_nodata_to_alpha_all_bands_rule(spark):
+    t = _band_tiles(spark, 2, base=0.0)      # [0,0] == 0 in BOTH
+    out = nodata_to_alpha(t, 0.0).toPandas()
+    assert sorted(out["band"].tolist()) == [1, 2, 3]
+    alpha = decode_tile(
+        out[out["band"] == 3].iloc[0]["data"], "uint8", 8)
+    assert alpha[0, 0] == 0 and (alpha.ravel()[1:] == 255).all()
+
+
+def test_stack_concatenates_band_numbering(spark):
+    a = _band_tiles(spark, 2, base=0.0)
+    b = _band_tiles(spark, 3, base=100.0)
+    out = stack_bands([a, b])
+    assert sorted(r["band"] for r in
+                  out.select("band").collect()) == [1, 2, 3, 4, 5]
+    p = out.filter(F.col("band") == 4).toPandas()
+    arr = decode_tile(p.loc[0, "data"], "float64", 8)
+    assert arr[1, 1] == 120.0                # input-b band 2
+
+
+def _feat_df(spark):
+    pdf = pd.DataFrame({
+        "fid": [1, 2],
+        "geometry": [
+            W.point_wkb(1.0, 2.0),
+            W.multipolygon_wkb([
+                [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]],
+                [[(10, 10), (12, 10), (12, 12), (10, 12),
+                  (10, 10)]],
+            ]),
+        ],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_set_geom_type_multi_and_single(spark):
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+
+    df = _feat_df(spark)
+    up = run_vector_pipeline(spark, "read f ! set-geom-type multi",
+                             layers={"f": df}).toPandas() \
+        .set_index("fid")
+    assert W.parse_wkb(bytes(up.loc[1, "geometry"])).kind \
+        == W.MULTIPOINT
+    assert W.parse_wkb(bytes(up.loc[2, "geometry"])).kind \
+        == W.MULTIPOLYGON
+    down = run_vector_pipeline(
+        spark, "read f ! set-geom-type single",
+        layers={"f": df}).toPandas().set_index("fid")
+    g2 = W.parse_wkb(bytes(down.loc[2, "geometry"]))
+    assert g2.kind == W.POLYGON
+    assert g2.parts[0][:, 0].max() == 4.0    # first part kept
+
+
+def test_concat_and_explode_collections(spark):
+    from gdal_spark.plans.pipeline import run_vector_pipeline
+
+    df = _feat_df(spark)
+    other = spark.createDataFrame(pd.DataFrame({
+        "fid": [7], "geometry": [W.point_wkb(9.0, 9.0)]}))
+    out = run_vector_pipeline(
+        spark, "read f ! concat g ! explode-collections",
+        layers={"f": df, "g": other})
+    pdf = out.toPandas()
+    # 1 point + 2 multipolygon parts + 1 concat point
+    assert len(pdf) == 4
+    kinds = {W.parse_wkb(bytes(g)).kind for g in pdf["geometry"]}
+    assert kinds == {W.POINT, W.POLYGON}
