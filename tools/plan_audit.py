@@ -440,6 +440,55 @@ def main() -> None:
         f"({pruned_files} of {full_files} planned for a 10% box)",
         0 < pruned_files < full_files))
 
+    # ---- neighbors: k-halo focal op is ONE shuffle ----------------
+    from gdal_spark.operators.neighbors import neighbors_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA
+
+    nrows = [{"zoom": 1, "tile_x": tx, "tile_y": ty, "band": 1,
+              "data": np.zeros((16, 16)).tobytes(),
+              "dtype": "float64", "tile_size": 16}
+             for tx in range(2) for ty in range(2)]
+    ntiles = spark.createDataFrame(pd.DataFrame(nrows), TILE_SCHEMA)
+    nb = neighbors_tiles(ntiles, kernel="gaussian", size=5,
+                         extent_tiles=(0, 0, 1, 1))
+    nb_plan = simple_plan(nb)
+    n_ex_nb = nb_plan.count("Exchange")
+    checks.append((
+        "neighbors focal op is ONE halo shuffle (strip emit -> "
+        f"groupBy assemble; found {n_ex_nb} Exchange)",
+        n_ex_nb == 1))
+
+    # ---- raster tindex: header-only — the plan scans the PATH
+    # list, never the raster bytes --------------------------------
+    from gdal_spark.operators.tiling import write_tiles
+    from gdal_spark.sources.tindex import raster_index
+
+    tindex_dir = os.path.join(gdir, "tindex_pyr")
+    write_tiles(ntiles, tindex_dir, format="gtiff")
+    ridx = raster_index(spark, tindex_dir)
+    ridx_plan = simple_plan(ridx)
+    checks.append((
+        "raster index plans over the path list only (no file-content "
+        "source in the plan; headers read via per-task mmap)",
+        "binaryFile" not in ridx_plan
+        and ridx_plan.count("Exchange") == 1))
+
+    # ---- grid data metrics: tile gather is ONE shuffle ------------
+    from gdal_spark.operators.grid import grid_interpolate
+    from gdal_spark.operators.rasterize import GridSpec
+
+    gpts = spark.createDataFrame(pd.DataFrame({
+        "x": np.linspace(0, 63, 100), "y": np.linspace(0, 63, 100),
+        "v": np.arange(100.0)}))
+    gm = grid_interpolate(gpts, GridSpec(0.0, 64.0, 4.0, 4.0, 16, 16),
+                          "range", radius=9.0, tile_size=8)
+    gm_plan = simple_plan(gm)
+    n_ex_gm = gm_plan.count("Exchange")
+    checks.append((
+        "grid data-metric gather is ONE keyed shuffle (JVM explode "
+        f"-> groupBy tile; found {n_ex_gm} Exchange)",
+        n_ex_gm == 1))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
