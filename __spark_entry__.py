@@ -2826,6 +2826,63 @@ def _clean_collar_oracle() -> str:
     """
 
 
+def q79_check_coverage(spark, sf_dir):
+    """gdal vector check-coverage
+    (apps/gdalalg_vector_check_coverage.cpp / GEOSCoverageIsValid):
+    a 16x16 unit-cell lattice where deterministic cells carry a
+    T-vertex defect (right edge split at its midpoint — same
+    geometry, mismatched boundary decomposition).  The distributed
+    edge-pairing report must localize exactly the split cells (2
+    unmatched half-edges) and their right neighbors (1 unmatched
+    twin), everything else clean — all recomputed in closed-form
+    SQL."""
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.coverage import check_coverage
+
+    n = 16
+    rows = []
+    for j in range(n):
+        for i in range(n):
+            c = i + j * n
+            x0, y0, x1, y1 = float(i), float(j), float(i + 1), \
+                float(j + 1)
+            ring = [(x0, y0), (x1, y0)]
+            if i < 15 and c % 37 == 5:
+                ring.append((x1, y0 + 0.5))
+            ring += [(x1, y1), (x0, y1), (x0, y0)]
+            rows.append({"fid": c, "geometry": polygon_wkb([ring])})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    rep = check_coverage(df, extent=(0.0, 0.0, 16.0, 16.0))
+    return (rep.select(
+        "fid", "n_edges", "n_unmatched",
+        F.round("unmatched_len", 4).alias("unmatched_len"))
+        .orderBy("fid"))
+
+
+def _check_coverage_oracle() -> str:
+    return """
+        WITH cells AS (
+            SELECT gi.i AS i, gj.j AS j, gi.i + gj.j * 16 AS fid,
+                   CASE WHEN gi.i < 15
+                             AND (gi.i + gj.j * 16) % 37 = 5
+                        THEN 1 ELSE 0 END AS chosen
+            FROM generate_series(0, 15) gi(i)
+            CROSS JOIN generate_series(0, 15) gj(j)
+        )
+        SELECT c.fid AS fid,
+               CAST(4 + c.chosen AS BIGINT) AS n_edges,
+               CAST(2 * c.chosen
+                    + COALESCE(l.chosen, 0) AS BIGINT)
+                   AS n_unmatched,
+               ROUND(CAST(c.chosen AS DOUBLE)
+                     + CAST(COALESCE(l.chosen, 0) AS DOUBLE), 4)
+                   AS unmatched_len
+        FROM cells c
+        LEFT JOIN cells l ON l.i = c.i - 1 AND l.j = c.j
+        ORDER BY c.fid
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3800,6 +3857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_vector_tindex": q76_vector_tindex,
     "q77_grid_data_metrics": q77_grid_data_metrics,
     "q78_clean_collar": q78_clean_collar,
+    "q79_check_coverage": q79_check_coverage,
 }
 
 
@@ -4194,6 +4252,7 @@ def oracle_sql() -> dict[str, str]:
         "q76_vector_tindex": _vector_tindex_oracle(),
         "q77_grid_data_metrics": _grid_metrics_oracle(),
         "q78_clean_collar": _clean_collar_oracle(),
+        "q79_check_coverage": _check_coverage_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

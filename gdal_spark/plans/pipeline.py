@@ -147,6 +147,14 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
             from gdal_spark.operators.layer_algebra import dissolve
 
             df = dissolve(spark, df, by=(args[0] if args else None))
+        elif verb == "check-coverage":
+            # gdalalg_vector_check_coverage.cpp: per-feature defect
+            # report; "check-coverage [snap] [x0 y0 x1 y1]"
+            from gdal_spark.operators.coverage import check_coverage
+            df = check_coverage(
+                df, snap=(float(args[0]) if args else 0.0),
+                extent=(tuple(float(v) for v in args[1:5])
+                        if len(args) >= 5 else None))
         elif verb == "check-geometry":
             df = _check_geometry(df)
         elif verb == "make-point":
