@@ -2883,6 +2883,82 @@ def _check_coverage_oracle() -> str:
     """
 
 
+def q80_rgb_to_palette(spark, sf_dir):
+    """gdal raster rgb-to-palette (GDALComputeMedianCutPCT,
+    alg/gdalmediancut.cpp): a deterministic RGB raster with 64
+    distinct 8-aligned colors (each its own 5-bit cell) must
+    median-cut into EXACTLY those colors — every box shrinks to a
+    singleton, the entry law ((min+max)<<3)/2 returns the color
+    itself — and the distributed remap must conserve every color's
+    pixel count, all recomputed in closed-form SQL."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gdal_spark.operators.palette import rgb_to_palette
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+
+    py_g, px_g = np.mgrid[0:256, 0:256]
+    r = (8 * (px_g % 8)).astype(np.uint8)
+    g = (8 * ((py_g % 11) % 8)).astype(np.uint8)
+    b = np.zeros_like(r)
+    rows = []
+    ts = 64
+    for ty in range(4):
+        for tx in range(4):
+            for band, arr in ((1, r), (2, g), (3, b)):
+                blk = arr[ty * ts:(ty + 1) * ts,
+                          tx * ts:(tx + 1) * ts]
+                rows.append({
+                    "zoom": 2, "tile_x": tx, "tile_y": ty,
+                    "band": band,
+                    "data": np.ascontiguousarray(blk).tobytes(),
+                    "dtype": "uint8", "tile_size": ts,
+                })
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    out, pal = rgb_to_palette(tiles, n_colors=256)
+
+    cnt_schema = StructType([
+        StructField("idx", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    def idx_counts(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            accum: dict = {}
+            for _, row in batch.iterrows():
+                a = decode_tile(row["data"], row["dtype"],
+                                int(row["tile_size"]))
+                vals, cnts = np.unique(a, return_counts=True)
+                for v, c in zip(vals.tolist(), cnts.tolist()):
+                    accum[v] = accum.get(v, 0) + c
+            yield pd.DataFrame({"idx": list(accum.keys()),
+                                "n": list(accum.values())})
+
+    counts = (out.mapInPandas(idx_counts, cnt_schema)
+              .groupBy("idx").agg(F.sum("n").alias("n")))
+    pal_pdf = pd.DataFrame({
+        "idx": np.arange(len(pal), dtype=np.int64),
+        "r": pal[:, 0].astype(np.int64),
+        "g": pal[:, 1].astype(np.int64),
+    })
+    pal_df = spark.createDataFrame(pal_pdf)
+    return (counts.join(F.broadcast(pal_df), "idx")
+            .select("r", "g", F.col("n").cast("long").alias("n"))
+            .orderBy("r", "g"))
+
+
+def _palette_oracle() -> str:
+    return """
+        SELECT 8 * (gx.x % 8) AS r,
+               8 * ((gy.y % 11) % 8) AS g,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM generate_series(0, 255) gx(x)
+        CROSS JOIN generate_series(0, 255) gy(y)
+        GROUP BY 1, 2 ORDER BY r, g
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3858,6 +3934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_grid_data_metrics": q77_grid_data_metrics,
     "q78_clean_collar": q78_clean_collar,
     "q79_check_coverage": q79_check_coverage,
+    "q80_rgb_to_palette": q80_rgb_to_palette,
 }
 
 
@@ -4253,6 +4330,7 @@ def oracle_sql() -> dict[str, str]:
         "q77_grid_data_metrics": _grid_metrics_oracle(),
         "q78_clean_collar": _clean_collar_oracle(),
         "q79_check_coverage": _check_coverage_oracle(),
+        "q80_rgb_to_palette": _palette_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -136,6 +136,12 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
             from gdal_spark.operators.bandops import stack_bands
             extra = [layers[name] for name in args]
             df = stack_bands([df] + extra)
+        elif verb == "rgb-to-palette":
+            # gdal raster rgb-to-palette (median cut):
+            # "rgb-to-palette [n_colors]"
+            from gdal_spark.operators.palette import rgb_to_palette
+            df, _pal = rgb_to_palette(
+                df, n_colors=(int(args[0]) if args else 256))
         elif verb == "reclassify":
             rules = [tuple(float(v) for v in part.split(":"))
                      for part in args[0].split(",")]
