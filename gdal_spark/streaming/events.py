@@ -175,6 +175,163 @@ def dedup_stream(stream: DataFrame, text_col: str = "text",
     )
 
 
+def near_dedup_stream(stream: DataFrame, out_path: str,
+                      checkpoint: str, *,
+                      text_col: str = "text",
+                      key_col: str = "doc_id",
+                      num_hashes: int = 64, shingle: int = 5,
+                      bands: int = 16, threshold: float = 0.7,
+                      seed: int = 42, max_reps: int = 8
+                      ) -> StreamingQuery:
+    """Streaming MinHash-LSH NEAR-dedup, first arrival wins — the
+    ingestion-time extension of ``dedup_stream`` (whose batch analog
+    is dedup.minhash_lsh_dedup; the reference has no streaming
+    surface at all, SURVEY §2.6).
+
+    Per micro-batch: a stateless Arrow kernel computes each doc's
+    minhash signature (the SAME hash family as the batch operator —
+    same seed → identical signatures); JVM expressions explode it
+    into ``bands`` bucket keys; a stateful stage keyed on
+    (band, bucket) keeps up to ``max_reps`` accepted REPRESENTATIVE
+    signatures per bucket (CLAUDE.md's star rule: LSH buckets on
+    heavy-dup corpora hold whole clusters, so the cluster
+    representative is what matters — state stays O(reps), never
+    O(docs)); a new doc whose signature agrees with any rep on ≥
+    ``threshold`` of the hashes is flagged in that band.  The final
+    per-doc verdict (dup in ANY band → drop) reduces inside
+    foreachBatch — every band row of a doc lives in the same
+    micro-batch — and survivors append to ``out_path``.
+
+    Declared deviation from the batch operator: the streaming verify
+    step is the SIGNATURE estimate, not exact shingle Jaccard (the
+    shingle sets cannot live in state at a firehose; estimate error
+    is the standard 1/sqrt(num_hashes) MinHash bound).  State is
+    per-bucket and shards by hash exactly like the batch groupBy;
+    replay of a checkpointed batch re-yields the same survivors
+    (state transitions are deterministic: rows process in key
+    order)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField,
+    )
+
+    payload_cols = [c for c in stream.columns if c != key_col]
+    rows_per_band = num_hashes // bands
+
+    # signature kernel with payload passthrough (a JOIN back to the
+    # stream would be an illegal stream-stream self-join) — the SAME
+    # hash family as dedup.minhash_signatures, so streaming and
+    # batch signatures are bit-identical
+    import numpy as np
+
+    from gdal_spark.operators.dedup import _MERSENNE, _gram_stream
+
+    rng = np.random.RandomState(seed)
+    ha = rng.randint(1, _MERSENNE, size=num_hashes,
+                     dtype=np.int64).astype(np.uint64)
+    hb = rng.randint(0, _MERSENNE, size=num_hashes,
+                     dtype=np.int64).astype(np.uint64)
+
+    from pyspark.sql.types import ArrayType as _Arr, LongType as _L
+
+    sig_schema = StructType(
+        [stream.schema[key_col]]
+        + [StructField(c, stream.schema[c].dataType, True)
+           for c in payload_cols]
+        + [StructField("sig", _Arr(_L()))])
+
+    def sign(batches):
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            flat, bounds = _gram_stream(batch[text_col], shingle)
+            mins = np.empty((num_hashes, len(batch)),
+                            dtype=np.uint64)
+            for i in range(num_hashes):
+                hv = (ha[i] * flat + hb[i]) % _MERSENNE
+                mins[i] = np.minimum.reduceat(hv, bounds[:-1])
+            out = batch[[key_col] + payload_cols].copy()
+            out["sig"] = [s.tolist()
+                          for s in mins.astype(np.int64).T]
+            yield out
+
+    joined = stream.mapInPandas(sign, sig_schema)
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band_id"),
+                 F.hash(F.slice("sig", i * rows_per_band + 1,
+                                rows_per_band)).alias("bucket"))
+        for i in range(bands)])
+    exploded = (joined.select(
+        key_col, "sig", *payload_cols,
+        F.explode(band_structs).alias("b"))
+        .select(
+            key_col, "sig",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.bucket").alias("bucket"),
+            *[F.when(F.col("b.band_id") == 0, F.col(c)).alias(c)
+              for c in payload_cols]))
+
+    out_schema = StructType(
+        [stream.schema[key_col],
+         StructField("__dup", IntegerType())]
+        + [StructField(c, stream.schema[c].dataType, True)
+           for c in payload_cols])
+    state_schema = StructType([
+        StructField("reps", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            stored, n_reps = state.get
+            reps = np.asarray(stored, dtype=np.int64) \
+                .reshape(int(n_reps), num_hashes)
+        else:
+            reps = np.empty((0, num_hashes), dtype=np.int64)
+        out_rows = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(key_col)
+            for _, r in pdf.iterrows():
+                sig = np.asarray(r["sig"], dtype=np.int64)
+                dup = 0
+                if len(reps):
+                    est = (reps == sig).mean(axis=1).max()
+                    dup = int(est >= threshold)
+                if not dup and len(reps) < max_reps:
+                    reps = np.vstack([reps, sig[None, :]])
+                out_rows.append(
+                    [r[key_col], dup]
+                    + [r[c] for c in payload_cols])
+        if len(reps):
+            state.update((reps.ravel().tolist(), len(reps)))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=[key_col, "__dup"] + payload_cols)
+
+    verdicts = (exploded
+                .groupBy("band_id", "bucket")
+                .applyInPandasWithState(
+                    fn, out_schema, state_schema, "append",
+                    GroupStateTimeout.NoTimeout))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        aggs = [F.max("__dup").alias("__dup")] + [
+            F.first(c, ignorenulls=True).alias(c)
+            for c in payload_cols]
+        (batch.groupBy(key_col).agg(*aggs)
+         .filter(F.col("__dup") == 0)
+         .drop("__dup")
+         .write.mode("append").parquet(out_path))
+
+    return (verdicts.writeStream
+            .foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def spatial_join_stream(
     stream: DataFrame, polys_pdf: pd.DataFrame, out_path: str,
     checkpoint: str, res: int = 6, lon: str = "lon", lat: str = "lat",

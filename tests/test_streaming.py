@@ -275,3 +275,60 @@ def test_stream_density_pyramid_matches_batch(spark, tmp_path):
         densify(read_density_state(spark, state3), zoom=3)
         .toPandas()).values())
     assert m3 == 3000  # pruned-batch replay still a no-op
+
+
+def test_stream_near_dedup_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dedup == batch minhash_lsh_dedup
+    survivors on the same corpus, with near-duplicates split ACROSS
+    microbatches (the bucket state carries cluster representatives
+    between triggers)."""
+    import numpy as np
+
+    from gdal_spark.operators.dedup import minhash_lsh_dedup
+    from gdal_spark.streaming.events import near_dedup_stream
+
+    src = str(tmp_path / "nd_in")
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    rng = np.random.RandomState(17)
+    words = [f"w{i:03d}" for i in range(400)]
+    bases = [" ".join(rng.choice(words, 60)) for _ in range(8)]
+    texts, ids = [], []
+    k = 0
+    for b, base in enumerate(bases):
+        toks = base.split()
+        for copy in range(3):           # original + 2 near-copies
+            t = list(toks)
+            if copy:
+                t[copy * 5] = f"mut{b}_{copy}"
+            texts.append(" ".join(t))
+            ids.append(k)
+            k += 1
+    pdf = pd.DataFrame({"doc_id": ids, "text": texts})
+    docs = spark.createDataFrame(pdf)
+    # split so each cluster straddles the trigger boundary
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.parquet(
+        src, mode="append")
+    docs.filter("doc_id % 3 != 0").coalesce(1).write.parquet(
+        src, mode="append")
+
+    from gdal_spark.streaming.events import stream_parquet_source
+
+    stream = stream_parquet_source(spark, src, docs.schema,
+                                   max_files_per_trigger=1)
+    q = near_dedup_stream(stream, out, ckpt, threshold=0.5)
+    q.awaitTermination(180)
+
+    got = set(spark.read.parquet(out).toPandas()["doc_id"])
+    want = set(minhash_lsh_dedup(docs).toPandas()["doc_id"])
+    # batch keeps each cluster's min key; streaming keeps the first
+    # arrival — with min-key-first arrival order these coincide
+    assert got == want
+    assert got == {0, 3, 6, 9, 12, 15, 18, 21}
+
+    # replay with the same checkpoint adds nothing
+    stream2 = stream_parquet_source(spark, src, docs.schema)
+    q2 = near_dedup_stream(stream2, out, ckpt, threshold=0.5)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == len(want)
