@@ -19,6 +19,9 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StructField, StructType,
+)
 
 from gdal_spark.operators.tiling import (
     TILE_SCHEMA, decode_tile, encode_tile,
@@ -134,3 +137,61 @@ def nodata_to_alpha(tiles: DataFrame, nodata: float) -> DataFrame:
 
     return (tiles.groupBy("tile_x", "tile_y")
             .applyInPandas(kernel, TILE_SCHEMA))
+
+
+_CMP_SCHEMA = StructType([
+    StructField("band", IntegerType()),
+    StructField("n_diff", LongType()),
+    StructField("max_abs", DoubleType()),
+    StructField("only_a", LongType()),
+    StructField("only_b", LongType()),
+])
+
+
+def raster_compare(a: DataFrame, b: DataFrame) -> dict:
+    """gdal raster compare (apps/gdalalg_raster_compare.cpp /
+    gdalcompare 'pixels differing' report): per-band differing-pixel
+    count + max absolute difference between two tile frames, plus
+    tiles present on only one side.  One keyed shuffle (the tile
+    cogroup); the driver reads one row per band."""
+    keys = ["zoom", "tile_x", "tile_y", "band"]
+
+    tagged = (a.select(*keys, "data", "dtype", "tile_size",
+                       F.lit(0).alias("src"))
+              .unionByName(
+                  b.select(*keys, "data", "dtype", "tile_size",
+                           F.lit(1).alias("src"))))
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(key[3])
+        ts = int(pdf["tile_size"].iloc[0])
+        sides = {int(r["src"]): decode_tile(
+            r["data"], r["dtype"], int(r["tile_size"]))
+            for _, r in pdf.iterrows()}
+        if 0 in sides and 1 in sides:
+            d = np.abs(sides[0].astype(np.float64)
+                       - sides[1].astype(np.float64))
+            return pd.DataFrame({
+                "band": [band],
+                "n_diff": [int((d != 0).sum())],
+                "max_abs": [float(d.max()) if d.size else 0.0],
+                "only_a": [0], "only_b": [0]})
+        return pd.DataFrame({
+            "band": [band], "n_diff": [ts * ts], "max_abs": [0.0],
+            "only_a": [int(0 in sides)], "only_b": [int(1 in sides)]})
+
+    rows = (tagged.groupBy(*keys).applyInPandas(kernel, _CMP_SCHEMA)
+            .groupBy("band")
+            .agg(F.sum("n_diff").alias("n_diff"),
+                 F.max("max_abs").alias("max_abs"),
+                 F.sum("only_a").alias("only_a"),
+                 F.sum("only_b").alias("only_b"))
+            .orderBy("band").collect())
+    return {
+        "bands": {int(r["band"]): {"n_diff": int(r["n_diff"]),
+                                   "max_abs": float(r["max_abs"])}
+                  for r in rows},
+        "tiles_only_a": int(sum(r["only_a"] for r in rows)),
+        "tiles_only_b": int(sum(r["only_b"] for r in rows)),
+        "identical": all(int(r["n_diff"]) == 0 for r in rows),
+    }

@@ -119,3 +119,51 @@ def test_concat_and_explode_collections(spark):
     assert len(pdf) == 4
     kinds = {W.parse_wkb(bytes(g)).kind for g in pdf["geometry"]}
     assert kinds == {W.POINT, W.POLYGON}
+
+
+def test_raster_compare_reports_diffs(spark):
+    from gdal_spark.operators.bandops import raster_compare
+
+    a = _band_tiles(spark, 2)
+    b = _band_tiles(spark, 2)
+    rep = raster_compare(a, b)
+    assert rep["identical"]
+    # perturb one pixel of band 2 + drop band 1 on side b
+    rows = []
+    arr = np.full((8, 8), 20.0)
+    arr[3, 3] = 21.5
+    arr[0, 0] = 0.0
+    rows.append({"zoom": 0, "tile_x": 0, "tile_y": 0, "band": 2,
+                 "data": arr.tobytes(), "dtype": "float64",
+                 "tile_size": 8})
+    from gdal_spark.operators.tiling import TILE_SCHEMA
+    b2 = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    rep2 = raster_compare(a, b2)
+    assert not rep2["identical"]
+    assert rep2["bands"][2]["n_diff"] == 1
+    assert rep2["bands"][2]["max_abs"] == pytest.approx(1.5)
+    assert rep2["tiles_only_a"] == 1      # band 1 missing on b
+
+
+def test_dataset_mgmt_sidecars(tmp_path):
+    from gdal_spark.sources.dataset_mgmt import (
+        dataset_copy, dataset_delete, dataset_files, dataset_rename,
+    )
+
+    for ext in (".shp", ".shx", ".dbf", ".prj"):
+        (tmp_path / f"pts{ext}").write_bytes(b"x" * 10)
+    src = str(tmp_path / "pts.shp")
+    assert len(dataset_files(src)) == 4
+    copied = dataset_copy(src, str(tmp_path / "c" / "pts2.shp"))
+    assert len(copied) == 4
+    assert (tmp_path / "c" / "pts2.dbf").exists()
+    moved = dataset_rename(str(tmp_path / "c" / "pts2.shp"),
+                           str(tmp_path / "c" / "pts3.shp"))
+    assert len(moved) == 4
+    assert not (tmp_path / "c" / "pts2.shp").exists()
+    n = dataset_delete(str(tmp_path / "c" / "pts3.shp"))
+    assert n == 4
+    assert not any((tmp_path / "c").iterdir())
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        dataset_delete(str(tmp_path / "nope.shp"))
