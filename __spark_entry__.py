@@ -2959,6 +2959,98 @@ def _palette_oracle() -> str:
     """
 
 
+def q81_simplify_coverage(spark, sf_dir):
+    """gdal vector simplify-coverage (GEOSCoverageSimplifyVW,
+    apps/gdalalg_vector_simplify_coverage.cpp): an 8x8 lattice whose
+    every edge is densified into 8 collinear segments must simplify
+    back to EXACTLY clean unit squares — shared arcs simplify once
+    (both neighbors reassemble from the same vertices), so the
+    result must ALSO pass check-coverage with zero defects; per-cell
+    vertex count, area and position are closed-form."""
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.coverage import (
+        check_coverage, simplify_coverage,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    # k=8: 1/8 is float-exact, so both neighbors synthesize
+    # bit-identical shared vertices (the coverage precondition;
+    # noisy inputs go through the snap= grid instead)
+    n, k = 8, 8
+    rows = []
+    for j in range(n):
+        for i in range(n):
+            x0, y0, x1, y1 = float(i), float(j), float(i + 1), \
+                float(j + 1)
+
+            def seg(a, b):
+                return [(a[0] + (b[0] - a[0]) * t / k,
+                         a[1] + (b[1] - a[1]) * t / k)
+                        for t in range(k)]
+
+            ring = (seg((x0, y0), (x1, y0))
+                    + seg((x1, y0), (x1, y1))
+                    + seg((x1, y1), (x0, y1))
+                    + seg((x0, y1), (x0, y0)) + [(x0, y0)])
+            rows.append({"fid": i + j * n,
+                         "geometry": polygon_wkb([ring])})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    simp = simplify_coverage(df, tolerance=0.25)
+
+    geo_schema = StructType([
+        StructField("fid", LongType()),
+        StructField("n_points", LongType()),
+        StructField("area", DoubleType()),
+        StructField("fminx", LongType()),
+        StructField("fminy", LongType()),
+    ])
+
+    def describe(batches):
+        from gdal_spark.geometry.wkb import parse_wkb
+
+        for b in batches:
+            if not len(b):
+                continue
+            out = {f.name: [] for f in geo_schema.fields}
+            for fid, wkb in zip(b["fid"], b["geometry"]):
+                ring = parse_wkb(bytes(wkb)).parts[0]
+                xs, ys = ring[:, 0], ring[:, 1]
+                area = 0.5 * abs(np.sum(xs[:-1] * ys[1:]
+                                        - xs[1:] * ys[:-1]))
+                out["fid"].append(int(fid))
+                out["n_points"].append(len(ring))
+                out["area"].append(round(float(area), 4))
+                out["fminx"].append(int(np.floor(xs.min())))
+                out["fminy"].append(int(np.floor(ys.min())))
+            yield pd.DataFrame(out)
+
+    desc = simp.mapInPandas(describe, geo_schema)
+    defects = check_coverage(
+        simp, extent=(0.0, 0.0, float(n), float(n))) \
+        .select("fid", "n_unmatched")
+    return (desc.join(defects, "fid")
+            .select("fid", "n_points", "area", "fminx", "fminy",
+                    F.col("n_unmatched").cast("long")
+                    .alias("n_unmatched"))
+            .orderBy("fid"))
+
+
+def _simplify_coverage_oracle() -> str:
+    return """
+        SELECT gi.i + gj.j * 8 AS fid,
+               CAST(5 AS BIGINT) AS n_points,
+               ROUND(1e0, 4) AS area,
+               CAST(gi.i AS BIGINT) AS fminx,
+               CAST(gj.j AS BIGINT) AS fminy,
+               CAST(0 AS BIGINT) AS n_unmatched
+        FROM generate_series(0, 7) gi(i)
+        CROSS JOIN generate_series(0, 7) gj(j)
+        ORDER BY fid
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -3935,6 +4027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_clean_collar": q78_clean_collar,
     "q79_check_coverage": q79_check_coverage,
     "q80_rgb_to_palette": q80_rgb_to_palette,
+    "q81_simplify_coverage": q81_simplify_coverage,
 }
 
 
@@ -4331,6 +4424,7 @@ def oracle_sql() -> dict[str, str]:
         "q78_clean_collar": _clean_collar_oracle(),
         "q79_check_coverage": _check_coverage_oracle(),
         "q80_rgb_to_palette": _palette_oracle(),
+        "q81_simplify_coverage": _simplify_coverage_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -155,6 +155,16 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
                 df, snap=(float(args[0]) if args else 0.0),
                 extent=(tuple(float(v) for v in args[1:5])
                         if len(args) >= 5 else None))
+        elif verb == "simplify-coverage":
+            # gdalalg_vector_simplify_coverage.cpp:
+            # "simplify-coverage <tol> [preserve-boundary]"
+            from gdal_spark.operators.coverage import (
+                simplify_coverage,
+            )
+            df = simplify_coverage(
+                df, float(args[0]),
+                preserve_boundary=(len(args) > 1 and
+                                   args[1] == "preserve-boundary"))
         elif verb == "check-geometry":
             df = _check_geometry(df)
         elif verb == "make-point":

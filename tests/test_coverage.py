@@ -90,3 +90,113 @@ def test_snap_tolerates_float_noise(spark):
     snapped = check_coverage(df, snap=1e-9,
                              extent=(0, 0, 2, 1)).toPandas()
     assert snapped["n_unmatched"].sum() == 0
+
+
+# ---------------------------------------------- simplify-coverage
+
+def _densified_cell(i, j, k=4):
+    """Unit cell with every edge densified into k collinear
+    segments."""
+    x0, y0, x1, y1 = float(i), float(j), float(i + 1), float(j + 1)
+
+    def seg(a, b):
+        return [(a[0] + (b[0] - a[0]) * t / k,
+                 a[1] + (b[1] - a[1]) * t / k) for t in range(k)]
+
+    ring = (seg((x0, y0), (x1, y0)) + seg((x1, y0), (x1, y1))
+            + seg((x1, y1), (x0, y1)) + seg((x0, y1), (x0, y0))
+            + [(x0, y0)])
+    return W.polygon_wkb([ring])
+
+
+def test_simplify_coverage_removes_collinear_keeps_valid(spark):
+    from gdal_spark.operators.coverage import simplify_coverage
+
+    n = 4
+    rows = [{"fid": i + j * n, "geometry": _densified_cell(i, j)}
+            for j in range(n) for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = simplify_coverage(df, tolerance=0.2)
+    pdf = out.toPandas()
+    assert len(pdf) == 16
+    for _, r in pdf.iterrows():
+        g = W.parse_wkb(bytes(r["geometry"]))
+        ring = g.parts[0]
+        assert len(ring) == 5            # clean unit square
+        xs, ys = ring[:, 0], ring[:, 1]
+        area = 0.5 * abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+        assert area == pytest.approx(1.0)
+    # the simplified layer is STILL a valid coverage
+    rep = check_coverage(out, extent=(0, 0, 4, 4)).toPandas()
+    assert (rep["n_unmatched"] == 0).all()
+
+
+def _sawtooth_pair(spark, amp):
+    """Two rectangles sharing a sawtooth boundary at x=1."""
+    teeth = []
+    k = 8
+    for t in range(1, k):
+        x = 1.0 + (amp if t % 2 else -amp)
+        teeth.append((x, t / k))
+    left = [(0.0, 0.0), (1.0, 0.0)] + teeth + [(1.0, 1.0),
+                                               (0.0, 1.0), (0.0, 0.0)]
+    right = [(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0)] \
+        + teeth[::-1] + [(1.0, 0.0)]
+    rows = [{"fid": 0, "geometry": W.polygon_wkb([left])},
+            {"fid": 1, "geometry": W.polygon_wkb([right])}]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_simplify_coverage_shared_arc_consistent(spark):
+    """The sawtooth shared boundary simplifies IDENTICALLY on both
+    sides — the coverage stays defect-free and total area is
+    conserved (what independent per-polygon simplify cannot do)."""
+    from gdal_spark.operators.coverage import simplify_coverage
+
+    df = _sawtooth_pair(spark, amp=0.02)
+    out = simplify_coverage(df, tolerance=0.2)
+    pdf = out.toPandas().set_index("fid")
+    areas = {}
+    for fid, r in pdf.iterrows():
+        ring = W.parse_wkb(bytes(r["geometry"])).parts[0]
+        xs, ys = ring[:, 0], ring[:, 1]
+        areas[fid] = 0.5 * np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])
+        assert len(ring) < 10            # teeth collapsed
+    assert abs(areas[0]) + abs(areas[1]) == pytest.approx(2.0)
+    rep = check_coverage(out, extent=(0, 0, 2, 1)).toPandas()
+    assert (rep["n_unmatched"] == 0).all()
+
+
+def test_simplify_coverage_preserve_boundary(spark):
+    from gdal_spark.operators.coverage import simplify_coverage
+
+    rows = [{"fid": 0, "geometry": _densified_cell(0, 0)},
+            {"fid": 1, "geometry": _densified_cell(1, 0)}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = simplify_coverage(df, tolerance=0.2,
+                            preserve_boundary=True).toPandas() \
+        .set_index("fid")
+    g0 = W.parse_wkb(bytes(out.loc[0, "geometry"])).parts[0]
+    # outer arcs keep their densified vertices; only the shared
+    # edge (x=1) simplifies to its 2 endpoints
+    on_shared = np.isclose(g0[:-1, 0], 1.0)   # drop closing dup
+    assert on_shared.sum() == 2          # simplified shared arc
+    assert len(g0) > 10                  # outer boundary untouched
+
+
+def test_simplify_coverage_snap_heals_ulp_noise(spark):
+    """k=6 densification makes the two sides synthesize shared
+    vertices that differ in the last ulp (1/6 is not float-exact) —
+    without snap those read as junction nodes and pin vertices;
+    with snap the lattice simplifies clean."""
+    from gdal_spark.operators.coverage import simplify_coverage
+
+    rows = [{"fid": i + j * 2, "geometry": _densified_cell(i, j, k=6)}
+            for j in range(2) for i in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = simplify_coverage(df, tolerance=0.2, snap=1e-9).toPandas()
+    for _, r in out.iterrows():
+        assert len(W.parse_wkb(bytes(r["geometry"])).parts[0]) == 5
+    rep = check_coverage(simplify_coverage(df, 0.2, snap=1e-9),
+                         snap=1e-9, extent=(0, 0, 2, 2)).toPandas()
+    assert (rep["n_unmatched"] == 0).all()
