@@ -3051,6 +3051,58 @@ def _simplify_coverage_oracle() -> str:
     """
 
 
+def q82_duplicate_passages(spark, sf_dir):
+    """Exact duplicate-PASSAGE detection at fixed window granularity
+    (the fixed-width approximation of suffix-array substring dedup:
+    any duplicated run of >= W tokens contains a duplicated
+    W-window) — per-document duplicate-text fraction over the
+    documents table, the Gopher-style quality signal.  Pure-JVM
+    plan: explode windows map-side, shuffle ONE xxhash64 long per
+    window, two keyed aggs.  The oracle regroups by the window
+    STRING itself (DuckDB has no xxhash64), so a hash-collision or
+    normalization drift on the engine side cannot hide."""
+    from gdal_spark.functions.text import duplicate_passage_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return (duplicate_passage_stats(docs, "text", "doc_id",
+                                    window=8)
+            .orderBy("doc_id"))
+
+
+def _dup_passages_oracle() -> str:
+    return """
+        WITH docs AS (
+            SELECT doc_id,
+                   string_split(
+                       lower(regexp_replace(trim(text),
+                                            '\\s+', ' ', 'g')),
+                       ' ') AS toks
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, GREATEST(len(toks) - 7, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(toks, i, i + 7), ' '))) AS w
+            FROM docs
+        ),
+        freq AS (
+            SELECT w, COUNT(DISTINCT doc_id) AS n_docs
+            FROM wins GROUP BY w
+        )
+        SELECT wins.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_dup_windows,
+               ROUND(SUM(CASE WHEN freq.n_docs >= 2 THEN 1e0
+                         ELSE 0e0 END)
+                     / COUNT(*), 6) AS dup_fraction
+        FROM wins JOIN freq ON wins.w = freq.w
+        GROUP BY wins.doc_id ORDER BY doc_id
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4028,6 +4080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_check_coverage": q79_check_coverage,
     "q80_rgb_to_palette": q80_rgb_to_palette,
     "q81_simplify_coverage": q81_simplify_coverage,
+    "q82_duplicate_passages": q82_duplicate_passages,
 }
 
 
@@ -4425,6 +4478,7 @@ def oracle_sql() -> dict[str, str]:
         "q79_check_coverage": _check_coverage_oracle(),
         "q80_rgb_to_palette": _palette_oracle(),
         "q81_simplify_coverage": _simplify_coverage_oracle(),
+        "q82_duplicate_passages": _dup_passages_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -103,3 +103,58 @@ def fingerprint64(col: str) -> Column:
     identity used by dedup."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " ")
     return F.xxhash64(norm)
+
+
+def passage_windows(text_col: str, window: int = 10) -> Column:
+    """All ``window``-token sliding passages of a document as an
+    array<string> — pure JVM (split + transform/slice), no Python.
+
+    The building block of exact duplicate-PASSAGE detection (the
+    suffix-array substring dedup of the training-data literature,
+    approximated at fixed granularity: any duplicated substring of
+    >= window tokens contains a duplicated window).  Tokens are the
+    whitespace split of the lower-cased text with runs collapsed."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                r"\s+", " ")), " ")
+    n = F.size(toks)
+    return F.when(n < window, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda i: F.array_join(
+                F.slice(toks, i, window), " ")))
+
+
+def duplicate_passage_stats(df, text_col: str = "text",
+                            key_col: str = "doc_id",
+                            window: int = 10):
+    """Per-document duplicate-passage report: (key, n_windows,
+    n_dup_windows, dup_fraction) — the Gopher-style 'duplicate text
+    fraction' quality signal, computed corpus-wide.
+
+    Plan shape (audited by eye, 100-TB honest): explode windows
+    map-side, hash each window to ONE long (xxhash64 — the shuffle
+    carries 8 bytes per window, never the passage text; collisions
+    are ~n^2/2^64, declared), ONE groupBy counts global window
+    frequency, and a second keyed agg folds per-doc stats.  No
+    Python anywhere in the pipeline."""
+    from pyspark.sql import functions as F
+
+    wins = (df.select(
+        F.col(key_col),
+        F.explode(passage_windows(text_col, window)).alias("w"))
+        .select(key_col, F.xxhash64("w").alias("h")))
+    freq = wins.groupBy("h").agg(
+        F.countDistinct(key_col).alias("n_docs"))
+    per_doc = (wins.join(freq, "h")
+               .groupBy(key_col)
+               .agg(F.count("*").alias("n_windows"),
+                    F.sum(F.when(F.col("n_docs") >= 2, 1)
+                          .otherwise(0)).alias("n_dup_windows")))
+    return per_doc.select(
+        key_col,
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.round(F.col("n_dup_windows")
+                / F.col("n_windows").cast("double"), 6)
+        .alias("dup_fraction"))

@@ -489,6 +489,21 @@ def main() -> None:
         f"-> groupBy tile; found {n_ex_gm} Exchange)",
         n_ex_gm == 1))
 
+    # ---- duplicate-passage stats: pure JVM, no Python anywhere ---
+    from gdal_spark.functions.text import duplicate_passage_stats
+
+    dp_docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(20),
+        "text": ["alpha beta gamma delta epsilon zeta eta theta "
+                 * 3] * 20}))
+    dp = duplicate_passage_stats(dp_docs, window=8)
+    dp_plan = simple_plan(dp)
+    checks.append((
+        "duplicate-passage stats is pure JVM (no Python stage in "
+        "the plan; shuffle carries 8-byte window hashes)",
+        "Python" not in dp_plan and "InPandas" not in dp_plan
+        and "BatchEvalPython" not in dp_plan))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
