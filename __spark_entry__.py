@@ -3103,6 +3103,74 @@ def _dup_passages_oracle() -> str:
     """
 
 
+def q83_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality filtering (Rae et al. 2021 table A1 —
+    the quality stage of an LLM training-data pipeline) over the
+    documents table: word count, mean word length, alphabetic-word
+    fraction, stopword presence and the keep verdict, all pure-JVM
+    Catalyst expressions; DuckDB recomputes every metric from the
+    same normalization, so tokenizer or threshold drift cannot
+    hide."""
+    from gdal_spark.functions.text import gopher_quality_flags
+
+    docs = _load(spark, sf_dir, "documents")
+    q = docs.select("doc_id",
+                    gopher_quality_flags("text").alias("q"))
+    return (q.select(
+        "doc_id",
+        F.col("q.n_words").alias("n_words"),
+        F.round("q.mean_word_len", 4).alias("mean_word_len"),
+        F.round("q.alpha_word_frac", 4).alias("alpha_word_frac"),
+        F.col("q.stop_hits").alias("stop_hits"),
+        F.col("q.keep").cast("int").alias("keep"))
+        .orderBy("doc_id"))
+
+
+def _gopher_oracle() -> str:
+    stop = "the be to of and that have with".split()
+    stop_list = ", ".join(f"'{w}'" for w in stop)
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\\s+', ' ',
+                                        'g')) AS t
+            FROM documents
+        ),
+        m AS (
+            SELECT d.doc_id,
+                   string_split(d.t, ' ') AS toks,
+                   LENGTH(replace(d.t, ' ', '')) AS total_chars,
+                   string_split(r.text, chr(10)) AS lines
+            FROM docs d JOIN documents r ON r.doc_id = d.doc_id
+        ),
+        s AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   CAST(total_chars AS DOUBLE) / len(toks)
+                       AS mwl,
+                   CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(toks) AS af,
+                   len(list_intersect(list_distinct(toks),
+                                      [{stop_list}])) AS sh,
+                   CAST(len(lines) - len(list_distinct(lines))
+                        AS DOUBLE) / len(lines) AS dlf
+            FROM m
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mwl, 4) AS mean_word_len,
+               ROUND(af, 4) AS alpha_word_frac,
+               CAST(sh AS BIGINT) AS stop_hits,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                         AND mwl BETWEEN 3.0 AND 10.0
+                         AND af >= 0.8 AND sh >= 2
+                         AND dlf <= 0.3
+                    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM s ORDER BY doc_id
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4081,6 +4149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_rgb_to_palette": q80_rgb_to_palette,
     "q81_simplify_coverage": q81_simplify_coverage,
     "q82_duplicate_passages": q82_duplicate_passages,
+    "q83_gopher_quality": q83_gopher_quality,
 }
 
 
@@ -4479,6 +4548,7 @@ def oracle_sql() -> dict[str, str]:
         "q80_rgb_to_palette": _palette_oracle(),
         "q81_simplify_coverage": _simplify_coverage_oracle(),
         "q82_duplicate_passages": _dup_passages_oracle(),
+        "q83_gopher_quality": _gopher_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -158,3 +158,50 @@ def duplicate_passage_stats(df, text_col: str = "text",
         F.round(F.col("n_dup_windows")
                 / F.col("n_windows").cast("double"), 6)
         .alias("dup_fraction"))
+
+
+_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+              "with")
+
+
+def gopher_quality_flags(text_col: str = "text"):
+    """Gopher-rule quality metrics (Rae et al. 2021, table A1) +
+    C4-style line stats, as ONE pure-JVM struct column:
+
+      n_words, mean_word_len, alpha_word_frac (words containing a
+      letter), stop_hits (distinct stopword presence from a fixed
+      8-word list), dup_line_frac, and the conjunction ``keep``:
+      50 <= n_words <= 100000, 3 <= mean_word_len <= 10,
+      alpha_word_frac >= 0.8, stop_hits >= 2, dup_line_frac <= 0.3.
+
+    Document-level text heuristics run corpus-wide with zero Python
+    — every metric is split/filter/aggregate Catalyst expressions
+    inside whole-stage codegen."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   r"\s+", " "))
+    toks = F.split(norm, " ")
+    n_words = F.size(toks)
+    total_chars = F.length(F.regexp_replace(norm, " ", ""))
+    mean_word_len = total_chars / n_words.cast("double")
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        / n_words.cast("double"))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in _STOPWORDS])))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = (
+        (n_lines - F.size(F.array_distinct(lines)))
+        / n_lines.cast("double"))
+    keep = ((n_words >= 50) & (n_words <= 100000)
+            & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+            & (alpha_frac >= 0.8) & (stop_hits >= 2)
+            & (dup_line_frac <= 0.3))
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        keep.alias("keep"))
