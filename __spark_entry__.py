@@ -3171,6 +3171,78 @@ def _gopher_oracle() -> str:
     """
 
 
+def q84_c4_line_filter(spark, sf_dir):
+    """C4 line cleaning (Raffel et al. 2020 §2.2 — terminal
+    punctuation + minimum words per line, lorem-ipsum / code-brace
+    drops): multi-line documents synthesized deterministically from
+    the orders keys (each line's shape is a pure function of
+    (k, i), so DuckDB rebuilds the identical corpus) run through the
+    one-expression JVM filter; kept-line counts and a cleaned-text
+    checksum must match."""
+    from gdal_spark.functions.text import c4_line_filter
+
+    o = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 13 == 0) \
+        .select(F.col("o_orderkey").alias("k"))
+    line = lambda i: F.when(  # noqa: E731
+        (F.col("k") + i) % 4 == 0, F.lit("too short"),
+    ).when(
+        (F.col("k") + i) % 4 == 1,
+        F.lit("this line has code { inside it."),
+    ).when(
+        (F.col("k") + i) % 4 == 2,
+        F.concat(F.lit("a proper sentence number "),
+                 ((F.col("k") + i) % 97).cast("string"),
+                 F.lit(" ends here.")),
+    ).otherwise(F.lit("no terminal punctuation at all"))
+    docs = o.withColumn(
+        "text",
+        F.concat_ws("\n", *[line(i) for i in range(6)]))
+    q = docs.select("k", c4_line_filter("text").alias("c"))
+    return (q.select(
+        "k",
+        F.col("c.n_lines").alias("n_lines"),
+        F.col("c.n_kept").alias("n_kept"),
+        F.length("c.clean_text").cast("long").alias("clean_len"))
+        .orderBy("k"))
+
+
+def _c4_oracle() -> str:
+    # xxhash64 is Spark-only; the oracle pins the cleaned TEXT via
+    # its md5 rebuilt from the same closed-form kept-line law:
+    # (k+i)%4==2 lines survive, everything else fails a rule
+    return """
+        WITH keys AS (
+            SELECT o_orderkey AS k FROM orders
+            WHERE o_orderkey % 13 = 0
+        ),
+        built AS (
+            SELECT k,
+                   list_transform(range(0, 6), i ->
+                       CASE WHEN (k + i) % 4 = 2
+                            THEN 'a proper sentence number '
+                                 || CAST((k + i) % 97 AS VARCHAR)
+                                 || ' ends here.'
+                            ELSE NULL END) AS kept
+            FROM keys
+        ),
+        cleaned AS (
+            SELECT k,
+                   array_to_string(
+                       list_filter(kept, x -> x IS NOT NULL),
+                       chr(10)) AS clean_text,
+                   len(list_filter(kept, x -> x IS NOT NULL))
+                       AS n_kept
+            FROM built
+        )
+        SELECT k,
+               CAST(6 AS BIGINT) AS n_lines,
+               CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(LENGTH(clean_text) AS BIGINT) AS clean_len
+        FROM cleaned ORDER BY k
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4150,6 +4222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_simplify_coverage": q81_simplify_coverage,
     "q82_duplicate_passages": q82_duplicate_passages,
     "q83_gopher_quality": q83_gopher_quality,
+    "q84_c4_line_filter": q84_c4_line_filter,
 }
 
 
@@ -4549,6 +4622,7 @@ def oracle_sql() -> dict[str, str]:
         "q81_simplify_coverage": _simplify_coverage_oracle(),
         "q82_duplicate_passages": _dup_passages_oracle(),
         "q83_gopher_quality": _gopher_oracle(),
+        "q84_c4_line_filter": _c4_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -205,3 +205,26 @@ def gopher_quality_flags(text_col: str = "text"):
         stop_hits.cast("long").alias("stop_hits"),
         dup_line_frac.alias("dup_line_frac"),
         keep.alias("keep"))
+
+
+def c4_line_filter(text_col: str = "text", min_words: int = 3):
+    """C4-style line cleaning (Raffel et al. 2020 §2.2) as one JVM
+    expression: keep only lines that END in terminal punctuation
+    (.!?" ) and carry at least ``min_words`` whitespace words; drop
+    lines containing the curly brace (code) or 'lorem ipsum'.
+    Returns a struct (clean_text, n_lines, n_kept)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def ok(line):
+        t = F.trim(line)
+        words = F.size(F.split(t, r"\s+"))
+        return (t.rlike('[.!?"]$')
+                & (words >= min_words)
+                & ~F.lower(t).contains("lorem ipsum")
+                & ~t.contains("{"))
+
+    kept = F.filter(lines, ok)
+    return F.struct(
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"))
