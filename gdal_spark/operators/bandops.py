@@ -195,3 +195,99 @@ def raster_compare(a: DataFrame, b: DataFrame) -> dict:
         "tiles_only_b": int(sum(r["only_b"] for r in rows)),
         "identical": all(int(r["n_diff"]) == 0 for r in rows),
     }
+
+
+_BLEND_MODES = ("src-over", "multiply", "screen", "overlay",
+                "darken", "lighten")
+
+
+def blend_tiles(base: DataFrame, over: DataFrame,
+                mode: str = "src-over",
+                opacity: float = 100.0) -> DataFrame:
+    """gdal raster blend (apps/gdalalg_raster_blend.cpp): compose an
+    overlay onto a base raster with a Porter-Duff / ISO-32000 blend
+    mode and an opacity percentage.  Values normalize to [0,1] over
+    the Byte range, blend, then recompose:
+    out = (1-a)*base + a*blend(base, over).  One keyed cogroup per
+    tile; output keeps the base dtype (GDALCopyWord rounding)."""
+    if mode not in _BLEND_MODES:
+        raise ValueError(
+            f"unknown blend mode {mode!r}; valid: {_BLEND_MODES}")
+    a = float(opacity) / 100.0
+    keys = ["zoom", "tile_x", "tile_y", "band"]
+    tagged = (base.select(*keys, "data", "dtype", "tile_size",
+                          F.lit(0).alias("src"))
+              .unionByName(
+                  over.select(*keys, "data", "dtype", "tile_size",
+                              F.lit(1).alias("src"))))
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = int(pdf["tile_size"].iloc[0])
+        sides = {}
+        dts = {}
+        for _, r in pdf.iterrows():
+            sides[int(r["src"])] = decode_tile(
+                r["data"], r["dtype"], int(r["tile_size"]))
+            dts[int(r["src"])] = r["dtype"]
+        if 0 not in sides:          # overlay-only tile passes through
+            arr, dt = sides[1], dts[1]
+            out = arr
+        elif 1 not in sides:
+            arr, dt = sides[0], dts[0]
+            out = arr
+        else:
+            dt = dts[0]
+            b = sides[0].astype(np.float64) / 255.0
+            o = sides[1].astype(np.float64) / 255.0
+            if mode == "src-over":
+                blended = o
+            elif mode == "multiply":
+                blended = b * o
+            elif mode == "screen":
+                blended = 1.0 - (1.0 - b) * (1.0 - o)
+            elif mode == "overlay":
+                blended = np.where(b < 0.5, 2.0 * b * o,
+                                   1.0 - 2.0 * (1.0 - b)
+                                   * (1.0 - o))
+            elif mode == "darken":
+                blended = np.minimum(b, o)
+            else:
+                blended = np.maximum(b, o)
+            res = ((1.0 - a) * b + a * blended) * 255.0
+            target = np.dtype(str(dt).split(":")[-1])
+            if np.issubdtype(target, np.integer):
+                lo, hi = _INT_RANGES[str(target)]
+                res = np.clip(np.where(res >= 0,
+                                       np.trunc(res + 0.5),
+                                       np.trunc(res - 0.5)),
+                              lo, hi)
+            out = res.astype(target)
+        return pd.DataFrame({
+            "zoom": [int(key[0])], "tile_x": [int(key[1])],
+            "tile_y": [int(key[2])], "band": [int(key[3])],
+            "data": [np.ascontiguousarray(out).tobytes()],
+            "dtype": [str(out.dtype)], "tile_size": [ts],
+        })
+
+    return tagged.groupBy(*keys).applyInPandas(kernel, TILE_SCHEMA)
+
+
+def create_tiles(spark, value: float, zoom: int, n_tx: int,
+                 n_ty: int, tile_size: int = 256,
+                 dtype: str = "float64", band: int = 1) -> DataFrame:
+    """gdal raster create (apps/gdalalg_raster_create.cpp): a
+    constant raster as a tile frame — the tile keys come from a JVM
+    range cross, only the (identical) payload is Python-built
+    once."""
+    arr = np.full((tile_size, tile_size), value,
+                  dtype=np.dtype(dtype))
+    payload = arr.tobytes()
+    n = int(n_tx) * int(n_ty)
+    return (spark.range(n).select(
+        F.lit(int(zoom)).cast("int").alias("zoom"),
+        (F.col("id") % n_tx).cast("long").alias("tile_x"),
+        F.floor(F.col("id") / n_tx).cast("long").alias("tile_y"),
+        F.lit(int(band)).cast("int").alias("band"),
+        F.lit(payload).alias("data"),
+        F.lit(str(arr.dtype)).alias("dtype"),
+        F.lit(int(tile_size)).cast("int").alias("tile_size")))

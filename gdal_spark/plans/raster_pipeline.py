@@ -136,6 +136,27 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
             from gdal_spark.operators.bandops import stack_bands
             extra = [layers[name] for name in args]
             df = stack_bands([df] + extra)
+        elif verb == "blend":
+            # gdal raster blend: "blend <layer> <mode> [opacity]"
+            from gdal_spark.operators.bandops import blend_tiles
+            df = blend_tiles(
+                df, layers[args[0]],
+                mode=(args[1] if len(args) > 1 else "src-over"),
+                opacity=(float(args[2]) if len(args) > 2
+                         else 100.0))
+        elif verb == "update":
+            # gdal raster update: overlay pixels overwrite the base
+            from gdal_spark.operators.dem import mosaic
+            df = mosaic([df, layers[args[0]]], rule="last")
+        elif verb == "color-map":
+            # gdal raster color-map: "color-map v:r:g:b,v:r:g:b,..."
+            from gdal_spark.operators.dem import color_relief
+            ramp = [tuple(float(x) if i == 0 else int(x)
+                          for i, x in enumerate(part.split(":")))
+                    for part in args[0].split(",")]
+            df = color_relief(df, ramp,
+                              interpolate=(len(args) < 2 or
+                                           args[1] != "nearest"))
         elif verb == "rgb-to-palette":
             # gdal raster rgb-to-palette (median cut):
             # "rgb-to-palette [n_colors]"

@@ -167,3 +167,84 @@ def test_dataset_mgmt_sidecars(tmp_path):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         dataset_delete(str(tmp_path / "nope.shp"))
+
+
+def test_blend_modes_match_formulas(spark):
+    from gdal_spark.operators.bandops import blend_tiles
+
+    base = np.full((8, 8), 100, dtype=np.uint8)
+    over = np.full((8, 8), 200, dtype=np.uint8)
+    rows_b = [{"zoom": 0, "tile_x": 0, "tile_y": 0, "band": 1,
+               "data": base.tobytes(), "dtype": "uint8",
+               "tile_size": 8}]
+    rows_o = [{"zoom": 0, "tile_x": 0, "tile_y": 0, "band": 1,
+               "data": over.tobytes(), "dtype": "uint8",
+               "tile_size": 8}]
+    db = spark.createDataFrame(pd.DataFrame(rows_b), TILE_SCHEMA)
+    do = spark.createDataFrame(pd.DataFrame(rows_o), TILE_SCHEMA)
+
+    def run(mode, opacity=100.0):
+        out = blend_tiles(db, do, mode=mode,
+                          opacity=opacity).toPandas()
+        return decode_tile(out.iloc[0]["data"],
+                           out.iloc[0]["dtype"], 8)[0, 0]
+
+    b, o = 100 / 255.0, 200 / 255.0
+    assert run("src-over") == 200
+    assert run("src-over", 50.0) == int(np.trunc(
+        (0.5 * b + 0.5 * o) * 255.0 + 0.5))
+    assert run("multiply") == int(np.trunc(b * o * 255.0 + 0.5))
+    assert run("screen") == int(np.trunc(
+        (1 - (1 - b) * (1 - o)) * 255.0 + 0.5))
+    assert run("darken") == 100 and run("lighten") == 200
+
+
+def test_blend_disjoint_tiles_pass_through(spark):
+    from gdal_spark.operators.bandops import blend_tiles
+
+    rows_b = [{"zoom": 0, "tile_x": 0, "tile_y": 0, "band": 1,
+               "data": np.full((4, 4), 7, np.uint8).tobytes(),
+               "dtype": "uint8", "tile_size": 4}]
+    rows_o = [{"zoom": 0, "tile_x": 5, "tile_y": 0, "band": 1,
+               "data": np.full((4, 4), 9, np.uint8).tobytes(),
+               "dtype": "uint8", "tile_size": 4}]
+    db = spark.createDataFrame(pd.DataFrame(rows_b), TILE_SCHEMA)
+    do = spark.createDataFrame(pd.DataFrame(rows_o), TILE_SCHEMA)
+    out = blend_tiles(db, do, "multiply").toPandas() \
+        .set_index("tile_x")
+    assert decode_tile(out.loc[0, "data"], "uint8", 4)[0, 0] == 7
+    assert decode_tile(out.loc[5, "data"], "uint8", 4)[0, 0] == 9
+
+
+def test_create_and_update_verbs(spark):
+    from gdal_spark.operators.bandops import create_tiles
+    from gdal_spark.plans.raster_pipeline import run_raster_pipeline
+
+    base = create_tiles(spark, 5.0, zoom=1, n_tx=2, n_ty=2,
+                        tile_size=8)
+    assert base.count() == 4
+    patch = create_tiles(spark, 9.0, zoom=1, n_tx=1, n_ty=1,
+                         tile_size=8)
+    out = run_raster_pipeline(spark, "read b ! update p",
+                              layers={"b": base, "p": patch})
+    pdf = out.toPandas().set_index(["tile_x", "tile_y"])
+    a00 = decode_tile(pdf.loc[(0, 0), "data"],
+                      pdf.loc[(0, 0), "dtype"], 8)
+    a11 = decode_tile(pdf.loc[(1, 1), "data"],
+                      pdf.loc[(1, 1), "dtype"], 8)
+    assert a00[0, 0] == 9.0 and a11[0, 0] == 5.0
+
+
+def test_color_map_verb(spark):
+    from gdal_spark.operators.bandops import create_tiles
+    from gdal_spark.plans.raster_pipeline import run_raster_pipeline
+
+    t = create_tiles(spark, 50.0, zoom=0, n_tx=1, n_ty=1,
+                     tile_size=8)
+    out = run_raster_pipeline(
+        spark, "read t ! color-map 0:0:0:255,100:255:0:0",
+        layers={"t": t}).toPandas()
+    assert sorted(out["band"].tolist()) == [1, 2, 3]
+    r = decode_tile(out[out["band"] == 1].iloc[0]["data"],
+                    "uint8", 8)[0, 0]
+    assert r == 127 or r == 128        # halfway up the ramp
