@@ -287,6 +287,14 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())
 
+    # 8a2. exact duplicate-passage stats (pure-JVM windowed
+    # substring dedup signal — zero Python in the plan)
+    from gdal_spark.functions.text import duplicate_passage_stats
+
+    timed("dup_passages",
+          lambda: duplicate_passage_stats(docs, window=8)
+          .agg(F.sum("n_dup_windows")).collect())
+
     # 8b. embedding-cosine dedup, banded-LSH 100-TB path
     emb_d = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     from gdal_spark.operators.similarity import embedding_dedup

@@ -140,16 +140,26 @@ def duplicate_passage_stats(df, text_col: str = "text",
     Python anywhere in the pipeline."""
     from pyspark.sql import functions as F
 
-    wins = (df.select(
+    # higher-order lambdas (transform/slice) evaluate INTERPRETED,
+    # not codegen'd — spread the CPU-bound projection: small inputs
+    # arrive as one parquet split (a no-op at real scale)
+    src = df.select(key_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    wins = (src.select(
         F.col(key_col),
         F.explode(passage_windows(text_col, window)).alias("w"))
         .select(key_col, F.xxhash64("w").alias("h")))
+    # "seen in >= 2 distinct docs" == min(key) != max(key): two
+    # cheap partial-aggregable scalars instead of countDistinct's
+    # dedup pass
     freq = wins.groupBy("h").agg(
-        F.countDistinct(key_col).alias("n_docs"))
+        (F.min(key_col) != F.max(key_col)).alias("is_dup"))
     per_doc = (wins.join(freq, "h")
                .groupBy(key_col)
                .agg(F.count("*").alias("n_windows"),
-                    F.sum(F.when(F.col("n_docs") >= 2, 1)
+                    F.sum(F.when(F.col("is_dup"), 1)
                           .otherwise(0)).alias("n_dup_windows")))
     return per_doc.select(
         key_col,
