@@ -504,6 +504,38 @@ def main() -> None:
         "Python" not in dp_plan and "InPandas" not in dp_plan
         and "BatchEvalPython" not in dp_plan))
 
+    # ---- check-coverage: defect set joins back as a BROADCAST ----
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.coverage import check_coverage
+
+    cov_rows = [{"fid": i, "geometry": polygon_wkb(
+        [[(i, 0.0), (i + 1.0, 0.0), (i + 1.0, 1.0), (i, 1.0),
+          (i, 0.0)]])} for i in range(8)]
+    cov = check_coverage(
+        spark.createDataFrame(pd.DataFrame(cov_rows)),
+        extent=(0.0, 0.0, 8.0, 1.0))
+    cov_plan = simple_plan(cov)
+    checks.append((
+        "check-coverage joins the (small) defect set back via "
+        "BroadcastHashJoin — edges never sort-merge against edges",
+        "BroadcastHashJoin" in cov_plan
+        and "SortMergeJoin" not in cov_plan
+        and "CartesianProduct" not in cov_plan))
+
+    # ---- blend: ONE keyed cogroup shuffle -------------------------
+    from gdal_spark.operators.bandops import blend_tiles, create_tiles
+
+    bl = blend_tiles(
+        create_tiles(spark, 10.0, 0, 2, 2, 8, dtype="uint8"),
+        create_tiles(spark, 20.0, 0, 2, 2, 8, dtype="uint8"),
+        "multiply")
+    bl_plan = simple_plan(bl)
+    n_ex_bl = bl_plan.count("Exchange")
+    checks.append((
+        "raster blend is ONE keyed cogroup shuffle "
+        f"(union -> groupBy tile; found {n_ex_bl} Exchange)",
+        n_ex_bl == 1))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
