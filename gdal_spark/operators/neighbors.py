@@ -262,12 +262,20 @@ def neighbors_tiles(tiles: DataFrame, kernel="equal",
     w = k // 2
 
     if extent_tiles is None:
-        # one 4-scalar agg row — bounded driver read
+        # one 5-scalar agg row — bounded driver read; the halo
+        # groups by (zoom, x, y, band), but edge REPLICATION needs
+        # one extent, so mixed-zoom frames must pass it explicitly
         row = tiles.agg(
             F.min("tile_x"), F.min("tile_y"),
-            F.max("tile_x"), F.max("tile_y")).collect()[0]
+            F.max("tile_x"), F.max("tile_y"),
+            F.countDistinct("zoom").alias("nz")).collect()[0]
         if row[0] is None:
             extent_tiles = (0, 0, 0, 0)
+        elif int(row["nz"]) > 1:
+            raise ValueError(
+                "neighbors_tiles cannot infer one raster boundary "
+                "from a mixed-zoom frame; pass extent_tiles= or "
+                "filter to one zoom")
         else:
             extent_tiles = (int(row[0]), int(row[1]),
                             int(row[2]), int(row[3]))
