@@ -196,3 +196,80 @@ def test_validation_errors(spark):
     with pytest.raises(ValueError, match="unknown method"):
         df = _tiles_df(spark, np.zeros((16, 16)), ts=16)
         neighbors_tiles(df, kernel="equal", method="nope")
+
+
+# ----------------------------------------------- reference anchors
+
+def _three_by_three(spark, vals, ts=None):
+    arr = np.array(vals, dtype=np.float64).reshape(3, 3)
+    rows = [{"zoom": 0, "tile_x": 0, "tile_y": 0, "band": 1,
+             "data": arr.tobytes(), "dtype": "float64",
+             "tile_size": 3}]
+    return spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+
+
+def _center(spark, df, **kw):
+    out = neighbors_tiles(df, **kw).toPandas()
+    a = decode_tile(out.iloc[0]["data"], out.iloc[0]["dtype"], 3)
+    return a[1, 1]
+
+
+def test_reference_autotest_center_expectations(spark):
+    """The reference's own single-pixel expectations
+    (autotest/utilities/test_gdalalg_raster_neighbors.py:88-258):
+    every method on the canonical 1..9 grid."""
+    base = _three_by_three(spark, [1, 2, 3, 4, 5, 6, 7, 8, 9])
+    assert _center(spark, base, kernel="equal",
+                   method="mean") == 5.0
+    assert _center(spark, base, kernel="equal",
+                   method="sum") == 45.0
+    assert _center(spark, base, kernel="equal", method="min") == 1
+    assert _center(spark, base, kernel="equal", method="max") == 9
+    assert _center(spark, base, kernel="equal",
+                   method="stddev") == pytest.approx(
+        2.58198881149292)
+    assert _center(spark, base, kernel="u") == 1.0
+    assert _center(spark, base, kernel="v") == 3.0
+    med = _three_by_three(spark, [1, 2, 3, 4, 5, 60, 70, 80, 90])
+    assert _center(spark, med, kernel="equal", method="median") == 5
+    # nodata=90 leaves 8 values -> (4+5)/2
+    assert _center(spark, med, kernel="equal", method="median",
+                   nodata=90.0) == 4.5
+    mode = _three_by_three(spark, [1, 2, 3, 4, 5, 6, 3, 8, 9])
+    assert _center(spark, mode, kernel="equal", method="mode") == 3
+    nd = _three_by_three(spark, [1, 2, 3, 4, 5, 6, 7, 8, 9])
+    assert _center(spark, nd, kernel="equal", method="max",
+                   nodata=9.0) == 8.0
+
+
+def test_reference_autotest_byte_tif_gaussian(spark):
+    """gaussian 3x3/5x5 + unsharp-masking pixel (10,10) of the
+    canonical byte.tif — the reference's own expectations
+    (test_gdalalg_raster_neighbors.py:260-298: 114.0625,
+    119.00390625, 110.99609375)."""
+    from gdal_spark.operators.gtiff import decode_gtiff
+
+    with open("/root/reference/autotest/gcore/data/byte.tif",
+              "rb") as fh:
+        arr, _meta = decode_gtiff(fh.read())
+    arr = arr.astype(np.float64)        # 20x20
+    rows = [{"zoom": 0, "tile_x": tx, "tile_y": ty, "band": 1,
+             "data": np.ascontiguousarray(
+                 arr[ty * 10:(ty + 1) * 10,
+                     tx * 10:(tx + 1) * 10]).tobytes(),
+             "dtype": "float64", "tile_size": 10}
+            for tx in range(2) for ty in range(2)]
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+
+    def px(df):
+        out = df.toPandas().set_index(["tile_x", "tile_y"])
+        a = decode_tile(out.loc[(1, 1), "data"],
+                        out.loc[(1, 1), "dtype"], 10)
+        return a[0, 0]                  # global (10, 10)
+
+    assert px(neighbors_tiles(tiles, kernel="gaussian")) \
+        == 114.0625
+    assert px(neighbors_tiles(tiles, kernel="gaussian", size=5)) \
+        == pytest.approx(119.00390625)
+    assert px(neighbors_tiles(tiles, kernel="unsharp-masking")) \
+        == pytest.approx(110.99609375)
