@@ -177,9 +177,63 @@ def focal_kernel(canvas: np.ndarray, op: str, xres: float, yres: float,
     g = canvas[2:, :-2]
     h = canvas[2:, 1:-1]
     i = canvas[2:, 2:]
-    if op in ("slope", "aspect", "hillshade"):
+    if op in ("slope", "aspect", "hillshade",
+              "hillshade-combined", "hillshade-multidirectional",
+              "hillshade-igor"):
         dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres)
         dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * yres)
+        if op.startswith("hillshade-"):
+            # gdaldem -combined / -multidirectional / -igor
+            # (apps/gdaldem_lib.cpp GDALHillshadeCombinedAlg:1151,
+            # MultiDirectionalAlg:1253, IgorAlg:947), re-expressed
+            # in u = zf*X = -z*dzdx, v = zf*Y = -z*dzdy (the
+            # reference's Horn gradients X, Y carry 1/xres and
+            # 1/gt5 = -1/yres; zf = z/8)
+            u = -z_factor * dzdx
+            v = -z_factor * dzdy
+            alt_r = np.radians(altitude)
+            sin_a, cos_a = np.sin(alt_r), np.cos(alt_r)
+            r2 = u * u + v * v
+            inv_sq = 1.0 / np.sqrt(1.0 + r2)
+            if op == "hillshade-multidirectional":
+                # USGS OF 92-422 four-azimuth weighting
+                c225 = np.cos(np.radians(225.0))
+                vals = [
+                    np.maximum(sin_a + (u - v) * c225 * cos_a, 0.0),
+                    np.maximum(sin_a - u * cos_a, 0.0),
+                    np.maximum(sin_a + (u + v) * c225 * cos_a, 0.0),
+                    np.maximum(sin_a - v * cos_a, 0.0),
+                ]
+                w = [0.5 * r2 - u * v, u * u,
+                     r2 - (0.5 * r2 - u * v), v * v]
+                with np.errstate(invalid="ignore",
+                                 divide="ignore"):
+                    wm = sum(wi * vi for wi, vi in zip(w, vals)) \
+                        / (2.0 * r2)
+                out = 1.0 + 254.0 * wm * inv_sq
+                return np.where(r2 == 0.0,
+                                1.0 + 254.0 * sin_a, out)
+            az_r = np.radians(azimuth)
+            if op == "hillshade-combined":
+                shade = (sin_a - cos_a * (v * np.cos(az_r)
+                                          - u * np.sin(az_r))) \
+                    * inv_sq
+                acang = np.arccos(np.clip(shade, -1.0, 1.0))
+                cang = 1.0 - acang * np.arctan(np.sqrt(r2)) \
+                    * (4.0 / (np.pi * np.pi))
+                return np.where(cang <= 0.0, 1.0,
+                                1.0 + 254.0 * cang)
+            # igor: slope strength x angular distance to the
+            # anti-light direction
+            slope_deg = np.degrees(np.arctan(np.sqrt(r2)))
+            aspect = np.arctan2(8.0 * yres * dzdy,
+                                -8.0 * xres * dzdx)
+            target = 1.5 * np.pi - az_r
+            diff = np.mod(np.abs(aspect - target), 2.0 * np.pi)
+            diff = np.minimum(diff, 2.0 * np.pi - diff)
+            aspect_strength = 1.0 - diff / np.pi
+            return 255.0 * (1.0 - (slope_deg / 90.0)
+                            * aspect_strength)
         if op == "slope":
             return np.degrees(np.arctan(
                 z_factor * np.hypot(dzdx, dzdy)))

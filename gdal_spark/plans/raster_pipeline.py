@@ -71,8 +71,9 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
         if s.startswith("read"):
             raise ValueError("read must be the first step")
 
-    focal_ops = {"hillshade", "slope", "aspect", "tpi", "tri",
-                 "roughness"}
+    focal_ops = {"hillshade", "hillshade-combined",
+                 "hillshade-multidirectional", "hillshade-igor",
+                 "slope", "aspect", "tpi", "tri", "roughness"}
     df: DataFrame | None = None
     for step in steps:
         argv = shlex.split(step)
