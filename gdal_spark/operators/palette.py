@@ -25,8 +25,6 @@ analog; the remap is nearest-color.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
