@@ -3243,6 +3243,126 @@ def _c4_oracle() -> str:
     """
 
 
+def q85_osm_pbf(spark, sf_dir):
+    """OSM PBF driver (ogr/ogrsf_frmts/osm re-derived from the
+    public PBF spec; see sources/osm.py): a deterministic .osm.pbf
+    synthesizes from the orders point law (every node tagged, ways
+    pairing consecutive node ids, many zlib blobs so the read
+    actually splits), then the DISTRIBUTED decode + the way→node
+    assembly JOIN must reproduce the closed-form counts,
+    1e-7-quantized coordinate sums and the osmconf z_order — all
+    recomputable in SQL from the same law."""
+    import tempfile
+
+    from gdal_spark.sources.osm import read_osm, write_osm_pbf
+
+    sel = (_points_from_orders(spark, sf_dir)
+           .filter(F.col("k") % 7 == 0)
+           .orderBy("k").toPandas())        # bounded fixture synth
+    qlon = np.floor(sel["lon"].to_numpy() * 1e7 + 0.5).astype(
+        np.int64)
+    qlat = np.floor(sel["lat"].to_numpy() * 1e7 + 0.5).astype(
+        np.int64)
+    ids = sel["k"].to_numpy(np.int64)
+    nodes = [(int(i), q1 * 1e-7, q2 * 1e-7, {"name": "p"})
+             for i, q1, q2 in zip(ids, qlon, qlat)]
+    n_pairs = len(nodes) // 2
+    ways = [(2_000_000_000 + i,
+             [int(ids[2 * i]), int(ids[2 * i + 1])],
+             {"highway": "residential"})
+            for i in range(n_pairs)]
+    path = os.path.join(tempfile.mkdtemp(prefix="q85_osm_"),
+                        "fix.osm.pbf")
+    write_osm_pbf(path, nodes, ways, nodes_per_blob=256)
+
+    pts = read_osm(spark, path, "points")
+
+    # decode coords from WKB in a kernel, re-quantize to the raw
+    # 1e-7 ints (exact round-trip)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    q_schema = StructType([
+        StructField("qlon", LongType()),
+        StructField("qlat", LongType()),
+    ])
+
+    def coords(batches):
+        for b in batches:
+            n = len(b)
+            if not n:
+                continue
+            raw = b"".join(bytes(g) for g in b["geometry"])
+            arr = np.frombuffer(raw, dtype=[
+                ("hdr", "S5"), ("x", "<f8"), ("y", "<f8")])
+            yield pd.DataFrame({
+                "qlon": np.floor(arr["x"] * 1e7 + 0.5)
+                .astype(np.int64),
+                "qlat": np.floor(arr["y"] * 1e7 + 0.5)
+                .astype(np.int64),
+            })
+
+    pq = (pts.select("geometry").mapInPandas(coords, q_schema)
+          .agg(F.sum("qlon").cast("long").alias("sum_qlon"),
+               F.sum("qlat").cast("long").alias("sum_qlat")))
+    pc = pts.agg(F.count("*").alias("n_points"),
+                 F.sum("osm_id").cast("long").alias("sum_id"))
+
+    lines = read_osm(spark, path, "lines")
+    lz = lines.agg(F.count("*").alias("n_lines"),
+                   F.sum("z_order").cast("long").alias("sum_z"))
+
+    def line_coords(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            qx, qy = [], []
+            for g in b["geometry"]:
+                buf = bytes(g)
+                npts = int.from_bytes(buf[5:9], "little")
+                c = np.frombuffer(buf, dtype=np.float64,
+                                  offset=9).reshape(npts, 2)
+                qx.extend(np.floor(c[:, 0] * 1e7 + 0.5)
+                          .astype(np.int64).tolist())
+                qy.extend(np.floor(c[:, 1] * 1e7 + 0.5)
+                          .astype(np.int64).tolist())
+            yield pd.DataFrame({"qlon": qx, "qlat": qy})
+
+    lq = (lines.select("geometry")
+          .mapInPandas(line_coords, q_schema)
+          .agg(F.sum("qlon").cast("long").alias("sum_way_qlon"),
+               F.sum("qlat").cast("long").alias("sum_way_qlat")))
+    return pc.crossJoin(pq).crossJoin(lz).crossJoin(lq)
+
+
+def _osm_oracle() -> str:
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        sel AS (
+            SELECT k,
+                   CAST(FLOOR(lon * 1e7 + 0.5e0) AS BIGINT)
+                       AS qlon,
+                   CAST(FLOOR(lat * 1e7 + 0.5e0) AS BIGINT)
+                       AS qlat,
+                   ROW_NUMBER() OVER (ORDER BY k) - 1 AS rn
+            FROM pts WHERE k % 7 = 0
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM sel)
+        SELECT (SELECT COUNT(*) FROM sel) AS n_points,
+               (SELECT CAST(SUM(k) AS BIGINT) FROM sel) AS sum_id,
+               (SELECT CAST(SUM(qlon) AS BIGINT) FROM sel)
+                   AS sum_qlon,
+               (SELECT CAST(SUM(qlat) AS BIGINT) FROM sel)
+                   AS sum_qlat,
+               (SELECT CAST(n // 2 AS BIGINT) FROM tot) AS n_lines,
+               (SELECT CAST(3 * (n // 2) AS BIGINT) FROM tot)
+                   AS sum_z,
+               (SELECT CAST(SUM(qlon) AS BIGINT) FROM sel, tot
+                WHERE rn < 2 * (n // 2)) AS sum_way_qlon,
+               (SELECT CAST(SUM(qlat) AS BIGINT) FROM sel, tot
+                WHERE rn < 2 * (n // 2)) AS sum_way_qlat
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4223,6 +4343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_duplicate_passages": q82_duplicate_passages,
     "q83_gopher_quality": q83_gopher_quality,
     "q84_c4_line_filter": q84_c4_line_filter,
+    "q85_osm_pbf": q85_osm_pbf,
 }
 
 
@@ -4623,6 +4744,7 @@ def oracle_sql() -> dict[str, str]:
         "q82_duplicate_passages": _dup_passages_oracle(),
         "q83_gopher_quality": _gopher_oracle(),
         "q84_c4_line_filter": _c4_oracle(),
+        "q85_osm_pbf": _osm_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

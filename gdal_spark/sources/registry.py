@@ -42,6 +42,8 @@ _VECTOR_EXT = {
     ".parquet": "Parquet",
     ".mvt": "MVT",
     ".mbtiles": "MBTiles",
+    ".pbf": "OSM",
+    ".osm.pbf": "OSM",
 }
 
 _MAGIC = [
@@ -142,6 +144,9 @@ def open_vector(spark, path: str, driver: str | None = None,
     if drv == "MVT":
         from gdal_spark.sources.mvt import read_mvt
         return read_mvt(spark, path, **opts)
+    if drv == "OSM":
+        from gdal_spark.sources.osm import read_osm
+        return read_osm(spark, path, **opts)
     if drv == "MBTiles":
         from gdal_spark.sources.mbtiles import read_mbtiles
         return read_mbtiles(spark, path, **opts)
