@@ -536,6 +536,20 @@ def main() -> None:
         f"(union -> groupBy tile; found {n_ex_bl} Exchange)",
         n_ex_bl == 1))
 
+    # ---- OSM: blob-index scan + join-based way assembly ----------
+    from gdal_spark.sources.osm import read_osm
+
+    osm_lines_df = read_osm(
+        spark, "/root/reference/autotest/ogr/data/osm/test.pbf",
+        "lines")
+    osm_plan = simple_plan(osm_lines_df)
+    checks.append((
+        "osm lines plan: blob-index LocalTableScan (no file-content "
+        "source), way->node assembly is a keyed join (no cartesian)",
+        "binaryFile" not in osm_plan
+        and "CartesianProduct" not in osm_plan
+        and "Join" in osm_plan))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
