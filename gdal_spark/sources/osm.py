@@ -28,9 +28,9 @@ Layers: points / lines / multipolygons / multilinestrings
 (other_relations is declared out — GeometryCollection sits outside
 the homogeneous-WKB engine).  Old-style multipolygon tag
 inheritance (untagged relation takes the outer way's tags) follows
-the reference.  .osm XML files are declared out (pbf is the scale
-format; the XML grammar machinery exists in sources/xmlgeo.py if
-ever needed).
+the reference.  .osm XML files read through the engine's byte-range
+XML split (node/way/relation cannot self-nest) into the SAME
+element frame, so every layer builder is shared.
 """
 
 from __future__ import annotations
@@ -665,7 +665,10 @@ def read_osm(spark: SparkSession, path: str,
             f"unknown OSM layer {layer!r}; valid: {LAYERS} "
             "(other_relations is declared out — "
             "GeometryCollection)")
-    elements = osm_elements(spark, path)
+    if path.lower().endswith(".osm"):
+        elements = osm_elements_xml(spark, path)
+    else:
+        elements = osm_elements(spark, path)
     if layer == "points":
         return osm_points(elements)
     if layer == "lines":
@@ -775,3 +778,64 @@ def write_osm_pbf(path: str, nodes, ways=(),
         for b in out:
             fh.write(b)
     return n_blobs
+
+
+# ------------------------------------------------ .osm XML variant
+
+def osm_elements_xml(spark: SparkSession, path: str) -> DataFrame:
+    """.osm XML -> the same unified element frame, through the
+    engine's byte-range XML split (sources/xmlgeo.py: node/way/
+    relation elements cannot self-nest, so tasks own even byte
+    ranges with no driver file scan).  One pass per element kind,
+    unioned."""
+    from gdal_spark.sources.xmlgeo import _range_reader
+
+    def node_rows(pos, el):
+        tags = {t.get("k"): t.get("v") for t in el if
+                t.tag.rpartition("}")[2] == "tag"}
+        return [{"kind": 0, "id": int(el.get("id")),
+                 "lon": float(el.get("lon")),
+                 "lat": float(el.get("lat")),
+                 "refs": None, "roles": None, "mtypes": None,
+                 "tags": tags}]
+
+    def way_rows(pos, el):
+        refs, tags = [], {}
+        for ch in el:
+            t = ch.tag.rpartition("}")[2]
+            if t == "nd":
+                refs.append(int(ch.get("ref")))
+            elif t == "tag":
+                tags[ch.get("k")] = ch.get("v")
+        return [{"kind": 1, "id": int(el.get("id")),
+                 "lon": None, "lat": None, "refs": refs,
+                 "roles": None, "mtypes": None, "tags": tags}]
+
+    _T = {"node": 0, "way": 1, "relation": 2}
+
+    def rel_rows(pos, el):
+        refs, roles, mtypes, tags = [], [], [], {}
+        for ch in el:
+            t = ch.tag.rpartition("}")[2]
+            if t == "member":
+                refs.append(int(ch.get("ref")))
+                roles.append(ch.get("role") or "")
+                mtypes.append(_T.get(ch.get("type"), 0))
+            elif t == "tag":
+                tags[ch.get("k")] = ch.get("v")
+        return [{"kind": 2, "id": int(el.get("id")),
+                 "lon": None, "lat": None, "refs": refs,
+                 "roles": roles, "mtypes": mtypes, "tags": tags}]
+
+    parts = [
+        _range_reader(spark, path, ".osm", b"node", 1 << 22,
+                      node_rows, _ELEM_SCHEMA),
+        _range_reader(spark, path, ".osm", b"way", 1 << 22,
+                      way_rows, _ELEM_SCHEMA),
+        _range_reader(spark, path, ".osm", b"relation", 1 << 22,
+                      rel_rows, _ELEM_SCHEMA),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -44,6 +44,7 @@ _VECTOR_EXT = {
     ".mbtiles": "MBTiles",
     ".pbf": "OSM",
     ".osm.pbf": "OSM",
+    ".osm": "OSM",
 }
 
 _MAGIC = [

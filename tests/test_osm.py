@@ -119,3 +119,21 @@ def test_unknown_layer_raises(spark):
         read_osm(spark, PBF, "other_relations")
     assert set(LAYERS) == {"points", "lines", "multipolygons",
                            "multilinestrings"}
+
+
+def test_osm_xml_matches_pbf(spark):
+    """test.osm (the XML twin of test.pbf) yields identical layers
+    through the byte-range XML split path."""
+    xml = "/root/reference/autotest/ogr/data/osm/test.osm"
+    pts = read_osm(spark, xml, "points").toPandas()
+    assert len(pts) == 1 and pts.iloc[0]["osm_id"] == 3
+    assert pts.iloc[0]["other_tags"] == '"foo"=>"bar","bar"=>"baz"'
+    lines = read_osm(spark, xml, "lines").toPandas() \
+        .sort_values("osm_id")
+    assert lines["osm_id"].tolist() == [1, 6]
+    assert lines.iloc[0]["z_order"] == 9
+    mp = read_osm(spark, xml, "multipolygons").toPandas()
+    assert sorted(mp[mp["osm_id"].notna()]["osm_id"].tolist()) \
+        == [1, 2, 5]
+    assert mp[mp["osm_way_id"].notna()]["osm_way_id"].tolist() \
+        == [8]
