@@ -3363,6 +3363,79 @@ def _osm_oracle() -> str:
     """
 
 
+def q86_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd k-means over the embeddings table (the
+    semantic-clustering stage of an LLM curation pipeline;
+    similarity.kmeans — exact map-side partial sums, never a vector
+    on the driver beyond k x partitions rows).  Deterministic by
+    construction (first-k init, centroids rounded to 1e-6 after
+    every update), so DuckDB replays BOTH Lloyd steps in closed
+    form — per-cluster membership counts and id sums must match
+    exactly."""
+    from gdal_spark.operators.similarity import kmeans
+
+    emb = _load(spark, sf_dir, "embeddings")
+    assignments, _cents = kmeans(emb, n_clusters=8, iters=1)
+    return (assignments.groupBy("cluster")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum("vec_id").cast("long").alias("sum_id"))
+            .orderBy("cluster"))
+
+
+def _kmeans_oracle() -> str:
+    return """
+        WITH v AS (
+            SELECT vec_id, g.i AS pos,
+                   CAST(embedding[g.i] AS DOUBLE) AS val
+            FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+        ),
+        c0 AS (
+            SELECT vec_id AS cluster, pos, ROUND(val, 6) AS cval
+            FROM v WHERE vec_id < 8
+        ),
+        d1 AS (
+            SELECT v.vec_id, c.cluster,
+                   SUM((v.val - c.cval) * (v.val - c.cval)) AS d2
+            FROM v JOIN c0 c ON c.pos = v.pos
+            GROUP BY v.vec_id, c.cluster
+        ),
+        a1 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cluster) AS rk
+                FROM d1) WHERE rk = 1
+        ),
+        c1 AS (
+            SELECT c0.cluster, c0.pos,
+                   COALESCE(u.cval, c0.cval) AS cval
+            FROM c0 LEFT JOIN (
+                SELECT a1.cluster, v.pos,
+                       ROUND(AVG(v.val), 6) AS cval
+                FROM a1 JOIN v ON v.vec_id = a1.vec_id
+                GROUP BY a1.cluster, v.pos) u
+              ON u.cluster = c0.cluster AND u.pos = c0.pos
+        ),
+        d2t AS (
+            SELECT v.vec_id, c.cluster,
+                   SUM((v.val - c.cval) * (v.val - c.cval)) AS d2
+            FROM v JOIN c1 c ON c.pos = v.pos
+            GROUP BY v.vec_id, c.cluster
+        ),
+        a2 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cluster) AS rk
+                FROM d2t) WHERE rk = 1
+        )
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_id
+        FROM a2 GROUP BY cluster ORDER BY cluster
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4344,6 +4417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_gopher_quality": q83_gopher_quality,
     "q84_c4_line_filter": q84_c4_line_filter,
     "q85_osm_pbf": q85_osm_pbf,
+    "q86_kmeans_clusters": q86_kmeans_clusters,
 }
 
 
@@ -4745,6 +4819,7 @@ def oracle_sql() -> dict[str, str]:
         "q83_gopher_quality": _gopher_oracle(),
         "q84_c4_line_filter": _c4_oracle(),
         "q85_osm_pbf": _osm_oracle(),
+        "q86_kmeans_clusters": _kmeans_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

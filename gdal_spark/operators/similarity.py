@@ -22,7 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
-    DoubleType, IntegerType, LongType, StructField, StructType
+    ArrayType, DoubleType, IntegerType, LongType, StructField,
+    StructType,
 )
 
 
@@ -422,3 +423,95 @@ def embedding_dedup(
     )
     drop = verified.distinct().withColumnRenamed("b", key_col)
     return emb.join(drop, key_col, "left_anti")
+
+
+def kmeans(corpus: DataFrame, n_clusters: int = 8, iters: int = 2,
+           *, id_col: str = "vec_id", vec_col: str = "embedding",
+           round_digits: int = 6
+           ) -> tuple[DataFrame, np.ndarray]:
+    """Distributed Lloyd k-means over an embedding column — the
+    semantic-clustering stage of an LLM curation pipeline (cluster
+    -> per-cluster dedup/balance; the same math as
+    train_ivf_centroids but EXACT and distributed: no sampling).
+
+    Deterministic by construction so a SQL oracle can replay it:
+    initial centroids are the vectors of the ``n_clusters`` smallest
+    ids; after every update step centroids ROUND to ``round_digits``
+    decimals (a declared quantization — it kills summation-order ulp
+    drift between engines; ties at the 1e-6 grid edge are measure
+    zero).  Each iteration is ONE map-side partial-sum pass
+    (k x partitions rows reach the driver, never vectors) + a
+    broadcast back; the final assignment is a stateless kernel.
+
+    -> (assignments DataFrame (id, cluster), (k, dim) centroids)."""
+    spark = corpus.sparkSession
+    first = (corpus.orderBy(id_col).limit(n_clusters)
+             .select(vec_col).toPandas())
+    cents = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in first[vec_col]])
+    cents = np.round(cents, round_digits)
+    k, dim = cents.shape
+
+    part_schema = StructType([
+        StructField("cluster", IntegerType()),
+        StructField("n", LongType()),
+        StructField("sums", ArrayType(DoubleType())),
+    ])
+
+    src = corpus.select(id_col, vec_col)
+
+    for _ in range(int(iters)):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame],
+                     _bc=bc) -> Iterator[pd.DataFrame]:
+            c = _bc.value
+            acc_n = np.zeros(len(c), dtype=np.int64)
+            acc_s = np.zeros((len(c), c.shape[1]))
+            for b in batches:
+                if not len(b):
+                    continue
+                x = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in b[vec_col]])
+                d2 = ((x[:, None, :] - c[None, :, :]) ** 2) \
+                    .sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                np.add.at(acc_n, a, 1)
+                np.add.at(acc_s, a, x)
+            nz = np.flatnonzero(acc_n)
+            yield pd.DataFrame({
+                "cluster": nz.astype(np.int32),
+                "n": acc_n[nz],
+                "sums": [acc_s[j].tolist() for j in nz]})
+
+        pdf = src.mapInPandas(partials, part_schema).toPandas()
+        new = cents.copy()
+        for j in range(k):
+            rows = pdf[pdf["cluster"] == j]
+            if len(rows):
+                total = np.sum(
+                    np.vstack(rows["sums"].to_numpy()), axis=0)
+                new[j] = total / rows["n"].sum()
+        cents = np.round(new, round_digits)
+
+    bc = spark.sparkContext.broadcast(cents)
+    out_schema = StructType([
+        corpus.schema[id_col],
+        StructField("cluster", IntegerType()),
+    ])
+
+    def assign(batches: Iterator[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in b[vec_col]])
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({
+                id_col: b[id_col],
+                "cluster": np.argmin(d2, axis=1)
+                .astype(np.int32)})
+
+    return src.mapInPandas(assign, out_schema), cents
