@@ -680,7 +680,7 @@ def read_osm(spark: SparkSession, path: str,
 
 # ------------------------------------------- fixture-scale writer
 
-def write_osm_pbf(path: str, nodes, ways=(),
+def write_osm_pbf(path: str, nodes, ways=(), relations=(),
                   nodes_per_blob: int = 512) -> int:
     """Deterministic fixture synthesis: write nodes/ways as a valid
     OSM PBF (zlib blobs, DenseNodes delta coding, packed way refs).
@@ -690,7 +690,8 @@ def write_osm_pbf(path: str, nodes, ways=(),
     nodes -> many independent splits).  Returns the blob count.
 
     nodes: iterable of (id, lon, lat, {tags}); ways: iterable of
-    (id, [refs], {tags})."""
+    (id, [refs], {tags}); relations: iterable of
+    (id, [(role, member_id, mtype)], {tags})."""
     from gdal_spark.sources.mvt import _key, _ld
     from gdal_spark.sources.mvt import _packed as _pk
     from gdal_spark.sources.mvt import _uvarint, _zz
@@ -771,6 +772,38 @@ def write_osm_pbf(path: str, nodes, ways=(),
                    + _pk(8, deltas))
             wmsgs += _ld(3, msg)
         block = string_table(strings) + _ld(2, wmsgs)
+        out.append(blob("OSMData", block))
+        n_blobs += 1
+
+    relations = list(relations)
+    if relations:
+        strings = [""]
+        sidx = {}
+
+        def sid(t: str) -> int:
+            if t not in sidx:
+                sidx[t] = len(strings)
+                strings.append(t)
+            return sidx[t]
+
+        rmsgs = b""
+        for rid, members, tags in relations:
+            keys = [sid(k) for k in tags]
+            vals = [sid(v) for v in tags.values()]
+            roles = [sid(m[0]) for m in members]
+            deltas = []
+            prev = 0
+            for _role, mid, _mt in members:
+                deltas.append(_zz(mid - prev))
+                prev = mid
+            types = [m[2] for m in members]
+            msg = (_key(1, 0) + _uvarint(rid)
+                   + (_pk(2, keys) if keys else b"")
+                   + (_pk(3, vals) if vals else b"")
+                   + (_pk(8, roles) if roles else b"")
+                   + _pk(9, deltas) + _pk(10, types))
+            rmsgs += _ld(4, msg)
+        block = string_table(strings) + _ld(2, rmsgs)
         out.append(blob("OSMData", block))
         n_blobs += 1
 

@@ -137,3 +137,53 @@ def test_osm_xml_matches_pbf(spark):
         == [1, 2, 5]
     assert mp[mp["osm_way_id"].notna()]["osm_way_id"].tolist() \
         == [8]
+
+
+def test_multipolygon_two_outers_and_segment_stitch(spark, tmp_path):
+    """Synthesized relation: two separate outer squares (one built
+    from TWO open way segments that must stitch end-to-end), an
+    inner hole that belongs to the FIRST outer only."""
+    from gdal_spark.sources.osm import read_osm, write_osm_pbf
+
+    # square A (0..4), hole (1..2), square B (10..12)
+    nodes = []
+    nid = 0
+    coords = {}
+
+    def add(x, y):
+        nonlocal nid
+        nid += 1
+        coords[nid] = (x, y)
+        nodes.append((nid, float(x), float(y), {}))
+        return nid
+
+    a1, a2, a3, a4 = add(0, 0), add(4, 0), add(4, 4), add(0, 4)
+    h1, h2, h3, h4 = add(1, 1), add(2, 1), add(2, 2), add(1, 2)
+    b1, b2, b3, b4 = add(10, 0), add(12, 0), add(12, 2), add(10, 2)
+    ways = [
+        # outer A split into two OPEN segments
+        (101, [a1, a2, a3], {}),
+        (102, [a3, a4, a1], {}),
+        (103, [h1, h2, h3, h4, h1], {}),
+        (104, [b1, b2, b3, b4, b1], {}),
+    ]
+    rels = [(500, [("outer", 101, 1), ("outer", 102, 1),
+                   ("inner", 103, 1), ("outer", 104, 1)],
+             {"type": "multipolygon", "landuse": "forest"})]
+    p = str(tmp_path / "mp.osm.pbf")
+    write_osm_pbf(p, nodes, ways, rels)
+    mp = read_osm(spark, p, "multipolygons").toPandas()
+    assert len(mp) == 1
+    g = W.parse_wkb(bytes(mp.iloc[0]["geometry"]))
+    assert g.kind == W.MULTIPOLYGON
+    areas = sorted(round(abs(
+        0.5 * np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])), 6)
+        for r in g.parts)
+    assert areas == [1.0, 4.0, 16.0]
+    assert mp.iloc[0]["landuse"] == "forest"
+    # hole grouped under outer A: the multipolygon has 2 parts,
+    # the first carrying 2 rings
+    po = W.parse_wkb(bytes(mp.iloc[0]["geometry"])).part_offsets
+    ring_counts = sorted(po[i + 1] - po[i]
+                         for i in range(len(po) - 1))
+    assert ring_counts == [1, 2]
