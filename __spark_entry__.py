@@ -3436,6 +3436,103 @@ def _kmeans_oracle() -> str:
     """
 
 
+def q87_passage_removal(spark, sf_dir):
+    """Exact duplicate-passage REMOVAL, first arrival wins (the Lee
+    et al. substring-dedup removal mode at window granularity;
+    text.remove_duplicate_passages): over the documents table, every
+    token covered by a window whose content a smaller-keyed doc
+    already owns is cut.  DuckDB replays the whole pipeline —
+    window ownership, span coverage, surviving-text length — from
+    the same normalization, so ownership, masking or rebuild drift
+    cannot hide."""
+    from gdal_spark.functions.text import remove_duplicate_passages
+
+    docs = _load(spark, sf_dir, "documents")
+    out = remove_duplicate_passages(docs, "text", "doc_id",
+                                    window=8)
+    return (out.select(
+        "doc_id",
+        "n_tokens", "n_removed",
+        F.length("clean_text").cast("long").alias("clean_len"))
+        .orderBy("doc_id"))
+
+
+def _passage_removal_oracle() -> str:
+    return """
+        WITH docs AS (
+            SELECT doc_id,
+                   string_split(
+                       lower(regexp_replace(trim(text),
+                                            '\\s+', ' ', 'g')),
+                       ' ') AS toks
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) + 1),
+                       i -> {'p': i - 1, 't': toks[i]})) AS u,
+                   len(toks) AS n
+            FROM docs
+        ),
+        tokf AS (
+            SELECT doc_id, u.p AS pos, u.t AS t, n FROM tok
+        ),
+        wins AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, GREATEST(len(toks) - 7, 0) + 1),
+                       i -> {'p': i - 1,
+                             'w': array_to_string(
+                                 list_slice(toks, i, i + 7),
+                                 ' ')})) AS u
+            FROM docs
+        ),
+        winf AS (SELECT doc_id, u.p AS p, u.w AS w FROM wins),
+        owner AS (
+            SELECT w, MIN(doc_id) AS own FROM winf GROUP BY w
+        ),
+        foreign_w AS (
+            SELECT winf.doc_id, winf.p
+            FROM winf JOIN owner ON owner.w = winf.w
+            WHERE owner.own < winf.doc_id
+        ),
+        covered AS (
+            SELECT t.doc_id, t.pos
+            FROM tokf t JOIN foreign_w f
+              ON f.doc_id = t.doc_id
+             AND t.pos BETWEEN f.p AND f.p + 7
+            GROUP BY t.doc_id, t.pos
+        ),
+        kept AS (
+            SELECT t.doc_id, t.t
+            FROM tokf t LEFT JOIN covered c
+              ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.pos IS NULL
+        ),
+        stats AS (
+            SELECT d.doc_id,
+                   ANY_VALUE(t.n) AS n_tokens,
+                   (SELECT COUNT(*) FROM covered c
+                    WHERE c.doc_id = d.doc_id) AS n_removed,
+                   (SELECT COUNT(*) FROM kept k
+                    WHERE k.doc_id = d.doc_id) AS kept_cnt,
+                   (SELECT COALESCE(SUM(LENGTH(k.t)), 0)
+                    FROM kept k
+                    WHERE k.doc_id = d.doc_id) AS kept_chars
+            FROM docs d JOIN tokf t ON t.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_removed AS BIGINT) AS n_removed,
+               CAST(CASE WHEN kept_cnt = 0 THEN 0
+                         ELSE kept_chars + kept_cnt - 1 END
+                    AS BIGINT) AS clean_len
+        FROM stats ORDER BY doc_id
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4418,6 +4515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_c4_line_filter": q84_c4_line_filter,
     "q85_osm_pbf": q85_osm_pbf,
     "q86_kmeans_clusters": q86_kmeans_clusters,
+    "q87_passage_removal": q87_passage_removal,
 }
 
 
@@ -4820,6 +4918,7 @@ def oracle_sql() -> dict[str, str]:
         "q84_c4_line_filter": _c4_oracle(),
         "q85_osm_pbf": _osm_oracle(),
         "q86_kmeans_clusters": _kmeans_oracle(),
+        "q87_passage_removal": _passage_removal_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

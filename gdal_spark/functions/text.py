@@ -238,3 +238,81 @@ def c4_line_filter(text_col: str = "text", min_words: int = 3):
         F.array_join(kept, "\n").alias("clean_text"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"))
+
+
+def remove_duplicate_passages(df, text_col: str = "text",
+                              key_col: str = "doc_id",
+                              window: int = 10):
+    """Exact duplicate-passage REMOVAL, first arrival wins — the
+    fixed-window form of suffix-array substring dedup in its
+    removal mode (Lee et al. 2022 'Deduplicating Training Data'):
+    any window of ``window`` tokens whose content already appears
+    in a SMALLER-keyed document is a foreign duplicate, and every
+    token covered by one is cut; the first occurrence keeps its
+    text intact.
+
+    Plan: the q82 window pipeline (hashes shuffle as single longs)
+    + min(key)-per-hash ownership, foreign positions fold per doc
+    (one collect_list bounded by the doc's own token count), and a
+    final Arrow kernel masks + rebuilds the text.  Adds
+    (clean_text, n_tokens, n_removed) to the frame."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    src = df.select(key_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   r"\s+", " "))
+    toks = F.split(norm, " ")
+    wins = (src.select(
+        F.col(key_col),
+        F.posexplode(passage_windows(text_col, window))
+        .alias("pos", "w"))
+        .select(key_col, "pos", F.xxhash64("w").alias("h")))
+    owner = wins.groupBy("h").agg(F.min(key_col).alias("own"))
+    foreign = (wins.join(owner, "h")
+               .filter(F.col("own") < F.col(key_col))
+               .groupBy(key_col)
+               .agg(F.collect_list("pos").alias("dup_pos")))
+
+    staged = (src.withColumn("__toks", toks)
+              .join(foreign, key_col, "left"))
+
+    out_schema = StructType(
+        [df.schema[key_col], df.schema[text_col]]
+        + [StructField("clean_text", StringType()),
+           StructField("n_tokens", LongType()),
+           StructField("n_removed", LongType())])
+
+    w = int(window)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            cleans, n_toks, n_rm = [], [], []
+            for _, r in b.iterrows():
+                tk = list(r["__toks"])
+                mask = np.zeros(len(tk), dtype=bool)
+                dp = r["dup_pos"]
+                if dp is not None and len(dp):
+                    for p in dp:
+                        mask[p:p + w] = True
+                kept = [t for t, m in zip(tk, mask) if not m]
+                cleans.append(" ".join(kept))
+                n_toks.append(len(tk))
+                n_rm.append(int(mask.sum()))
+            out = b[[key_col, text_col]].copy()
+            out["clean_text"] = cleans
+            out["n_tokens"] = n_toks
+            out["n_removed"] = n_rm
+            yield out
+
+    return staged.mapInPandas(kern, out_schema)
