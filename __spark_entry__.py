@@ -3533,6 +3533,73 @@ def _passage_removal_oracle() -> str:
     """
 
 
+def q88_stream_near_dedup(spark, sf_dir):
+    """STREAMING MinHash-LSH near-dedup under the driver gate
+    (streaming.near_dedup_stream): a deterministic corpus from the
+    orders keys — five exact-duplicate clusters (identical text per
+    k%5 group, so the signature estimate is exactly 1.0 and the
+    verdict is threshold-independent) — streams through TWO
+    micro-batches split so every cluster straddles the trigger
+    boundary; the surviving set must be the per-cluster minimum key,
+    which SQL states in closed form."""
+    import tempfile
+
+    from gdal_spark.streaming.events import (
+        near_dedup_stream, stream_parquet_source,
+    )
+
+    base = _load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 11 == 0) \
+        .select(F.col("o_orderkey").alias("doc_id"))
+    # each cluster gets a fully DISJOINT vocabulary (cross-cluster
+    # jaccard 0, within-cluster exactly 1 — threshold-independent)
+    grp = (F.col("doc_id") % 5).cast("string")
+    docs = base.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(F.lit("c"), grp, F.lit("w"),
+                                   i.cast("string"))), " "))
+
+    d = tempfile.mkdtemp(prefix="q88_nd_")
+    src, out, ck = (os.path.join(d, n)
+                    for n in ("in", "out", "ck"))
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = stream_parquet_source(spark, src, docs.schema,
+                                   max_files_per_trigger=1)
+    q = near_dedup_stream(stream, out, ck, threshold=0.5)
+    q.awaitTermination(300)
+
+    return (spark.read.parquet(out)
+            .select(F.col("doc_id").cast("long"))
+            .orderBy("doc_id"))
+
+
+def _stream_near_dedup_oracle() -> str:
+    # first arrival = smallest EVEN key per cluster when one exists
+    # (batch 1 carries the even keys), else the smallest odd key
+    return """
+        WITH keys AS (
+            SELECT o_orderkey AS k, o_orderkey % 5 AS grp,
+                   o_orderkey % 2 AS par
+            FROM orders WHERE o_orderkey % 11 = 0
+        ),
+        first_arrival AS (
+            SELECT grp,
+                   COALESCE(MIN(CASE WHEN par = 0 THEN k END),
+                            MIN(k)) AS doc_id
+            FROM keys GROUP BY grp
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id
+        FROM first_arrival ORDER BY doc_id
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4516,6 +4583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_osm_pbf": q85_osm_pbf,
     "q86_kmeans_clusters": q86_kmeans_clusters,
     "q87_passage_removal": q87_passage_removal,
+    "q88_stream_near_dedup": q88_stream_near_dedup,
 }
 
 
@@ -4919,6 +4987,7 @@ def oracle_sql() -> dict[str, str]:
         "q85_osm_pbf": _osm_oracle(),
         "q86_kmeans_clusters": _kmeans_oracle(),
         "q87_passage_removal": _passage_removal_oracle(),
+        "q88_stream_near_dedup": _stream_near_dedup_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
