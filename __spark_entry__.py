@@ -3600,6 +3600,159 @@ def _stream_near_dedup_oracle() -> str:
     """
 
 
+def q89_stream_density_pyramid(spark, sf_dir):
+    """Incremental streaming density maintenance under the driver
+    gate (streaming.density_pyramid_stream): the orders point law
+    streams in TWO micro-batches (key-parity split), the versioned
+    sparse state merges per batch, and the FINAL state's per-tile
+    page counts + occupied-pixel counts must equal the closed-form
+    z=4 density SQL over all points."""
+    import tempfile
+    from typing import Iterator
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gdal_spark.streaming.events import (
+        density_pyramid_stream, read_density_state,
+        stream_parquet_source,
+    )
+
+    pts = _points_from_orders(spark, sf_dir) \
+        .select("k", "lon", "lat")
+    d = tempfile.mkdtemp(prefix="q89_dp_")
+    src, state, ck = (os.path.join(d, n)
+                      for n in ("in", "state", "ck"))
+    pts.filter(F.col("k") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    pts.filter(F.col("k") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = stream_parquet_source(spark, src, pts.schema,
+                                   max_files_per_trigger=1)
+    q = density_pyramid_stream(stream, zoom=4, state_path=state,
+                               checkpoint=ck)
+    q.awaitTermination(300)
+
+    st = read_density_state(spark, state)
+    out_schema = StructType([
+        StructField("tile_x", LongType()),
+        StructField("tile_y", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("n_pixels", LongType()),
+    ])
+
+    def per_tile(batches: Iterator[pd.DataFrame]
+                 ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            txs, tys, np_, npx = [], [], [], []
+            for _, r in b.iterrows():
+                cnt = np.frombuffer(r["cnt"], dtype=np.int64)
+                txs.append(int(r["tile_x"]))
+                tys.append(int(r["tile_y"]))
+                np_.append(int(cnt.sum()))
+                npx.append(len(cnt))
+            yield pd.DataFrame({"tile_x": txs, "tile_y": tys,
+                                "n_pages": np_, "n_pixels": npx})
+
+    return (st.mapInPandas(per_tile, out_schema)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.sum("n_pages").cast("long").alias("n_pages"),
+                 F.sum("n_pixels").cast("long").alias("n_pixels"))
+            .orderBy("tile_x", "tile_y"))
+
+
+def _stream_density_oracle() -> str:
+    res = geo.tile_span(4) / 256
+    maxpx = 16 * 256 - 1
+    mx = geo.merc_x_sql("lon")
+    my = geo.merc_y_sql("lat")
+    px = (f"LEAST(GREATEST(CAST(FLOOR((({mx}) - (-{geo.ORIGIN!r}))"
+          f" / {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+    py = (f"LEAST(GREATEST(CAST(FLOOR(({geo.ORIGIN!r} - ({my}))"
+          f" / {res!r} + 0.001) AS BIGINT), 0), {maxpx})")
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        pix AS (SELECT {px} AS px, {py} AS py FROM pts)
+        SELECT CAST(FLOOR(CAST(px AS DOUBLE) / 256e0) AS BIGINT)
+                   AS tile_x,
+               CAST(FLOOR(CAST(py AS DOUBLE) / 256e0) AS BIGINT)
+                   AS tile_y,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(DISTINCT px * 4096 + py) AS BIGINT)
+                   AS n_pixels
+        FROM pix GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """
+
+
+def q90_stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization under the driver gate
+    (streaming.sessionize_stream): the events table streams in one
+    availableNow batch; every session except each user's LAST one
+    closes and emits, so per-user closed-session counts + closed
+    event totals equal the batch windowing SQL minus its final
+    session."""
+    import tempfile
+
+    from gdal_spark.streaming.events import (
+        sessionize_stream, stream_parquet_source,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="q90_ss_")
+    src = os.path.join(d, "in")
+    ev.coalesce(1).write.parquet(src)
+    stream = stream_parquet_source(spark, src, ev.schema,
+                                   max_files_per_trigger=10)
+    out = sessionize_stream(stream)
+    q = (out.writeStream
+         .option("checkpointLocation", os.path.join(d, "ck"))
+         .trigger(availableNow=True)
+         .format("parquet")
+         .option("path", os.path.join(d, "out")).start())
+    q.awaitTermination(300)
+    closed = spark.read.parquet(os.path.join(d, "out"))
+    return (closed.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_closed"),
+                 F.sum("n_events").cast("long")
+                 .alias("closed_events"))
+            .orderBy("user_id"))
+
+
+def _stream_sessionize_oracle() -> str:
+    return """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                        OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ),
+        per_sess AS (
+            SELECT user_id, sid, COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        ),
+        lastid AS (
+            SELECT user_id, MAX(sid) AS msid FROM per_sess
+            GROUP BY user_id
+        )
+        SELECT p.user_id AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_closed,
+               CAST(SUM(p.n_events) AS BIGINT) AS closed_events
+        FROM per_sess p JOIN lastid l
+          ON l.user_id = p.user_id AND p.sid < l.msid
+        GROUP BY p.user_id ORDER BY user_id
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4584,6 +4737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_kmeans_clusters": q86_kmeans_clusters,
     "q87_passage_removal": q87_passage_removal,
     "q88_stream_near_dedup": q88_stream_near_dedup,
+    "q89_stream_density_pyramid": q89_stream_density_pyramid,
+    "q90_stream_sessionize": q90_stream_sessionize,
 }
 
 
@@ -4988,6 +5143,8 @@ def oracle_sql() -> dict[str, str]:
         "q86_kmeans_clusters": _kmeans_oracle(),
         "q87_passage_removal": _passage_removal_oracle(),
         "q88_stream_near_dedup": _stream_near_dedup_oracle(),
+        "q89_stream_density_pyramid": _stream_density_oracle(),
+        "q90_stream_sessionize": _stream_sessionize_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
