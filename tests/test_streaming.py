@@ -332,3 +332,28 @@ def test_stream_near_dedup_matches_batch(spark, tmp_path):
     q2 = near_dedup_stream(stream2, out, ckpt, threshold=0.5)
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_remove_duplicate_passages_first_owner(spark):
+    """(batch op, placed here with its streaming siblings): removal
+    keeps the first owner intact and cuts exactly the copied span;
+    sub-window docs pass through untouched."""
+    from gdal_spark.functions.text import remove_duplicate_passages
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa unique tail",
+            "prefix words alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa suffix",
+            "tiny doc",
+        ]}))
+    out = remove_duplicate_passages(docs, window=8) \
+        .orderBy("doc_id").toPandas()
+    assert out.iloc[0]["n_removed"] == 0
+    assert out.iloc[0]["clean_text"].startswith("alpha beta")
+    assert out.iloc[1]["clean_text"] == "prefix words suffix"
+    assert out.iloc[1]["n_removed"] == 10
+    assert out.iloc[2]["n_removed"] == 0
+    assert out.iloc[2]["clean_text"] == "tiny doc"
