@@ -3753,6 +3753,122 @@ def _stream_sessionize_oracle() -> str:
     """
 
 
+def q91_hillshade_multidirectional(spark, sf_dir):
+    """gdaldem multidirectional hillshade (USGS OF 92-422 weighting,
+    apps/gdaldem_lib.cpp GDALHillshadeMultiDirectionalAlg:1253) over
+    the q74 deterministic raster: the distributed halo stencil's
+    per-row sums must equal a closed-form SQL replay of the Horn
+    gradients (clamped-coordinate neighbor joins — edge replication
+    falls out of the clamp) and the four-azimuth weighted shade."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.dem import focal_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+
+    tiles = spark.createDataFrame(_neighbors_raster_pdf(),
+                                  TILE_SCHEMA)
+    out = focal_tiles(tiles, "hillshade-multidirectional",
+                      xres=1.0, yres=1.0, z_factor=1.0,
+                      altitude=45.0)
+
+    row_schema = StructType([
+        StructField("py", LongType()),
+        StructField("s", DoubleType()),
+    ])
+
+    def row_sums(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pys, sums = [], []
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], ts)
+                pys.extend(range(int(r["tile_y"]) * ts,
+                                 (int(r["tile_y"]) + 1) * ts))
+                sums.extend(a.sum(axis=1).tolist())
+            yield pd.DataFrame({"py": pys, "s": sums})
+
+    return (out.mapInPandas(row_sums, row_schema)
+            .groupBy("py")
+            .agg(F.round(F.sum("s"), 4).alias("shade_sum"))
+            .orderBy("py"))
+
+
+def _hillshade_md_oracle() -> str:
+    # offsets carry the Horn coefficients for sx = (a+2d+g)-(c+2f+i)
+    # and sy = (g+2h+i)-(a+2b+c); the clamp replicates edges
+    return """
+        WITH px AS MATERIALIZED (
+            SELECT gx.x AS x, gy.y AS y,
+                   CAST((gx.x*31 + gy.y*17) % 101 AS DOUBLE) AS v
+            FROM generate_series(0, 255) gx(x)
+            CROSS JOIN generate_series(0, 255) gy(y)
+        ),
+        offs(dx, dy, cx, cy) AS (VALUES
+            (-1, -1,  1e0,  1e0), (0, -1,  0e0,  2e0),
+            ( 1, -1, -1e0,  1e0), (-1, 0,  2e0,  0e0),
+            ( 1,  0, -2e0,  0e0), (-1, 1,  1e0, -1e0),
+            ( 0,  1,  0e0, -2e0), ( 1,  1, -1e0, -1e0)
+        ),
+        probe AS MATERIALIZED (
+            -- dem.focal_tiles excludes raster-edge pixels (missing
+            -- halo = nodata -> output 0), so only INTERIOR pixels
+            -- evaluate; no clamping needed
+            SELECT p.x AS x, p.y AS y,
+                   p.x + o.dx AS nx, p.y + o.dy AS ny,
+                   o.cx AS cx, o.cy AS cy
+            FROM px p CROSS JOIN offs o
+            WHERE p.x BETWEEN 1 AND 254 AND p.y BETWEEN 1 AND 254
+        ),
+        grad AS (
+            -- cx/cy emit (a+2d+g)-(c+2f+i) and -(...), i.e. these
+            -- are u = -z*dzdx and v = -z*dzdy directly (z=1)
+            SELECT q.x, q.y,
+                   SUM(n.v * q.cx) / 8e0 AS dzdx,
+                   SUM(n.v * q.cy) / 8e0 AS dzdy
+            FROM probe q JOIN px n ON n.x = q.nx AND n.y = q.ny
+            GROUP BY q.x, q.y
+        ),
+        shade AS (
+            SELECT y,
+                   CASE WHEN (dzdx*dzdx + dzdy*dzdy) = 0e0
+                        THEN 1e0 + 254e0 * SIN(PI()/4e0)
+                        ELSE 1e0 + 254e0 * (
+                          ( (0.5e0*(dzdx*dzdx+dzdy*dzdy)
+                             - dzdx*dzdy)
+                            * GREATEST(SIN(PI()/4e0)
+                              + (dzdx - dzdy)
+                                * COS(225e0*PI()/180e0)
+                                * COS(PI()/4e0), 0e0)
+                          + (dzdx*dzdx)
+                            * GREATEST(SIN(PI()/4e0)
+                              - dzdx * COS(PI()/4e0), 0e0)
+                          + ((dzdx*dzdx+dzdy*dzdy)
+                             - (0.5e0*(dzdx*dzdx+dzdy*dzdy)
+                                - dzdx*dzdy))
+                            * GREATEST(SIN(PI()/4e0)
+                              + (dzdx + dzdy)
+                                * COS(225e0*PI()/180e0)
+                                * COS(PI()/4e0), 0e0)
+                          + (dzdy*dzdy)
+                            * GREATEST(SIN(PI()/4e0)
+                              - dzdy * COS(PI()/4e0), 0e0)
+                          ) / (2e0 * (dzdx*dzdx + dzdy*dzdy))
+                        ) / SQRT(1e0 + dzdx*dzdx + dzdy*dzdy)
+                   END AS val
+            FROM grad
+        )
+        SELECT gy.y AS py,
+               ROUND(COALESCE(SUM(s.val), 0e0), 4) AS shade_sum
+        FROM generate_series(0, 255) gy(y)
+        LEFT JOIN shade s ON s.y = gy.y
+        GROUP BY gy.y ORDER BY py
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4739,6 +4855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_stream_near_dedup": q88_stream_near_dedup,
     "q89_stream_density_pyramid": q89_stream_density_pyramid,
     "q90_stream_sessionize": q90_stream_sessionize,
+    "q91_hillshade_multidirectional": q91_hillshade_multidirectional,
 }
 
 
@@ -5145,6 +5262,7 @@ def oracle_sql() -> dict[str, str]:
         "q88_stream_near_dedup": _stream_near_dedup_oracle(),
         "q89_stream_density_pyramid": _stream_density_oracle(),
         "q90_stream_sessionize": _stream_sessionize_oracle(),
+        "q91_hillshade_multidirectional": _hillshade_md_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
