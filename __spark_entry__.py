@@ -3869,6 +3869,81 @@ def _hillshade_md_oracle() -> str:
     """
 
 
+def q92_neighbors_order_stats(spark, sf_dir):
+    """gdal raster neighbors, order-statistic methods (the
+    VRTKernelFilteredSource stddev/median paths,
+    frmts/vrt/vrtfilters.cpp:614,657): population stddev and median
+    over the 3x3 window of the q74 raster with edge replication —
+    DuckDB recomputes both via STDDEV_POP/MEDIAN over the
+    clamped-coordinate window join."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.neighbors import neighbors_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+
+    tiles = spark.createDataFrame(_neighbors_raster_pdf(),
+                                  TILE_SCHEMA)
+    sd = neighbors_tiles(tiles, kernel="equal", method="stddev",
+                         size=3, extent_tiles=(0, 0, 3, 3))
+    md = neighbors_tiles(tiles, kernel="equal", method="median",
+                         size=3, extent_tiles=(0, 0, 3, 3))
+
+    row_schema = StructType([
+        StructField("py", LongType()),
+        StructField("s", DoubleType()),
+    ])
+
+    def row_sums(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pys, sums = [], []
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], ts)
+                pys.extend(range(int(r["tile_y"]) * ts,
+                                 (int(r["tile_y"]) + 1) * ts))
+                sums.extend(a.sum(axis=1).tolist())
+            yield pd.DataFrame({"py": pys, "s": sums})
+
+    a = (sd.mapInPandas(row_sums, row_schema).groupBy("py")
+         .agg(F.round(F.sum("s"), 4).alias("stddev_sum")))
+    b = (md.mapInPandas(row_sums, row_schema).groupBy("py")
+         .agg(F.round(F.sum("s"), 4).alias("median_sum")))
+    return a.join(b, "py").orderBy("py")
+
+
+def _neighbors_order_oracle() -> str:
+    return """
+        WITH px AS MATERIALIZED (
+            SELECT gx.x AS x, gy.y AS y,
+                   CAST((gx.x*31 + gy.y*17) % 101 AS DOUBLE) AS v
+            FROM generate_series(0, 255) gx(x)
+            CROSS JOIN generate_series(0, 255) gy(y)
+        ),
+        w3 AS (SELECT d FROM generate_series(-1, 1) t(d)),
+        probe AS MATERIALIZED (
+            SELECT p.x AS x, p.y AS y,
+                   LEAST(GREATEST(p.x + dx.d, 0), 255) AS nx,
+                   LEAST(GREATEST(p.y + dy.d, 0), 255) AS ny
+            FROM px p CROSS JOIN w3 dx CROSS JOIN w3 dy
+        ),
+        win AS (
+            SELECT q.x, q.y,
+                   STDDEV_POP(n.v) AS sd,
+                   MEDIAN(n.v) AS md
+            FROM probe q JOIN px n ON n.x = q.nx AND n.y = q.ny
+            GROUP BY q.x, q.y
+        )
+        SELECT y AS py,
+               ROUND(SUM(sd), 4) AS stddev_sum,
+               ROUND(SUM(md), 4) AS median_sum
+        FROM win GROUP BY y ORDER BY py
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4856,6 +4931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_stream_density_pyramid": q89_stream_density_pyramid,
     "q90_stream_sessionize": q90_stream_sessionize,
     "q91_hillshade_multidirectional": q91_hillshade_multidirectional,
+    "q92_neighbors_order_stats": q92_neighbors_order_stats,
 }
 
 
@@ -5263,6 +5339,7 @@ def oracle_sql() -> dict[str, str]:
         "q89_stream_density_pyramid": _stream_density_oracle(),
         "q90_stream_sessionize": _stream_sessionize_oracle(),
         "q91_hillshade_multidirectional": _hillshade_md_oracle(),
+        "q92_neighbors_order_stats": _neighbors_order_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
