@@ -3944,6 +3944,82 @@ def _neighbors_order_oracle() -> str:
     """
 
 
+def q93_polygonize_ccl(spark, sf_dir):
+    """Distributed polygonize under a LIVE SQL oracle (previously
+    golden-pinned q24): a deterministic binary raster whose blobs
+    span tile boundaries runs the full three-stage pipeline —
+    per-tile CCL, cross-tile min-label merge, ring assembly — and
+    the component-size histogram must equal a DuckDB RECURSIVE-CTE
+    connected-components replay (min-label propagation to fixpoint
+    over the 4-adjacency)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.polygonize import polygonize_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA
+
+    py_g, px_g = np.mgrid[0:64, 0:64]
+    v = (((px_g // 4) * 7 + (py_g // 4) * 11) % 23 < 12) \
+        .astype(np.float64)
+    rows = []
+    ts = 16
+    for ty in range(4):
+        for tx in range(4):
+            blk = v[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({
+                "zoom": 0, "tile_x": tx, "tile_y": ty, "band": 1,
+                "data": np.ascontiguousarray(blk).tobytes(),
+                "dtype": "float64", "tile_size": ts,
+            })
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    polys = polygonize_tiles(tiles, gt=[0.0, 1.0, 0.0, 0.0, 0.0,
+                                        1.0], connectedness=4)
+    return (polys.groupBy(
+        F.col("value").cast("long").alias("v"),
+        F.col("n_pixels").cast("long").alias("n_px"))
+        .agg(F.count("*").cast("long").alias("n_components"))
+        .orderBy("v", "n_px"))
+
+
+def _polygonize_ccl_oracle() -> str:
+    return """
+        WITH RECURSIVE px AS MATERIALIZED (
+            SELECT gx.x AS x, gy.y AS y,
+                   CASE WHEN ((gx.x // 4) * 7
+                              + (gy.y // 4) * 11) % 23 < 12
+                        THEN 1 ELSE 0 END AS v
+            FROM generate_series(0, 63) gx(x)
+            CROSS JOIN generate_series(0, 63) gy(y)
+        ),
+        adj AS MATERIALIZED (
+            SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+            FROM px a JOIN px b
+              ON a.v = b.v
+             AND ((ABS(a.x - b.x) = 1 AND a.y = b.y)
+                  OR (ABS(a.y - b.y) = 1 AND a.x = b.x))
+        ),
+        r AS (
+            SELECT x, y, y * 64 + x AS lbl FROM px
+            UNION
+            SELECT a.x2 AS x, a.y2 AS y, r.lbl
+            FROM r JOIN adj a ON a.x1 = r.x AND a.y1 = r.y
+        ),
+        final AS (
+            SELECT x, y, MIN(lbl) AS comp FROM r GROUP BY x, y
+        ),
+        comps AS (
+            SELECT p.v, f.comp, COUNT(*) AS n_px
+            FROM final f JOIN px p ON p.x = f.x AND p.y = f.y
+            GROUP BY p.v, f.comp
+        )
+        SELECT CAST(v AS BIGINT) AS v,
+               CAST(n_px AS BIGINT) AS n_px,
+               CAST(COUNT(*) AS BIGINT) AS n_components
+        FROM comps GROUP BY v, n_px ORDER BY v, n_px
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -4932,6 +5008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_stream_sessionize": q90_stream_sessionize,
     "q91_hillshade_multidirectional": q91_hillshade_multidirectional,
     "q92_neighbors_order_stats": q92_neighbors_order_stats,
+    "q93_polygonize_ccl": q93_polygonize_ccl,
 }
 
 
@@ -5340,6 +5417,7 @@ def oracle_sql() -> dict[str, str]:
         "q90_stream_sessionize": _stream_sessionize_oracle(),
         "q91_hillshade_multidirectional": _hillshade_md_oracle(),
         "q92_neighbors_order_stats": _neighbors_order_oracle(),
+        "q93_polygonize_ccl": _polygonize_ccl_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
