@@ -4020,6 +4020,86 @@ def _polygonize_ccl_oracle() -> str:
     """
 
 
+def q94_proximity_live(spark, sf_dir):
+    """Exact EDT proximity under a LIVE SQL oracle (previously
+    golden-pinned q33): sparse deterministic targets, distance in
+    pixels exact up to MAXDIST (alg/gdalproximity.cpp semantics,
+    beyond -> nodata -1).  Squared distances are INTEGERS, so the
+    comparison is exact: the engine's sqrt round-trips to the same
+    min (dx^2+dy^2) DuckDB computes as a brute min over sources."""
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.proximity import proximity_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+
+    py_g, px_g = np.mgrid[0:64, 0:64]
+    v = (((px_g * 13 + py_g * 29) % 97) == 0).astype(np.float64)
+    rows = []
+    ts = 16
+    for ty in range(4):
+        for tx in range(4):
+            blk = v[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({
+                "zoom": 0, "tile_x": tx, "tile_y": ty, "band": 1,
+                "data": np.ascontiguousarray(blk).tobytes(),
+                "dtype": "float64", "tile_size": ts,
+            })
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    prox = proximity_tiles(tiles, [1.0], max_dist=6.0)
+
+    row_schema = StructType([
+        StructField("py", LongType()),
+        StructField("s", LongType()),
+    ])
+
+    def row_codes(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pys, sums = [], []
+            for _, r in b.iterrows():
+                t = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], t)
+                code = np.where(a < 0.0, -1,
+                                np.rint(a * a)).astype(np.int64)
+                pys.extend(range(int(r["tile_y"]) * t,
+                                 (int(r["tile_y"]) + 1) * t))
+                sums.extend(code.sum(axis=1).tolist())
+            yield pd.DataFrame({"py": pys, "s": sums})
+
+    return (prox.mapInPandas(row_codes, row_schema)
+            .groupBy("py")
+            .agg(F.sum("s").cast("long").alias("d2_sum"))
+            .orderBy("py"))
+
+
+def _proximity_oracle() -> str:
+    return """
+        WITH px AS MATERIALIZED (
+            SELECT gx.x AS x, gy.y AS y
+            FROM generate_series(0, 63) gx(x)
+            CROSS JOIN generate_series(0, 63) gy(y)
+        ),
+        src AS MATERIALIZED (
+            SELECT x, y FROM px
+            WHERE (x * 13 + y * 29) % 97 = 0
+        ),
+        mind AS (
+            SELECT p.x, p.y,
+                   MIN((p.x - s.x) * (p.x - s.x)
+                       + (p.y - s.y) * (p.y - s.y)) AS d2
+            FROM px p CROSS JOIN src s
+            GROUP BY p.x, p.y
+        )
+        SELECT y AS py,
+               CAST(SUM(CASE WHEN d2 <= 36 THEN d2 ELSE -1 END)
+                    AS BIGINT) AS d2_sum
+        FROM mind GROUP BY y ORDER BY py
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -5009,6 +5089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_hillshade_multidirectional": q91_hillshade_multidirectional,
     "q92_neighbors_order_stats": q92_neighbors_order_stats,
     "q93_polygonize_ccl": q93_polygonize_ccl,
+    "q94_proximity_live": q94_proximity_live,
 }
 
 
@@ -5418,6 +5499,7 @@ def oracle_sql() -> dict[str, str]:
         "q91_hillshade_multidirectional": _hillshade_md_oracle(),
         "q92_neighbors_order_stats": _neighbors_order_oracle(),
         "q93_polygonize_ccl": _polygonize_ccl_oracle(),
+        "q94_proximity_live": _proximity_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
