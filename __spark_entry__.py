@@ -4100,6 +4100,54 @@ def _proximity_oracle() -> str:
     """
 
 
+def q95_checksum_live(spark, sf_dir):
+    """GDALChecksumImage under a LIVE SQL oracle (previously only
+    golden-anchored on byte.tif == 4672): per-tile checksums of the
+    deterministic raster — the prime-cycle modular sum
+    (alg/gdalchecksum.cpp:47: primes [7..43], index (y*w+x)%11,
+    line-masked & 0xffff ≡ total mod 65536 for non-negative data) —
+    recomputed exactly in SQL via a list-literal prime lookup."""
+    from gdal_spark.operators.checksum import tile_checksums
+    from gdal_spark.operators.tiling import TILE_SCHEMA
+
+    py_g, px_g = np.mgrid[0:256, 0:256]
+    v = ((px_g * 31 + py_g * 17) % 101).astype(np.uint8)
+    rows = []
+    ts = 64
+    for ty in range(4):
+        for tx in range(4):
+            blk = v[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({
+                "zoom": 2, "tile_x": tx, "tile_y": ty, "band": 1,
+                "data": np.ascontiguousarray(blk).tobytes(),
+                "dtype": "uint8", "tile_size": ts,
+            })
+    tiles = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+    return (tile_checksums(tiles)
+            .select(F.col("tile_x").cast("long").alias("tx"),
+                    F.col("tile_y").cast("long").alias("ty"),
+                    F.col("checksum").cast("long")
+                    .alias("checksum"))
+            .orderBy("tx", "ty"))
+
+
+def _checksum_oracle() -> str:
+    return """
+        WITH px AS (
+            SELECT gx.x AS x, gy.y AS y,
+                   CAST((gx.x*31 + gy.y*17) % 101 AS BIGINT) AS v
+            FROM generate_series(0, 255) gx(x)
+            CROSS JOIN generate_series(0, 255) gy(y)
+        )
+        SELECT CAST(x // 64 AS BIGINT) AS tx,
+               CAST(y // 64 AS BIGINT) AS ty,
+               CAST(SUM(v % ([7,11,13,17,19,23,29,31,37,41,43])[
+                        ((y % 64) * 64 + (x % 64)) % 11 + 1])
+                    % 65536 AS BIGINT) AS checksum
+        FROM px GROUP BY 1, 2 ORDER BY tx, ty
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -5090,6 +5138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_neighbors_order_stats": q92_neighbors_order_stats,
     "q93_polygonize_ccl": q93_polygonize_ccl,
     "q94_proximity_live": q94_proximity_live,
+    "q95_checksum_live": q95_checksum_live,
 }
 
 
@@ -5500,6 +5549,7 @@ def oracle_sql() -> dict[str, str]:
         "q92_neighbors_order_stats": _neighbors_order_oracle(),
         "q93_polygonize_ccl": _polygonize_ccl_oracle(),
         "q94_proximity_live": _proximity_oracle(),
+        "q95_checksum_live": _checksum_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
