@@ -4148,6 +4148,62 @@ def _checksum_oracle() -> str:
     """
 
 
+def q96_contour_census(spark, sf_dir):
+    """Marching-squares contour under a LIVE SQL oracle (q34 is
+    golden-pinned): per-level segment COUNTS over the deterministic
+    raster — the oracle reclassifies every 2x2 cell (0 segments when
+    all corners agree, 2 on the two saddle cases, 1 otherwise),
+    which checks the cell-ownership convention, the halo exchange
+    and the cross-tile single-count rule all at once.  Non-integer
+    levels over integer data make the < cut unambiguous."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.contour import contour_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA
+
+    tiles = spark.createDataFrame(_neighbors_raster_pdf(),
+                                  TILE_SCHEMA)
+    levels = [20.5, 50.5, 80.5]
+    segs = contour_tiles(tiles, levels,
+                         gt=[0.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+    return (segs.groupBy(F.col("level"))
+            .agg(F.count("*").cast("long").alias("n_segments"))
+            .orderBy("level"))
+
+
+def _contour_census_oracle() -> str:
+    parts = []
+    for lv in (20.5, 50.5, 80.5):
+        parts.append(f"""
+        SELECT CAST({lv!r} AS DOUBLE) AS level,
+               CAST(SUM(CASE
+                   WHEN (tl < {lv!r}) = (tr < {lv!r})
+                    AND (tl < {lv!r}) = (bl < {lv!r})
+                    AND (tl < {lv!r}) = (br < {lv!r}) THEN 0
+                   WHEN (tl < {lv!r}) = (br < {lv!r})
+                    AND (tr < {lv!r}) = (bl < {lv!r}) THEN 2
+                   ELSE 1 END) AS BIGINT) AS n_segments
+        FROM cells""")
+    return """
+        WITH px AS MATERIALIZED (
+            SELECT gx.x AS x, gy.y AS y,
+                   CAST((gx.x*31 + gy.y*17) % 101 AS DOUBLE) AS v
+            FROM generate_series(0, 255) gx(x)
+            CROSS JOIN generate_series(0, 255) gy(y)
+        ),
+        cells AS MATERIALIZED (
+            SELECT a.v AS tl, b.v AS tr, c.v AS bl, d.v AS br
+            FROM px a
+            JOIN px b ON b.x = a.x + 1 AND b.y = a.y
+            JOIN px c ON c.x = a.x AND c.y = a.y + 1
+            JOIN px d ON d.x = a.x + 1 AND d.y = a.y + 1
+            WHERE a.x < 255 AND a.y < 255
+        )
+    """ + " UNION ALL ".join(parts) + " ORDER BY level"
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -5139,6 +5195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_polygonize_ccl": q93_polygonize_ccl,
     "q94_proximity_live": q94_proximity_live,
     "q95_checksum_live": q95_checksum_live,
+    "q96_contour_census": q96_contour_census,
 }
 
 
@@ -5550,6 +5607,7 @@ def oracle_sql() -> dict[str, str]:
         "q93_polygonize_ccl": _polygonize_ccl_oracle(),
         "q94_proximity_live": _proximity_oracle(),
         "q95_checksum_live": _checksum_oracle(),
+        "q96_contour_census": _contour_census_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
