@@ -4204,6 +4204,85 @@ def _contour_census_oracle() -> str:
     """ + " UNION ALL ".join(parts) + " ORDER BY level"
 
 
+def q97_translate_resample_kernels(spark, sf_dir):
+    """gdal_translate 2x-aligned downscale through THREE resampling
+    kernels (GDALResampleAlg average/min/max — q52 covers sum):
+    aligned 2x blocks make each kernel a closed-form block statistic
+    the oracle recomputes per output pixel; per-row sums compare
+    rounded."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+    from gdal_spark.operators.warp import translate_tiles
+
+    py_g, px_g = np.mgrid[0:256, 0:256]
+    v = ((px_g * 31 + py_g * 17) % 101).astype(np.float64)
+    tiles = spark.createDataFrame(pd.DataFrame([{
+        "zoom": 0, "tile_x": 0, "tile_y": 0, "band": 1,
+        "data": np.ascontiguousarray(v).tobytes(),
+        "dtype": "float64", "tile_size": 256,
+    }]), TILE_SCHEMA)
+    src = GridSpec(0.0, 256.0, 1.0, 1.0, 256, 256)
+
+    row_schema = StructType([
+        StructField("py", LongType()),
+        StructField("s", DoubleType()),
+    ])
+
+    def row_sums(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pys, sums = [], []
+            for _, r in b.iterrows():
+                t = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], t) \
+                    .astype(np.float64)
+                pys.extend(range(int(r["tile_y"]) * t,
+                                 (int(r["tile_y"]) + 1) * t))
+                sums.extend(a.sum(axis=1).tolist())
+            yield pd.DataFrame({"py": pys, "s": sums})
+
+    def run(alg, name):
+        out = translate_tiles(tiles, src, (0, 0, 256, 256),
+                              outsize=(128, 128), resample=alg)
+        return (out.mapInPandas(row_sums, row_schema)
+                .groupBy("py")
+                .agg(F.round(F.sum("s"), 4).alias(name)))
+
+    # the output canvas pads to the 256-tile; the valid 128x128
+    # sits top-left and the padding is additive zero
+    return (run("average", "avg_sum")
+            .join(run("min", "min_sum"), "py")
+            .join(run("max", "max_sum"), "py")
+            .filter(F.col("py") < 128)
+            .orderBy("py"))
+
+
+def _resample_kernels_oracle() -> str:
+    return """
+        WITH px AS MATERIALIZED (
+            SELECT gx.x AS x, gy.y AS y,
+                   CAST((gx.x*31 + gy.y*17) % 101 AS DOUBLE) AS v
+            FROM generate_series(0, 255) gx(x)
+            CROSS JOIN generate_series(0, 255) gy(y)
+        ),
+        blocks AS (
+            SELECT x // 2 AS bx, y // 2 AS by,
+                   AVG(v) AS a, MIN(v) AS mn, MAX(v) AS mx
+            FROM px GROUP BY 1, 2
+        )
+        SELECT CAST(by AS BIGINT) AS py,
+               ROUND(SUM(a), 4) AS avg_sum,
+               ROUND(SUM(mn), 4) AS min_sum,
+               ROUND(SUM(mx), 4) AS max_sum
+        FROM blocks GROUP BY by ORDER BY py
+    """
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -5196,6 +5275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_proximity_live": q94_proximity_live,
     "q95_checksum_live": q95_checksum_live,
     "q96_contour_census": q96_contour_census,
+    "q97_translate_resample_kernels": q97_translate_resample_kernels,
 }
 
 
@@ -5608,6 +5688,7 @@ def oracle_sql() -> dict[str, str]:
         "q94_proximity_live": _proximity_oracle(),
         "q95_checksum_live": _checksum_oracle(),
         "q96_contour_census": _contour_census_oracle(),
+        "q97_translate_resample_kernels": _resample_kernels_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
