@@ -4283,6 +4283,79 @@ def _resample_kernels_oracle() -> str:
     """
 
 
+_Q98_RECTS = [(40, 40, 100, 90), (130, 20, 200, 60),
+              (10, 150, 80, 240)]
+
+
+def q98_zonal_majority(spark, sf_dir):
+    """Zonal MAJORITY/MINORITY/VARIETY (the zonal.cpp value-count
+    family; q22 gates count/sum/max): three pixel-rectangle zones
+    over the deterministic raster — per-zone most/least frequent
+    value with the engine's tie rule (count, then smallest value)
+    and distinct-value count, all replayed in SQL."""
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import TILE_SCHEMA
+    from gdal_spark.operators.zonal import (
+        zonal_majority, zonal_value_counts,
+    )
+
+    tiles = spark.createDataFrame(_neighbors_raster_pdf(),
+                                  TILE_SCHEMA)
+    grid = GridSpec(0.0, 256.0, 1.0, 1.0, 256, 256)
+    zones = []
+    for fid, (x0, y0, x1, y1) in enumerate(_Q98_RECTS):
+        ring = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                         (x0, y0)], dtype=np.float64)
+        gx = grid.x0 + ring[:, 0] * 1.0
+        gy = grid.y1 - ring[:, 1] * 1.0
+        zones.append({
+            "fid": fid,
+            "geometry": polygon_wkb([np.column_stack([gx, gy])]),
+        })
+    counts = zonal_value_counts(spark, tiles,
+                                pd.DataFrame(zones), grid,
+                                tile_size=64)
+    return (zonal_majority(counts)
+            .select(F.col("zone").cast("long").alias("zone"),
+                    F.col("majority").cast("long")
+                    .alias("majority"),
+                    F.col("minority").cast("long")
+                    .alias("minority"),
+                    F.col("variety").cast("long").alias("variety"))
+            .orderBy("zone"))
+
+
+def _zonal_majority_oracle() -> str:
+    parts = []
+    for fid, (x0, y0, x1, y1) in enumerate(_Q98_RECTS):
+        parts.append(f"""
+        SELECT CAST({fid} AS BIGINT) AS zone,
+               (SELECT v FROM (
+                   SELECT v, COUNT(*) AS c FROM px
+                   WHERE x >= {x0} AND x < {x1}
+                     AND y >= {y0} AND y < {y1}
+                   GROUP BY v ORDER BY c DESC, v ASC LIMIT 1))
+                   AS majority,
+               (SELECT v FROM (
+                   SELECT v, COUNT(*) AS c FROM px
+                   WHERE x >= {x0} AND x < {x1}
+                     AND y >= {y0} AND y < {y1}
+                   GROUP BY v ORDER BY c ASC, v ASC LIMIT 1))
+                   AS minority,
+               (SELECT COUNT(DISTINCT v) FROM px
+                WHERE x >= {x0} AND x < {x1}
+                  AND y >= {y0} AND y < {y1}) AS variety""")
+    return """
+        WITH px AS MATERIALIZED (
+            SELECT gx.x AS x, gy.y AS y,
+                   CAST((gx.x*31 + gy.y*17) % 101 AS BIGINT) AS v
+            FROM generate_series(0, 255) gx(x)
+            CROSS JOIN generate_series(0, 255) gy(y)
+        )
+    """ + " UNION ALL ".join(parts) + " ORDER BY zone"
+
+
 def q64_st_functions(spark, sf_dir):
     """SQLITE-dialect ST_* function surface driven through
     spark.sql (the reference's spatialite-compatible function table,
@@ -5276,6 +5349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_checksum_live": q95_checksum_live,
     "q96_contour_census": q96_contour_census,
     "q97_translate_resample_kernels": q97_translate_resample_kernels,
+    "q98_zonal_majority": q98_zonal_majority,
 }
 
 
@@ -5689,6 +5763,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_checksum_live": _checksum_oracle(),
         "q96_contour_census": _contour_census_oracle(),
         "q97_translate_resample_kernels": _resample_kernels_oracle(),
+        "q98_zonal_majority": _zonal_majority_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
