@@ -200,3 +200,53 @@ def test_simplify_coverage_snap_heals_ulp_noise(spark):
     rep = check_coverage(simplify_coverage(df, 0.2, snap=1e-9),
                          snap=1e-9, extent=(0, 0, 2, 2)).toPandas()
     assert (rep["n_unmatched"] == 0).all()
+
+
+def test_simplify_coverage_donut_with_filling_island(spark):
+    """A donut polygon whose hole is exactly filled by an island
+    feature: the hole ring and the island shell are the SAME arc
+    set, so both must simplify identically and the pair stays a
+    valid coverage with conserved areas."""
+    from gdal_spark.operators.coverage import simplify_coverage
+
+    k = 8  # densify each edge into 8 float-exact segments
+
+    def seg(a, b):
+        return [(a[0] + (b[0] - a[0]) * t / k,
+                 a[1] + (b[1] - a[1]) * t / k) for t in range(k)]
+
+    def rect_ring(x0, y0, x1, y1):
+        return (seg((x0, y0), (x1, y0)) + seg((x1, y0), (x1, y1))
+                + seg((x1, y1), (x0, y1)) + seg((x0, y1), (x0, y0))
+                + [(x0, y0)])
+
+    outer = rect_ring(0, 0, 8, 8)
+    # the hole winds OPPOSITE to the island shell so the shared
+    # boundary pairs (one forward + one reverse edge per segment)
+    hole = rect_ring(2, 2, 6, 6)[::-1]
+    rows = [
+        {"fid": 0, "geometry": W.polygon_wkb([outer, hole])},
+        {"fid": 1, "geometry": W.polygon_wkb(
+            [rect_ring(2, 2, 6, 6)])},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = simplify_coverage(df, tolerance=0.3).toPandas() \
+        .set_index("fid")
+
+    def ring_areas(g):
+        areas = []
+        for r in g.parts:
+            xs, ys = r[:, 0], r[:, 1]
+            areas.append(0.5 * abs(np.sum(
+                xs[:-1] * ys[1:] - xs[1:] * ys[:-1])))
+        return sorted(areas)
+
+    g0 = W.parse_wkb(bytes(out.loc[0, "geometry"]))
+    g1 = W.parse_wkb(bytes(out.loc[1, "geometry"]))
+    assert ring_areas(g0) == pytest.approx([16.0, 64.0])
+    assert ring_areas(g1) == pytest.approx([16.0])
+    assert all(len(r) == 5 for r in g0.parts)
+    assert all(len(r) == 5 for r in g1.parts)
+    rep = check_coverage(simplify_coverage(df, 0.3),
+                         extent=(0, 0, 8, 8)).toPandas()
+    assert (rep["n_unmatched"] == 0).all()
