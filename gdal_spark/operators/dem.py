@@ -103,8 +103,14 @@ def _emit_halos(tiles: DataFrame) -> DataFrame:
 def focal_tiles(tiles: DataFrame, op: str, xres: float = 1.0,
                 yres: float = 1.0, nodata: float | None = None,
                 z_factor: float = 1.0, azimuth: float = 315.0,
-                altitude: float = 45.0) -> DataFrame:
-    """Apply a 3x3 focal op to every tile (halo-exchanged)."""
+                altitude: float = 45.0,
+                alg: str = "horn") -> DataFrame:
+    """Apply a 3x3 focal op to every tile (halo-exchanged).
+
+    ``alg``: gradient algorithm for slope/aspect/hillshade —
+    'horn' (the reference default) or 'zt' (Zevenbergen-Thorne
+    central differences, gdaldem --alg ZevenbergenThorne,
+    apps/gdaldem_lib.cpp:798)."""
     halos = _emit_halos(tiles)
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -143,7 +149,7 @@ def focal_tiles(tiles: DataFrame, op: str, xres: float = 1.0,
             elif rel == 8:
                 canvas[0, 0] = strip[0]
         out = focal_kernel(canvas, op, xres, yres, z_factor,
-                           azimuth, altitude)
+                           azimuth, altitude, alg)
         if nodata is not None:
             out = np.where(np.isnan(out), nodata, out)
         else:
@@ -165,8 +171,8 @@ def focal_tiles(tiles: DataFrame, op: str, xres: float = 1.0,
 
 
 def focal_kernel(canvas: np.ndarray, op: str, xres: float, yres: float,
-                 z_factor: float, azimuth: float, altitude: float
-                 ) -> np.ndarray:
+                 z_factor: float, azimuth: float, altitude: float,
+                 alg: str = "horn") -> np.ndarray:
     """3x3 stencil over a haloed canvas -> (ts, ts) output."""
     a = canvas[:-2, :-2]
     b = canvas[:-2, 1:-1]
@@ -180,8 +186,14 @@ def focal_kernel(canvas: np.ndarray, op: str, xres: float, yres: float,
     if op in ("slope", "aspect", "hillshade",
               "hillshade-combined", "hillshade-multidirectional",
               "hillshade-igor"):
-        dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres)
-        dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * yres)
+        if alg == "zt":
+            # Zevenbergen-Thorne central differences (zf = z/2 in
+            # the reference; the /2 lives in the denominator here)
+            dzdx = (f - d) / (2.0 * xres)
+            dzdy = (h - b) / (2.0 * yres)
+        else:
+            dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres)
+            dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * yres)
         if op.startswith("hillshade-"):
             # gdaldem -combined / -multidirectional / -igor
             # (apps/gdaldem_lib.cpp GDALHillshadeCombinedAlg:1151,

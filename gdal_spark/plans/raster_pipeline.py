@@ -98,7 +98,9 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
             else:
                 df = spark.read.parquet(name)
         elif verb in focal_ops:
-            df = focal_tiles(df, verb)
+            # optional gradient algorithm: "slope zt" / "aspect zt"
+            df = focal_tiles(df, verb,
+                             alg=(args[0] if args else "horn"))
         elif verb == "neighbors":
             # gdal raster neighbors (gdalalg_raster_neighbors.cpp):
             # "neighbors <kernel> [method] [size] [nodata]"

@@ -98,3 +98,52 @@ def test_hillshade_variants_reference_formulas(spark):
         for y, x in [(5, 5), (10, 20), (25, 7), (16, 16)]:
             assert got[y, x] == __import__("pytest").approx(
                 brute(y, x), rel=1e-9), (op, y, x)
+
+
+def test_zevenbergen_thorne_gradients(spark):
+    """--alg ZevenbergenThorne (gdaldem_lib.cpp:798 central
+    differences): on the plane z = 3x + 4y the ZT gradients are
+    EXACT (dzdx=3, dzdy=4), so slope/aspect are closed-form."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.dem import focal_tiles
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+
+    jj, ii = np.mgrid[0:32, 0:32]
+    arr = (3.0 * ii + 4.0 * jj).astype(np.float64)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            blk = arr[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            rows.append({"zoom": 0, "tile_x": tx, "tile_y": ty,
+                         "band": 1,
+                         "data": np.ascontiguousarray(blk).tobytes(),
+                         "dtype": "float64", "tile_size": 16})
+    df = spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+
+    def center(op, **kw):
+        out = focal_tiles(df, op, alg="zt", **kw).toPandas() \
+            .set_index(["tile_x", "tile_y"])
+        aa = decode_tile(out.loc[(0, 0), "data"],
+                         out.loc[(0, 0), "dtype"], 16)
+        return aa[8, 8]
+
+    import pytest as _pt
+
+    want_slope = np.degrees(np.arctan(np.hypot(3.0, 4.0)))
+    assert center("slope") == _pt.approx(want_slope)
+    # aspect: atan2(dzdy, -dzdx) mapped to geographic degrees
+    asp = np.degrees(np.arctan2(4.0, -3.0))
+    want_aspect = 90.0 - asp if 0 <= asp <= 90 else (
+        90.0 - asp if asp < 0 else 360.0 - asp + 90.0)
+    assert center("aspect") == _pt.approx(want_aspect % 360.0)
+    # pipeline verb plumbs the alg through
+    from gdal_spark.plans.raster_pipeline import run_raster_pipeline
+
+    out = run_raster_pipeline(spark, "read t ! slope zt",
+                              layers={"t": df}).toPandas() \
+        .set_index(["tile_x", "tile_y"])
+    aa = decode_tile(out.loc[(0, 0), "data"],
+                     out.loc[(0, 0), "dtype"], 16)
+    assert aa[8, 8] == _pt.approx(want_slope)
