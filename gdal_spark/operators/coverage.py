@@ -116,9 +116,20 @@ def check_coverage(df: DataFrame, *, geometry_col: str = "geometry",
                    F.count("*").alias("n_all")))
     # matched interior edge: exactly one forward + one reverse
     matched = (F.col("n_all") == 2) & (F.col("n_fwd") == 1)
-    joined = edges.join(F.broadcast(counts.filter(~matched))
-                        .select(*key, F.lit(1).alias("bad")),
-                        on=key, how="left")
+    bad = counts.filter(~matched).select(*key,
+                                         F.lit(1).alias("bad"))
+    # The defect set is only small for near-valid coverages; for the
+    # inputs this operator exists to DIAGNOSE (overlapping layers, or
+    # any call without extent= where the whole outer perimeter is
+    # unmatched) it is O(total boundary edges).  Bounded probe
+    # (limit(n+1).count(), the spatial_join.bounded_layer_pdf
+    # pattern): broadcast only when provably small (~250k rows of 4
+    # doubles ≈ 10 MB, the autoBroadcastJoinThreshold analog), else
+    # a plain shuffled join — never an unbounded driver collect.
+    _BCAST_ROWS = 250_000
+    n_bad = bad.limit(_BCAST_ROWS + 1).count()
+    join_side = F.broadcast(bad) if n_bad <= _BCAST_ROWS else bad
+    joined = edges.join(join_side, on=key, how="left")
 
     unmatched = F.coalesce(F.col("bad"), F.lit(0))
     if extent is not None:

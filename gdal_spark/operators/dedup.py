@@ -223,10 +223,19 @@ def minhash_lsh_dedup(
     threshold: float = 0.7, seed: int = 42,
 ) -> DataFrame:
     """Near-dup removal: keep the min-key representative of each
-    connected candidate group (single-link via min propagation)."""
+    connected candidate group (single-link via min propagation).
+
+    The signatures frame is persisted for its three uses (banding +
+    both prefilter sides) and RELEASED before return: the small
+    drop-key frame is eagerly localCheckpoint'ed so the returned
+    plan no longer references the cache — repeated calls in a
+    long-lived session (the 100-TB pipeline shape) don't accumulate
+    pinned signature frames in executor storage."""
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle,
-                              seed).cache()
+                              seed).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_candidates(sigs, key_col, bands, rows)
     # cheap signature-estimate PREFILTER (slack below the threshold so
     # estimator variance cannot veto a true duplicate) ...
@@ -246,9 +255,13 @@ def minhash_lsh_dedup(
         .select("a", "b")
     )
     # each b maps to min(a) over its dup partners; survivors = keys
-    # that are never a 'b' with a smaller 'a'
+    # that are never a 'b' with a smaller 'a'.  The drop frame is
+    # keys only (8 bytes/row, distributed) — eager checkpoint cuts
+    # the lineage so sigs can unpersist now, not at session end.
     drop = verified.groupBy("b").agg(F.min("a").alias("rep")) \
-        .select(F.col("b").alias(key_col))
+        .select(F.col("b").alias(key_col)) \
+        .localCheckpoint(eager=True)
+    sigs.unpersist()
     return df.join(drop, key_col, "left_anti")
 
 

@@ -156,7 +156,12 @@ def grid_interpolate(
                 val = np.where(den > 0,
                                num / np.where(den == 0, 1, den),
                                nodata)
-                hit = ok & (dsel == 0.0)
+                # exact-hit shortcut mirrors the reference
+                # (alg/gdalgrid.cpp GDALGridInverseDistanceToAPower
+                # NearestNeighbor): only when dfR2 + dfSmoothing2 <
+                # 1e-13 — with nonzero smoothing a coincident point
+                # is blended like any other neighbor
+                hit = ok & (d2s < 1e-13)
                 any_hit = hit.any(axis=1)
                 first = np.argmax(hit, axis=1)
                 res[s:e] = np.where(
@@ -167,7 +172,8 @@ def grid_interpolate(
                     val)
             elif algorithm == "invdist":
                 d2s = d2 + smoothing * smoothing
-                exact = (d2s == 0.0)
+                # reference shortcut: dfR2 (incl. smoothing2) < 1e-13
+                exact = (d2s < 1e-13)
                 wgt = np.where(mask, 1.0 / np.maximum(d2s, 1e-300)
                                ** (power / 2.0), 0.0)
                 num = (wgt * vs[None, :]).sum(axis=1)

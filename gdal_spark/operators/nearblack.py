@@ -106,18 +106,21 @@ def clean_collar_tiles(tiles: DataFrame, *,
     out_val = float(colors[0] if set_value is None else set_value)
     thr = float(threshold)
 
+    # the precondition guard runs UNCONDITIONALLY: with an explicit
+    # extent_tiles a multi-band/multi-zoom frame would reach expand()
+    # (grouped by tile_x/tile_y only) and silently merge bands
+    row = tiles.agg(F.min("tile_x"), F.min("tile_y"),
+                    F.max("tile_x"), F.max("tile_y"),
+                    F.countDistinct("zoom", "band")
+                    .alias("nzb")).collect()[0]
+    if row[0] is None:
+        return tiles.limit(0)
+    if int(row["nzb"]) > 1:
+        raise ValueError(
+            "clean_collar_tiles takes a single-zoom single-band "
+            "frame (the fill groups by tile key); filter or "
+            "select bands first")
     if extent_tiles is None:
-        row = tiles.agg(F.min("tile_x"), F.min("tile_y"),
-                        F.max("tile_x"), F.max("tile_y"),
-                        F.countDistinct("zoom", "band")
-                        .alias("nzb")).collect()[0]
-        if row[0] is None:
-            return tiles.limit(0)
-        if int(row["nzb"]) > 1:
-            raise ValueError(
-                "clean_collar_tiles takes a single-zoom single-band "
-                "frame (the fill groups by tile key); filter or "
-                "select bands first")
         extent_tiles = tuple(int(v) for v in row[:4])
     x0, y0, x1, y1 = extent_tiles
 

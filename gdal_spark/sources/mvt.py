@@ -949,6 +949,75 @@ def _parts_to_wkb(gtype: int, parts: list[np.ndarray], x0: float,
     return W.multipolygon_wkb(groups)
 
 
+def _guess_zxy(path: str) -> tuple[int, int, int]:
+    """z/x/y from trailing .../z/x/y.pbf path components (the
+    reference's standalone-tile heuristic); (0, 0, 0) otherwise."""
+    parts = os.path.normpath(path).split(os.sep)
+    try:
+        y = int(os.path.splitext(parts[-1])[0])
+        x = int(parts[-2])
+        z = int(parts[-3])
+        if 0 <= z <= 30 and 0 <= x < (1 << z) and 0 <= y < (1 << z):
+            return z, x, y
+    except (ValueError, IndexError):
+        pass
+    return 0, 0, 0
+
+
+def _read_mvt_single(spark: SparkSession, path: str, *,
+                     layer: str | None = None) -> DataFrame:
+    """Standalone-tile open: decode one Tile message on the driver
+    (a single tile is bounded by construction — the spec caps tiles
+    at a few MB) and return the same frame shape as the directory
+    reader, with property types inferred from the value table."""
+    z, tx, ty = _guess_zxy(path)
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    _name, lext, feats = _decode_tile(buf, layer)
+    span = 2.0 * ORIGIN / (1 << z)
+    x0 = tx * span - ORIGIN
+    y_top = ORIGIN - ty * span
+    ptypes: dict[str, str] = {}
+    for _fid, _g, _p, props in feats:
+        for k, v in props.items():
+            if isinstance(v, bool):
+                t = "Boolean"
+            elif isinstance(v, int):
+                t = "Integer64"
+            elif isinstance(v, float):
+                t = "Real"
+            else:
+                t = "String"
+            prev = ptypes.get(k)
+            if prev is None or prev == t:
+                ptypes[k] = t
+            elif {prev, t} == {"Integer64", "Real"}:
+                ptypes[k] = "Real"
+            else:
+                ptypes[k] = "String"
+    prop_cols = sorted(ptypes)
+    schema = StructType(
+        [StructField("zoom", IntegerType()),
+         StructField("tile_x", LongType()),
+         StructField("tile_y", LongType()),
+         StructField("fid", LongType()),
+         StructField("geometry", BinaryType())]
+        + [StructField(c, _TYPE_TO_SPARK[ptypes[c]])
+           for c in prop_cols])
+    rows = []
+    for fid, gtype, gparts, props in feats:
+        wkb = _parts_to_wkb(gtype, gparts, x0, y_top, span, lext)
+        if wkb is None:
+            continue
+        row = {"zoom": z, "tile_x": tx, "tile_y": ty,
+               "fid": fid, "geometry": wkb}
+        for c in prop_cols:
+            v = props.get(c)
+            row[c] = None if v is None else _coerce_value(v, ptypes[c])
+        rows.append(row)
+    return spark.createDataFrame(rows, schema)
+
+
 def read_mvt(spark: SparkSession, path: str, *,
              layer: str | None = None) -> DataFrame:
     """Read an MVT directory dataset distributed.
@@ -957,7 +1026,15 @@ def read_mvt(spark: SparkSession, path: str, *,
     covering tile — the format semantics, same as the reference's
     reader).  Columns: zoom, tile_x, tile_y, fid, geometry (WKB,
     lon/lat), then the layer properties typed from metadata.json.
+
+    A standalone tile FILE (e.g. ``14/8714/5919.pbf`` outside a
+    directory dataset) is also accepted, mirroring the reference's
+    standalone-tile open path (ogrmvtdataset.cpp OGRMVTDataset::Open
+    guesses z/x/y from the path components): field types are
+    inferred from the tile's own value table.
     """
+    if os.path.isfile(path):
+        return _read_mvt_single(spark, path, layer=layer)
     with open(os.path.join(path, "metadata.json")) as fh:
         meta = json.load(fh)
     j = json.loads(meta["json"])

@@ -42,10 +42,26 @@ _VECTOR_EXT = {
     ".parquet": "Parquet",
     ".mvt": "MVT",
     ".mbtiles": "MBTiles",
-    ".pbf": "OSM",
-    ".osm.pbf": "OSM",
+    # NOTE: ".pbf" is deliberately absent — it is ambiguous between
+    # OSM PBF and a single Mapbox vector tile, so it is identified
+    # by CONTENT (first BlobHeader type == "OSMHeader"), mirroring
+    # the reference's OGROSMDriverIdentify (ogr/ogrsf_frmts/osm).
     ".osm": "OSM",
 }
+
+
+def _sniff_pbf(head: bytes) -> str:
+    """Disambiguate *.pbf by content: an OSM PBF starts with a
+    4-byte big-endian BlobHeader length followed by a BlobHeader
+    protobuf whose type field (tag 1, string) is "OSMHeader"
+    (reference: ogrosmdriver.cpp OGROSMDriverIdentify reads the
+    first blob header).  Anything else is treated as a single
+    Mapbox vector tile (raw or gzipped Tile message)."""
+    if len(head) >= 4:
+        hlen = int.from_bytes(head[:4], "big")
+        if 0 < hlen <= 64 * 1024 and b"OSMHeader" in head[4:4 + hlen]:
+            return "OSM"
+    return "MVT"
 
 _MAGIC = [
     (b"fgb\x03fgb\x00", "FlatGeobuf"),
@@ -72,6 +88,9 @@ def sniff_vector_driver(path: str) -> str:
             return "Parquet"
         raise ValueError(f"{path}: no recognizable part files")
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".pbf":
+        with open(path, "rb") as fh:
+            return _sniff_pbf(fh.read(64 * 1024 + 4))
     if ext in _VECTOR_EXT:
         return _VECTOR_EXT[ext]
     with open(path, "rb") as fh:

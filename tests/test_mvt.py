@@ -287,3 +287,50 @@ def test_bad_property_type_raises(spark, tmp_path):
     df = spark.createDataFrame(pdf)
     with pytest.raises(ValueError, match="properties"):
         write_mvt(df, str(tmp_path / "bad.mvt"))
+
+
+def test_single_tile_pbf_sniff_and_open(spark, tmp_path):
+    """A standalone tile named *.pbf must be identified by CONTENT
+    (no OSMHeader blob -> MVT, the reference's OGROSMDriverIdentify
+    vs standalone-MVT-tile open path) and decode with z/x/y guessed
+    from the trailing path components (ogrmvtdataset.cpp)."""
+    import shutil
+
+    from gdal_spark.sources.registry import (
+        open_vector, sniff_vector_driver, write_vector,
+    )
+
+    df, _ = _pts_df(spark, n=15)
+    out = str(tmp_path / "std.mvt")
+    write_vector(df, out, minzoom=2, maxzoom=2, buffer=0)
+    # lift one z/x/y.pbf file out of the directory dataset, keeping
+    # the z/x/y path shape a tile server would expose
+    src = None
+    for root, _dirs, files in os.walk(os.path.join(out, "2")):
+        for f in files:
+            if f.endswith(".pbf"):
+                src = os.path.join(root, f)
+                break
+        if src:
+            break
+    rel = os.path.relpath(src, out)
+    single = tmp_path / "tiles" / rel
+    single.parent.mkdir(parents=True)
+    shutil.copy(src, single)
+
+    assert sniff_vector_driver(str(single)) == "MVT"
+    back = open_vector(spark, str(single))
+    assert back.count() >= 1
+    row = back.toPandas().iloc[0]
+    assert int(row["zoom"]) == 2
+    # geometry decodes to a real lon/lat point
+    g = W.parse_wkb(bytes(row["geometry"]))
+    x, y = g.parts[0][0]
+    assert -180 <= x <= 180 and -90 <= y <= 90
+
+
+def test_osm_pbf_still_sniffs_as_osm():
+    from gdal_spark.sources.registry import sniff_vector_driver
+
+    assert sniff_vector_driver(
+        "/root/reference/autotest/ogr/data/osm/test.pbf") == "OSM"
