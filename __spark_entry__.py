@@ -5252,16 +5252,24 @@ def _polygon_join_oracle() -> str:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Dict ORDER is the driver's correctness window: it hashes the
+    # FIRST 50 entries.  Round-6 rotation (VERDICT r5 "Next round"
+    # #1): eight round-5 operators (drivers, OSM, polygonize CCL,
+    # translate kernels, passage removal, streaming pyramid) moved
+    # INTO the window, displacing eight frozen relational queries
+    # (q03-q08, q10, q31 — unchanged since round 1, still covered by
+    # pytest + tools/check_oracles.py) to the tail.  The mapping is
+    # declared in COVERAGE.md.
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_join": q02_revenue_join,
-    "q03_distinct_mode": q03_distinct_mode,
-    "q04_summary_mode": q04_summary_mode,
-    "q05_like_filter": q05_like_filter,
-    "q06_union_all": q06_union_all,
-    "q07_orderby_limit_offset": q07_orderby_limit_offset,
-    "q08_window_latest_event": q08_window_latest_event,
+    "q58_shapefile_roundtrip": q58_shapefile_roundtrip,
+    "q62_gpkg_roundtrip": q62_gpkg_roundtrip,
+    "q69_mvt_roundtrip": q69_mvt_roundtrip,
+    "q85_osm_pbf": q85_osm_pbf,
+    "q93_polygonize_ccl": q93_polygonize_ccl,
+    "q97_translate_resample_kernels": q97_translate_resample_kernels,
     "q09_theta_join": q09_theta_join,
-    "q10_event_sessions": q10_event_sessions,
+    "q87_passage_removal": q87_passage_removal,
     "q11_tile_assign": q11_tile_assign,
     "q12_cell_count": q12_cell_count,
     "q13_pip_rect": q13_pip_rect,
@@ -5282,7 +5290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_pipeline": q28_pipeline,
     "q29_dem_hillshade": q29_dem_hillshade,
     "q30_sessionize": q30_sessionize,
-    "q31_json_props": q31_json_props,
+    "q89_stream_density_pyramid": q89_stream_density_pyramid,
     "q32_bigjoin_rect": q32_bigjoin_rect,
     "q33_proximity": q33_proximity,
     "q34_contour": q34_contour,
@@ -5309,18 +5317,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_ngram_jaccard": q55_ngram_jaccard,
     "q56_lang_id": q56_lang_id,
     "q57_gtiff_pyramid": q57_gtiff_pyramid,
-    "q58_shapefile_roundtrip": q58_shapefile_roundtrip,
     "q59_geojson_roundtrip": q59_geojson_roundtrip,
     "q60_csv_roundtrip": q60_csv_roundtrip,
     "q61_flatgeobuf_roundtrip": q61_flatgeobuf_roundtrip,
-    "q62_gpkg_roundtrip": q62_gpkg_roundtrip,
     "q63_gpkg_tile_pyramid": q63_gpkg_tile_pyramid,
     "q64_st_functions": q64_st_functions,
     "q65_gpx_roundtrip": q65_gpx_roundtrip,
     "q66_kml_roundtrip": q66_kml_roundtrip,
     "q67_vrt_mosaic": q67_vrt_mosaic,
     "q68_ogrinfo": q68_ogrinfo,
-    "q69_mvt_roundtrip": q69_mvt_roundtrip,
     "q70_mbtiles_pyramid": q70_mbtiles_pyramid,
     "q71_mbtiles_vector": q71_mbtiles_vector,
     "q72_gml_roundtrip": q72_gml_roundtrip,
@@ -5336,20 +5341,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_duplicate_passages": q82_duplicate_passages,
     "q83_gopher_quality": q83_gopher_quality,
     "q84_c4_line_filter": q84_c4_line_filter,
-    "q85_osm_pbf": q85_osm_pbf,
     "q86_kmeans_clusters": q86_kmeans_clusters,
-    "q87_passage_removal": q87_passage_removal,
     "q88_stream_near_dedup": q88_stream_near_dedup,
-    "q89_stream_density_pyramid": q89_stream_density_pyramid,
     "q90_stream_sessionize": q90_stream_sessionize,
     "q91_hillshade_multidirectional": q91_hillshade_multidirectional,
     "q92_neighbors_order_stats": q92_neighbors_order_stats,
-    "q93_polygonize_ccl": q93_polygonize_ccl,
     "q94_proximity_live": q94_proximity_live,
     "q95_checksum_live": q95_checksum_live,
     "q96_contour_census": q96_contour_census,
-    "q97_translate_resample_kernels": q97_translate_resample_kernels,
     "q98_zonal_majority": q98_zonal_majority,
+    # --- displaced by the round-6 window rotation (frozen since
+    # round 1; still oracle-paired and run by the local gate) ---
+    "q03_distinct_mode": q03_distinct_mode,
+    "q04_summary_mode": q04_summary_mode,
+    "q05_like_filter": q05_like_filter,
+    "q06_union_all": q06_union_all,
+    "q07_orderby_limit_offset": q07_orderby_limit_offset,
+    "q08_window_latest_event": q08_window_latest_event,
+    "q10_event_sessions": q10_event_sessions,
+    "q31_json_props": q31_json_props,
 }
 
 
