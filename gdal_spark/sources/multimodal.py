@@ -54,11 +54,40 @@ def encode_fakeimg(arr: np.ndarray) -> bytes:
 
 
 def decode_any(payload: bytes) -> np.ndarray:
-    """Decode one image payload -> (h, w, c) uint8 array."""
+    """Decode one image payload -> (h, w, c) uint8 array.
+
+    Magic-byte dispatch to the IN-REPO spec codecs first — PNG
+    (operators/png.py), baseline JPEG (operators/jpeg.py), GeoTIFF
+    (operators/gtiff.py) — the same way the reference decodes its
+    rasters with its own in-tree drivers (frmts/).  Pillow is only
+    an import-gated fallback for formats the repo doesn't implement
+    (webp, gif, ...); FAKEIMG remains the deterministic stand-in."""
     if payload[:7] == _MAGIC:
         w, h, c = struct.unpack("<HHH", payload[7:13])
         return np.frombuffer(payload[13:13 + w * h * c],
                              dtype=np.uint8).reshape(h, w, c)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from gdal_spark.operators.png import decode_png
+
+        a = decode_png(bytes(payload))
+        return a[:, :, None] if a.ndim == 2 else a
+    if payload[:3] == b"\xff\xd8\xff":
+        from gdal_spark.operators.jpeg import decode_jpeg
+
+        a = decode_jpeg(bytes(payload))
+        return a[:, :, None] if a.ndim == 2 else a
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from gdal_spark.operators.gtiff import decode_gtiff
+
+        a, _meta = decode_gtiff(bytes(payload))
+        if a.ndim == 2:
+            a = a[:, :, None]
+        # features/resize operate on uint8 display values (the
+        # translate -ot Byte convention used by the tile sinks)
+        if a.dtype != np.uint8:
+            a = np.clip(np.round(a.astype(np.float64)), 0,
+                        255).astype(np.uint8)
+        return a
     try:
         import io
 
@@ -71,7 +100,8 @@ def decode_any(payload: bytes) -> np.ndarray:
         return a
     except ImportError as exc:
         raise NotImplementedError(
-            "real image codecs unavailable in this container; "
+            "no in-repo codec for this payload (png/jpeg/tiff are "
+            "in-repo; others need Pillow) and Pillow is unavailable; "
             "use the FAKEIMG stand-in or install Pillow"
         ) from exc
 

@@ -89,3 +89,49 @@ def test_erase_rect(spark):
     out2 = erase_rect(spark, spark.createDataFrame(inputs),
                       (50.0, 50.0, 60.0, 60.0)).toPandas()
     np.testing.assert_allclose(out2.iloc[0]["area"], 100.0)
+
+
+def test_real_codec_payloads_without_pillow(spark):
+    """Real PNG/JPEG/TIFF bytes decode through the multimodal column
+    via the IN-REPO codecs (magic-byte dispatch; Pillow is NOT
+    installed in this container, which this test asserts), the way
+    the reference decodes rasters with its own frmts/ drivers."""
+    import pytest
+
+    with pytest.raises(ImportError):
+        import PIL  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.gtiff import encode_gtiff
+    from gdal_spark.operators.jpeg import encode_jpeg
+    from gdal_spark.operators.png import encode_png
+    from gdal_spark.sources.multimodal import MEDIA_SCHEMA
+
+    rng = np.random.default_rng(7)
+    imgs = {mid: rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+            for mid in range(3)}
+    payloads = {0: encode_png(imgs[0]),
+                1: encode_jpeg(imgs[1], quality=95),
+                2: encode_gtiff(imgs[2])}
+    pdf = pd.DataFrame([
+        {"media_id": mid, "kind": "image",
+         "payload": bytearray(payloads[mid]),
+         "width": 32, "height": 24, "channels": 3, "n_frames": 1}
+        for mid in range(3)])
+    media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    feats = (extract_features(media).orderBy("media_id")
+             .toPandas().set_index("media_id"))
+    assert feats.loc[0, "width"] == 32 and feats.loc[0, "height"] == 24
+    for mid in range(3):
+        m = imgs[mid].reshape(-1, 3).mean(axis=0)
+        # PNG/TIFF are lossless (int-truncated mean must match
+        # exactly); JPEG is lossy -> small tolerance
+        tol = 3 if mid == 1 else 0
+        assert abs(int(feats.loc[mid, "mean_r"]) - int(m[0])) <= tol
+        assert abs(int(feats.loc[mid, "mean_g"]) - int(m[1])) <= tol
+        assert abs(int(feats.loc[mid, "mean_b"]) - int(m[2])) <= tol
+    # resize consumes the real-codec payloads too
+    resized = resize_images(media, 8, 8).toPandas()
+    for _, r in resized.iterrows():
+        assert decode_any(bytes(r["payload"])).shape == (8, 8, 3)
