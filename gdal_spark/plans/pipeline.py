@@ -32,6 +32,23 @@ apps/gdalalg_vector_*.cpp — per-feature WKB transforms, map-only):
   explode                       — multi-part -> one row per part
   make-point <xcol> <ycol>      — columns -> POINT geometry
 
+Schema/metadata verbs (each a one-expression Spark mapping):
+  set-field-type <field> <type> — cast one field to an OGR type
+  set-field-type type:<src> <t> — cast ALL fields of OGR type <src>
+                                  (apps/gdalalg_vector_set_field_type.cpp)
+  rename-layer <name>           — output layer name (alias + the
+                                  write step's layer= option;
+                                  apps/gdalalg_vector_rename_layer.cpp)
+  edit crs=EPSG:n | metadata K=V [...]
+                                — override CRS / metadata WITHOUT
+                                  reprojection, stored as Spark
+                                  column metadata on the geometry
+                                  column (apps/gdalalg_vector_edit.cpp)
+  export-schema                 — terminal step: one row per field
+                                  (name, type, nullable), the
+                                  "gdal vector export-schema" JSON
+                                  (apps/gdalalg_vector_export_schema.cpp)
+
 Each step is a DataFrame transformation; Catalyst fuses the chain
 exactly as the reference streams features through decorated layers.
 """
@@ -60,6 +77,7 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
 
     df: DataFrame | None = None
     partition_col: str | None = None
+    layer_name: str | None = None
     for step in steps:
         argv = shlex.split(step)
         verb, args = argv[0], argv[1:]
@@ -167,6 +185,39 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
                                    args[1] == "preserve-boundary"))
         elif verb == "check-geometry":
             df = _check_geometry(df)
+        elif verb == "set-field-type":
+            # apps/gdalalg_vector_set_field_type.cpp: by field name
+            # or by source type ("type:Integer Real" casts every
+            # Integer field).  A pure Catalyst cast — the Spark
+            # analog of OGRFieldDefn::SetType on the decorated layer.
+            target, new_t = args[0], _ogr_field_type(args[1])
+            if target.startswith("type:"):
+                src_spark = _ogr_field_type(target[5:])
+                for f in df.schema.fields:
+                    if f.dataType.simpleString() == src_spark:
+                        df = df.withColumn(
+                            f.name, F.col(f.name).cast(new_t))
+            else:
+                if target not in df.columns:
+                    raise ValueError(
+                        f"set-field-type: no field {target!r}")
+                df = df.withColumn(target, F.col(target).cast(new_t))
+        elif verb == "rename-layer":
+            # apps/gdalalg_vector_rename_layer.cpp: the layer keeps
+            # its data; only the name changes.  Alias the plan and
+            # carry the name to layer-aware writers (GPKG/GPX/...).
+            layer_name = args[0]
+            df = df.alias(layer_name)
+        elif verb == "edit":
+            # apps/gdalalg_vector_edit.cpp: override CRS (WITHOUT
+            # reprojection) / add metadata.  Spark mapping: column
+            # metadata on the geometry column — it survives
+            # projections and lands in parquet field metadata.
+            df = _edit_metadata(df, args)
+        elif verb == "export-schema":
+            # apps/gdalalg_vector_export_schema.cpp: terminal step —
+            # one row per field, the ogrinfo -schema JSON shape.
+            return export_schema_df(spark, df)
         elif verb == "make-point":
             from gdal_spark.geometry.wkb import point_wkb as _pw  # noqa
 
@@ -205,9 +256,10 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
                         "parquet sink")
                 from gdal_spark.sources.registry import write_vector
 
+                wopts = {"layer": layer_name} if layer_name else {}
                 write_vector(df, dst,
                              driver=args[1] if len(args) > 1
-                             else None)
+                             else None, **wopts)
                 return None
             writer = df.write.mode("overwrite")
             if partition_col:
@@ -217,6 +269,71 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
         else:
             raise ValueError(f"unknown pipeline step {verb}")
     return df
+
+
+# OGR field type -> Spark cast target (ogr_core.h OGRFieldType +
+# the Boolean subtype; the reference's set-field-type accepts both)
+_OGR_FIELD_TYPES = {
+    "integer": "int",
+    "integer64": "bigint",
+    "real": "double",
+    "string": "string",
+    "date": "date",
+    "datetime": "timestamp",
+    "boolean": "boolean",      # OFSTBoolean subtype
+    "float32": "float",        # OFSTFloat32 subtype
+    "int16": "smallint",       # OFSTInt16 subtype
+}
+
+
+def _ogr_field_type(name: str) -> str:
+    t = _OGR_FIELD_TYPES.get(name.lower())
+    if t is None:
+        raise ValueError(
+            f"unknown OGR field type {name!r} "
+            f"(one of {sorted(_OGR_FIELD_TYPES)})")
+    return t
+
+
+def _edit_metadata(df: DataFrame, args: list[str],
+                   anchor_col: str = "geometry") -> DataFrame:
+    """``edit crs=EPSG:n metadata K=V unset-metadata K`` — stored as
+    Spark column metadata on ``anchor_col`` (falls back to the first
+    column), the engine's dataset-metadata surface: it survives
+    projections and persists into parquet field metadata."""
+    if anchor_col not in df.columns:
+        anchor_col = df.columns[0]
+    meta = dict(df.schema[anchor_col].metadata or {})
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a.startswith("crs="):
+            meta["crs"] = a[4:]
+        elif a == "metadata":
+            i += 1
+            k, _, v = args[i].partition("=")
+            meta[k] = v
+        elif "=" in a:
+            k, _, v = a.partition("=")
+            meta[k] = v
+        elif a == "unset-metadata":
+            i += 1
+            meta.pop(args[i], None)
+        else:
+            raise ValueError(f"edit: unknown argument {a!r}")
+        i += 1
+    return df.withMetadata(anchor_col, meta)
+
+
+def export_schema_df(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """One row per field: (name, type, nullable) — the
+    "gdal vector export-schema" JSON re-expressed as a frame
+    (apps/gdalalg_vector_export_schema.cpp emits the same triple
+    per field via ogrinfo -schema)."""
+    rows = [(f.name, f.dataType.simpleString(), bool(f.nullable))
+            for f in df.schema.fields]
+    return spark.createDataFrame(rows, "name string, type string, "
+                                       "nullable boolean")
 
 
 def _ogr_expr(expr: str):

@@ -15,6 +15,13 @@ Steps (each cites its standalone algorithm):
                                    (apps/gdalalg_raster_calc.cpp)
   scale <mul> <add>              — linear rescale
                                    (apps/gdalalg_raster_scale.cpp)
+  unscale [scale] [offset]       — apply the band's stored
+                                   scale/offset (or explicit args)
+                                   and clear them
+                                   (apps/gdalalg_raster_unscale.cpp)
+  edit crs=.. nodata=.. scale=.. metadata K=V
+                                 — metadata-only override, no pixel
+                                   rewrite (apps/gdalalg_raster_edit.cpp)
   reclassify lo:hi:out[,...] [default]
                                  — range LUT
                                    (apps/gdalalg_raster_reclassify.cpp)
@@ -122,6 +129,34 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
             mul, add = float(args[0]), float(args[1])
             df = raster_calc({"A": df},
                              lambda A, m=mul, a=add: A * m + a)
+        elif verb == "unscale":
+            # gdal raster unscale (apps/gdalalg_raster_unscale.cpp):
+            # value = raw * scale + offset using the band's STORED
+            # scale/offset (set here via "edit scale=.. offset=..",
+            # Spark column metadata on the data column — the band
+            # metadata analog), or explicit "unscale <scale> <off>".
+            # The stored scale/offset are cleared afterwards, like
+            # the reference unsetting band scale on the output.
+            meta = dict(df.schema["data"].metadata or {})
+            if args:
+                mul, add = float(args[0]), \
+                    float(args[1]) if len(args) > 1 else 0.0
+            else:
+                mul = float(meta.get("scale", 1.0))
+                add = float(meta.get("offset", 0.0))
+            df = raster_calc({"A": df},
+                             lambda A, m=mul, a=add: A * m + a)
+            meta.pop("scale", None)
+            meta.pop("offset", None)
+            df = df.withMetadata("data", meta)
+        elif verb == "edit":
+            # gdal raster edit (apps/gdalalg_raster_edit.cpp):
+            # in-place metadata override, NO pixel rewrite — crs=,
+            # nodata=, scale=, offset=, metadata K=V — stored as
+            # Spark column metadata on the data column (the band
+            # metadata analog; persists into parquet field metadata).
+            from gdal_spark.plans.pipeline import _edit_metadata
+            df = _edit_metadata(df, args, anchor_col="data")
         elif verb == "select":
             # gdal raster select: "select <b1,b2,...>"
             from gdal_spark.operators.bandops import select_bands

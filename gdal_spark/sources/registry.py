@@ -206,6 +206,8 @@ def write_vector(df, path: str, driver: str | None = None,
         return write_flatgeobuf(df, path, **opts)
     if drv == "GPKG":
         from gdal_spark.sources.geopackage import write_gpkg
+        if "layer" in opts:  # uniform layer= -> gpkg table name
+            opts["table"] = opts.pop("layer")
         return write_gpkg(df, path, **opts)
     if drv == "GPX":
         from gdal_spark.sources.xmlgeo import write_gpx
