@@ -5251,6 +5251,155 @@ def _polygon_join_oracle() -> str:
     """
 
 
+def _viewshed_dem_pdf():
+    """64x64 DEM as 2x2 tiles of 32: pixel law
+    v(px, py) = (px*7 + py*13) % 23  +  40 if (px*31+py*17)%101 < 2
+    — small exact integers, recomputable bit-for-bit in SQL."""
+    ts = 32
+    py_g, px_g = np.mgrid[0:64, 0:64]
+    v = ((px_g * 7 + py_g * 13) % 23
+         + np.where((px_g * 31 + py_g * 17) % 101 < 2, 40, 0)
+         ).astype(np.float64)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            blk = v[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({
+                "zoom": 0, "tile_x": tx, "tile_y": ty, "band": 1,
+                "data": np.ascontiguousarray(blk).tobytes(),
+                "dtype": "float64", "tile_size": ts,
+            })
+    return pd.DataFrame(rows)
+
+
+def q99_viewshed(spark, sf_dir):
+    """gdal raster viewshed (alg/viewshed/viewshed_executor.cpp; the
+    engine computes EXACT line-of-sight instead of Wang's ring
+    propagation — operators/viewshed.py).  The deterministic DEM's
+    visibility raster must equal a FULL SQL replay of the sampling
+    law: per pixel, unit-spaced ray samples, bilinear terrain
+    interpolation, max slope vs target slope — every float op
+    written in the same order, so the match is bit-exact."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.operators.rasterize import GridSpec
+    from gdal_spark.operators.tiling import TILE_SCHEMA, decode_tile
+    from gdal_spark.operators.viewshed import viewshed_tiles
+
+    tiles = spark.createDataFrame(_viewshed_dem_pdf(), TILE_SCHEMA)
+    grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+    # world == pixel coords: observer pixel (31.5, 31.5)
+    out = viewshed_tiles(tiles, grid, 31.5, 32.5,
+                         observer_height=2.0, radius=100.0,
+                         tile_size=32)
+
+    px_schema = StructType([
+        StructField("px", LongType()),
+        StructField("py", LongType()),
+        StructField("vis", IntegerType()),
+    ])
+
+    def px_rows(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pxs, pys, vs = [], [], []
+            for _, r in b.iterrows():
+                ts = int(r["tile_size"])
+                a = decode_tile(r["data"], r["dtype"], ts)
+                x0 = int(r["tile_x"]) * ts
+                y0 = int(r["tile_y"]) * ts
+                yy, xx = np.mgrid[0:ts, 0:ts]
+                pxs.extend((xx + x0).ravel().tolist())
+                pys.extend((yy + y0).ravel().tolist())
+                vs.extend(a.astype(np.int32).ravel().tolist())
+            yield pd.DataFrame({"px": pxs, "py": pys, "vis": vs})
+
+    return out.mapInPandas(px_rows, px_schema)
+
+
+def _viewshed_oracle() -> str:
+    """SQL replay of viewshed_array's exact-LOS law on the q99 DEM,
+    float-op-for-float-op: sx/sy in the kernel's evaluation order,
+    clipped floor corners, left-associated bilinear sum, slope
+    division by the integer step — all ops IEEE-identical between
+    numpy and DuckDB, so no tolerance is needed."""
+    def dem(x: str, y: str) -> str:
+        return (f"CAST((({x}) * 7 + ({y}) * 13) % 23 "
+                f"+ CASE WHEN (({x}) * 31 + ({y}) * 17) % 101 < 2 "
+                f"THEN 40 ELSE 0 END AS DOUBLE)")
+
+    # z_obs = dem(31,31) + 2.0 = 22 + 2
+    z_obs = "24e0"
+    return f"""
+        WITH p AS (
+            SELECT CAST(i % 64 AS BIGINT) AS x,
+                   CAST(i // 64 AS BIGINT) AS y,
+                   (CAST(i % 64 AS DOUBLE) + 0.5e0) - 31.5e0 AS dx,
+                   (CAST(i // 64 AS DOUBLE) + 0.5e0) - 31.5e0 AS dy
+            FROM range(0, 4096) t(i)
+        ),
+        pd AS (
+            SELECT x, y, dx, dy, SQRT(dx*dx + dy*dy) AS dist FROM p
+        ),
+        samp AS (
+            SELECT x, y, dx, dy, dist,
+                   unnest(range(1, 47)) AS s
+            FROM pd
+        ),
+        geom AS (
+            SELECT x, y, s, dist,
+                   (31.5e0 + dx * (CAST(s AS DOUBLE) / dist))
+                       - 0.5e0 AS sx,
+                   (31.5e0 + dy * (CAST(s AS DOUBLE) / dist))
+                       - 0.5e0 AS sy
+            FROM samp WHERE CAST(s AS DOUBLE) < dist
+        ),
+        corners AS (
+            SELECT x, y, s, sx, sy,
+                   CAST(LEAST(GREATEST(FLOOR(sx), 0e0), 62e0)
+                        AS BIGINT) AS cx,
+                   CAST(LEAST(GREATEST(FLOOR(sy), 0e0), 62e0)
+                        AS BIGINT) AS cy
+            FROM geom
+        ),
+        frac AS (
+            SELECT x, y, s, cx, cy,
+                   LEAST(GREATEST(sx - CAST(cx AS DOUBLE), 0e0),
+                         1e0) AS fx,
+                   LEAST(GREATEST(sy - CAST(cy AS DOUBLE), 0e0),
+                         1e0) AS fy
+            FROM corners
+        ),
+        slopes AS (
+            SELECT x, y,
+                   (({dem('cx', 'cy')} * (1e0 - fx) * (1e0 - fy)
+                     + {dem('cx + 1', 'cy')} * fx * (1e0 - fy)
+                     + {dem('cx', 'cy + 1')} * (1e0 - fx) * fy
+                     + {dem('cx + 1', 'cy + 1')} * fx * fy)
+                    - {z_obs}) / CAST(s AS DOUBLE) AS slope
+            FROM frac
+        ),
+        mx AS (
+            SELECT x, y, MAX(slope) AS max_slope
+            FROM slopes GROUP BY x, y
+        )
+        SELECT pd.x AS px, pd.y AS py,
+               CAST(CASE
+                 WHEN pd.x = 31 AND pd.y = 31 THEN 255
+                 WHEN m.max_slope IS NULL THEN 255
+                 WHEN (({dem('pd.x', 'pd.y')} - {z_obs})
+                       / (CASE WHEN pd.dist = 0e0 THEN 1e0
+                               ELSE pd.dist END)) >= m.max_slope
+                      THEN 255
+                 ELSE 0 END AS INT) AS vis
+        FROM pd LEFT JOIN mx m ON pd.x = m.x AND pd.y = m.y
+        ORDER BY py, px
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Dict ORDER is the driver's correctness window: it hashes the
     # FIRST 50 entries.  Round-6 rotation (VERDICT r5 "Next round"
@@ -5271,7 +5420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q09_theta_join": q09_theta_join,
     "q87_passage_removal": q87_passage_removal,
     "q11_tile_assign": q11_tile_assign,
-    "q12_cell_count": q12_cell_count,
+    "q99_viewshed": q99_viewshed,
     "q13_pip_rect": q13_pip_rect,
     "q14_pip_triangle": q14_pip_triangle,
     "q15_knn_city": q15_knn_city,
@@ -5359,6 +5508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q07_orderby_limit_offset": q07_orderby_limit_offset,
     "q08_window_latest_event": q08_window_latest_event,
     "q10_event_sessions": q10_event_sessions,
+    "q12_cell_count": q12_cell_count,
     "q31_json_props": q31_json_props,
 }
 
@@ -5774,6 +5924,7 @@ def oracle_sql() -> dict[str, str]:
         "q96_contour_census": _contour_census_oracle(),
         "q97_translate_resample_kernels": _resample_kernels_oracle(),
         "q98_zonal_majority": _zonal_majority_oracle(),
+        "q99_viewshed": _viewshed_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

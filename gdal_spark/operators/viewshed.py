@@ -51,7 +51,11 @@ def viewshed_array(
     cy = jj + 0.5
     dx = cx - ox
     dy = cy - oy
-    dist = np.hypot(dx, dy)
+    # sqrt(dx^2+dy^2), NOT np.hypot: hypot's extra-precision path
+    # differs from the correctly-rounded sqrt by 1 ulp on ~0.4% of
+    # integer offsets, and the q99 SQL oracle replays this law
+    # bit-exactly (pixel offsets are small — no overflow to guard)
+    dist = np.sqrt(dx * dx + dy * dy)
     out = np.full((h, w), invisible_val, dtype=np.float64)
     in_range = np.ones((h, w), dtype=bool)
     if radius is not None:
