@@ -191,3 +191,25 @@ def test_write_tiles_gtiff_native_dtype_and_georef(spark, tmp_path):
         np.testing.assert_array_equal(
             got, arrays[(r["tile_x"], r["tile_y"])])
         assert got.dtype == np.float64
+
+
+def test_multi_ifd_reads_first_ifd_only():
+    """Contract (COVERAGE.md): a multi-IFD TIFF — a COG or any file
+    with overviews — decodes its FIRST IFD (the full-resolution
+    image); later IFDs (overview levels) are ignored, never merged.
+    Fixture: the reference's byte.tif with two overview IFDs
+    (autotest/gcore/data/byte_with_ovr.tif) must decode to the exact
+    same full-res pixels as plain byte.tif."""
+    import numpy as np
+
+    from gdal_spark.operators.gtiff import decode_gtiff
+
+    with open("/root/reference/autotest/gcore/data/byte_with_ovr.tif",
+              "rb") as fh:
+        ovr, meta = decode_gtiff(fh.read())
+    with open("/root/reference/autotest/gcore/data/byte.tif",
+              "rb") as fh:
+        base, _ = decode_gtiff(fh.read())
+    assert ovr.shape == (20, 20)          # full-res, NOT the 10x10
+    assert np.array_equal(ovr, base)      # or 5x5 overview IFDs
+    assert meta["epsg"] == 26711
