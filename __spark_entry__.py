@@ -5400,6 +5400,134 @@ def _viewshed_oracle() -> str:
     """
 
 
+def q100_vector_update(spark, sf_dir):
+    """gdal vector update (apps/gdalalg_vector_update.cpp): keyed
+    upsert — incoming rows replace same-key existing rows, new keys
+    append.  Existing = customer; incoming = every 7th customer with
+    doubled balance plus 50 synthetic new keys.  The upsert is ONE
+    left-anti join + unionByName (one hash shuffle, scale shape);
+    the oracle replays it with NOT IN + UNION ALL."""
+    from gdal_spark.operators.layer_ops import update_layer
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    incoming = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal",
+                    F.round(F.col("c_acctbal") * 2, 2))
+        .unionByName(
+            cust.limit(0).unionByName(
+                spark.range(1, 51)
+                .select(
+                    (F.col("id") + 10_000_000).alias("c_custkey"),
+                    F.concat(F.lit("NewCust#"), F.col("id"))
+                    .alias("c_name"),
+                    F.lit("SYNTH").alias("c_mktsegment"),
+                    F.lit(100.5e0).alias("c_acctbal"),
+                ),
+                allowMissingColumns=True),
+            allowMissingColumns=True))
+    merged = update_layer(cust, incoming, key="c_custkey")
+    return (merged.groupBy("c_mktsegment")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("c_acctbal"), 2).alias("bal"))
+            .orderBy("c_mktsegment"))
+
+
+def _vector_update_oracle() -> str:
+    return """
+        WITH incoming AS (
+            SELECT c_custkey, c_mktsegment,
+                   ROUND(c_acctbal * 2, 2) AS c_acctbal
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT i + 10000000 AS c_custkey,
+                   'SYNTH' AS c_mktsegment,
+                   100.5e0 AS c_acctbal
+            FROM range(1, 51) t(i)
+        ),
+        merged AS (
+            SELECT c_mktsegment, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM incoming)
+            UNION ALL
+            SELECT c_mktsegment, c_acctbal FROM incoming
+        )
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(c_acctbal), 2) AS bal
+        FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+def q101_vector_combine(spark, sf_dir):
+    """gdal vector combine (apps/gdalalg_vector_combine.cpp):
+    features -> MULTI collections by group key.  Points from the
+    closed-form customer-key law combine into one multipoint per
+    group; the output re-parses each multi and reports member count
+    + coordinate sums, which the oracle recomputes in plain SQL —
+    so a dropped/duplicated member or a corrupt multi WKB cannot
+    hide."""
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.geometry.wkb import parse_wkb, point_wkb
+    from gdal_spark.operators.layer_ops import combine_features
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts_src = cust.select(
+        (F.col("c_custkey") % 10).cast("bigint").alias("grp"),
+        (F.col("c_custkey") % 97).cast("double").alias("x"),
+        (F.col("c_custkey") % 89).cast("double").alias("y"))
+
+    def mk(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "grp": b["grp"],
+                "geometry": [point_wkb(float(x), float(y))
+                             for x, y in zip(b["x"], b["y"])],
+            })
+
+    pt_schema = StructType([
+        StructField("grp", LongType()),
+        StructField("geometry", BinaryType()),
+    ])
+    pts = pts_src.mapInPandas(mk, pt_schema)
+    combined = combine_features(pts, "grp")
+
+    out_schema = StructType([
+        StructField("grp", LongType()),
+        StructField("n_members", LongType()),
+        StructField("sum_x", DoubleType()),
+        StructField("sum_y", DoubleType()),
+    ])
+
+    def stats(batches):
+        for b in batches:
+            grps, ns, sxs, sys_ = [], [], [], []
+            for _, r in b.iterrows():
+                g = parse_wkb(bytes(r["geometry"]))
+                allc = np.vstack(g.parts)
+                grps.append(int(r["grp"]))
+                ns.append(len(g.parts))
+                sxs.append(round(float(allc[:, 0].sum()), 6))
+                sys_.append(round(float(allc[:, 1].sum()), 6))
+            yield pd.DataFrame({"grp": grps, "n_members": ns,
+                                "sum_x": sxs, "sum_y": sys_})
+
+    return combined.mapInPandas(stats, out_schema).orderBy("grp")
+
+
+def _vector_combine_oracle() -> str:
+    return """
+        SELECT CAST(c_custkey % 10 AS BIGINT) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(SUM(CAST(c_custkey % 97 AS DOUBLE)), 6)
+                   AS sum_x,
+               ROUND(SUM(CAST(c_custkey % 89 AS DOUBLE)), 6)
+                   AS sum_y
+        FROM customer GROUP BY 1 ORDER BY grp
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Dict ORDER is the driver's correctness window: it hashes the
     # FIRST 50 entries.  Round-6 rotation (VERDICT r5 "Next round"
@@ -5510,6 +5638,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_event_sessions": q10_event_sessions,
     "q12_cell_count": q12_cell_count,
     "q31_json_props": q31_json_props,
+    "q100_vector_update": q100_vector_update,
+    "q101_vector_combine": q101_vector_combine,
 }
 
 
@@ -5925,6 +6055,8 @@ def oracle_sql() -> dict[str, str]:
         "q97_translate_resample_kernels": _resample_kernels_oracle(),
         "q98_zonal_majority": _zonal_majority_oracle(),
         "q99_viewshed": _viewshed_oracle(),
+        "q100_vector_update": _vector_update_oracle(),
+        "q101_vector_combine": _vector_combine_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

@@ -161,6 +161,34 @@ def run_vector_pipeline(spark: SparkSession, pipeline: str,
             # gdalalg_vector_set_geom_type.cpp: promote to multi /
             # demote to single ("set-geom-type multi|single")
             df = _geom_map(df, _mk_set_geom_kind(args[0]))
+        elif verb == "update":
+            # apps/gdalalg_vector_update.cpp: keyed upsert — the
+            # named layer is the EXISTING dataset, the piped frame
+            # the incoming one.  "update <layer> [key[,key...]]"
+            from gdal_spark.operators.layer_ops import update_layer
+
+            df = update_layer(
+                layers[args[0]], df,
+                key=(args[1].split(",") if len(args) > 1 else "fid"))
+        elif verb == "combine":
+            # apps/gdalalg_vector_combine.cpp: features ->
+            # collections.  "combine <col[,col...]>"
+            from gdal_spark.operators.layer_ops import (
+                combine_features,
+            )
+
+            df = combine_features(df, args[0].split(","))
+        elif verb == "tee":
+            # apps/gdalalg_tee.cpp: write the intermediate frame and
+            # keep piping it.  "tee <path.parquet>"
+            df.write.mode("overwrite").parquet(args[0])
+            df = spark.read.parquet(args[0])
+        elif verb == "materialize":
+            # apps/gdalalg_materialize.cpp: cut the plan here so
+            # later steps reuse the computed frame instead of
+            # recomputing the chain (the reference materializes to a
+            # temp dataset; Spark's analog is an eager checkpoint)
+            df = df.localCheckpoint(eager=True)
         elif verb == "dissolve":
             from gdal_spark.operators.layer_algebra import dissolve
 
