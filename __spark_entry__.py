@@ -5528,6 +5528,114 @@ def _vector_combine_oracle() -> str:
     """
 
 
+def q102_stratified_sample(spark, sf_dir):
+    """Deterministic quota sampling (operators/sampling.py): the 20
+    smallest multiplicative-hash keys per (lang, source) stratum —
+    the training-data pipeline's per-bucket draw, reproducible on
+    rerun and replayable in any engine (exact 64-bit integer law,
+    never rand()).  ONE window shuffle.  The oracle re-ranks with
+    the same hash in SQL and must select the IDENTICAL rows."""
+    from gdal_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = stratified_sample(docs, ["lang", "source"], 20,
+                            key_col="doc_id")
+    return (sel.groupBy("lang", "source")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("doc_id").cast("bigint").alias("key_sum"),
+                 F.sum("n_chars").cast("bigint").alias("chars"))
+            .orderBy("lang", "source"))
+
+
+def _stratified_sample_oracle() -> str:
+    return """
+        WITH ranked AS (
+            SELECT lang, source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY (doc_id * 2654435761) % 4294967296,
+                                doc_id) AS rn
+            FROM documents
+        )
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM ranked WHERE rn <= 20
+        GROUP BY lang, source ORDER BY lang, source
+    """
+
+
+def q103_repetition_stats(spark, sf_dir):
+    """Gopher repetition metrics (Rae et al. 2021 table A1 family,
+    functions/text.repetition_stats): per-doc most-frequent word
+    2-gram count + char fractions, aggregated per source bucket.
+    Grams explode map-side, ONE (doc,gram) groupBy + ONE doc window
+    — per-task memory bounded by a doc's distinct grams.  The
+    oracle replays the gramming, the deterministic tie-break and
+    both char fractions in plain SQL."""
+    from gdal_spark.functions.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 2000)
+    rep = repetition_stats(docs, n=2)
+    joined = rep.join(docs.select("doc_id", "source"), "doc_id")
+    return (joined.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("top_count").cast("bigint")
+                 .alias("sum_top_count"),
+                 F.round(F.sum("top_frac"), 4).alias("sum_top_frac"),
+                 F.round(F.sum("dup_frac"), 4).alias("sum_dup_frac"))
+            .orderBy("source"))
+
+
+def _repetition_stats_oracle() -> str:
+    return """
+        WITH docs AS (
+            SELECT doc_id, source,
+                   TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ',
+                                       'g')) AS t
+            FROM documents WHERE doc_id < 2000
+        ),
+        words AS (
+            SELECT doc_id, source,
+                   LENGTH(REPLACE(t, ' ', '')) AS tc,
+                   STRING_SPLIT(t, ' ') AS toks
+            FROM docs
+        ),
+        grams AS (
+            SELECT doc_id, source, tc,
+                   toks[i] || ' ' || toks[i + 1] AS gram
+            FROM words,
+                 UNNEST(RANGE(1, GREATEST(LEN(toks), 1))) AS u(i)
+        ),
+        counts AS (
+            SELECT doc_id, source, tc, gram, COUNT(*) AS cnt,
+                   LENGTH(REPLACE(gram, ' ', '')) AS gchars
+            FROM grams WHERE gram <> ''
+            GROUP BY ALL
+        ),
+        perdoc AS (
+            SELECT doc_id, source, tc, cnt, gchars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram ASC) AS rn,
+                   SUM(CASE WHEN cnt > 1 THEN cnt * gchars
+                            ELSE 0 END) OVER (
+                       PARTITION BY doc_id) AS dupchars
+            FROM counts
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(cnt) AS BIGINT) AS sum_top_count,
+               ROUND(SUM(ROUND(cnt * gchars
+                               / CAST(tc AS DOUBLE), 6)), 4)
+                   AS sum_top_frac,
+               ROUND(SUM(ROUND(dupchars / CAST(tc AS DOUBLE), 6)),
+                     4) AS sum_dup_frac
+        FROM perdoc WHERE rn = 1
+        GROUP BY source ORDER BY source
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Dict ORDER is the driver's correctness window: it hashes the
     # FIRST 50 entries.  Round-6 rotation (VERDICT r5 "Next round"
@@ -5640,6 +5748,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_json_props": q31_json_props,
     "q100_vector_update": q100_vector_update,
     "q101_vector_combine": q101_vector_combine,
+    "q102_stratified_sample": q102_stratified_sample,
+    "q103_repetition_stats": q103_repetition_stats,
 }
 
 
@@ -6057,6 +6167,8 @@ def oracle_sql() -> dict[str, str]:
         "q99_viewshed": _viewshed_oracle(),
         "q100_vector_update": _vector_update_oracle(),
         "q101_vector_combine": _vector_combine_oracle(),
+        "q102_stratified_sample": _stratified_sample_oracle(),
+        "q103_repetition_stats": _repetition_stats_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

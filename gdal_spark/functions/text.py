@@ -316,3 +316,74 @@ def remove_duplicate_passages(df, text_col: str = "text",
             yield out
 
     return staged.mapInPandas(kern, out_schema)
+
+
+def repetition_stats(df, text_col: str = "text",
+                     key_col: str = "doc_id",
+                     n: int = 2) -> "DataFrame":
+    """Gopher repetition rules (Rae et al. 2021 table A1, the
+    "fraction of characters in the most/duplicated n-grams" family)
+    at word-n-gram granularity:
+
+      top_count — occurrences of the most frequent n-gram (ties
+                  broken by lexicographically smallest gram),
+      top_gram  — that n-gram,
+      top_frac  — characters covered by those occurrences
+                  (count * gram chars / total word chars),
+      dup_frac  — characters covered by ALL n-grams occurring more
+                  than once (sum of count * chars; overlaps counted
+                  per occurrence — the declared approximation of the
+                  paper's char-coverage rule).
+
+    Scale shape: grams explode map-side, ONE groupBy shuffle on
+    (doc, gram), then ONE doc-keyed window picks the deterministic
+    top gram and sums duplicate chars — per-task memory bounded by
+    a document's distinct-gram count, never the corpus.
+    Normalization matches gopher_quality_flags (lowercase,
+    whitespace-collapsed)."""
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   r"\s+", " "))
+    toks = F.split(norm, " ")
+    # guard: sequence(1, 0) DESCENDS in Spark, so a doc with fewer
+    # than n words must yield an empty gram array, not slice errors
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    total_chars = F.length(F.regexp_replace(norm, " ", ""))
+    base = (df.select(
+        F.col(key_col),
+        total_chars.alias("__tc"),
+        F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != ""))
+    counts = (base.groupBy(key_col, "__tc", "gram")
+              .agg(F.count("*").alias("cnt"))
+              .withColumn(
+                  "gchars",
+                  F.length(F.regexp_replace(F.col("gram"), " ",
+                                            ""))))
+    w_top = Window.partitionBy(key_col).orderBy(
+        F.desc("cnt"), F.asc("gram"))
+    w_doc = Window.partitionBy(key_col)
+    return (counts
+            .withColumn("__rn", F.row_number().over(w_top))
+            .withColumn(
+                "__dupchars",
+                F.sum(F.when(F.col("cnt") > 1,
+                             F.col("cnt") * F.col("gchars"))
+                      .otherwise(F.lit(0))).over(w_doc))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col(key_col),
+                F.col("cnt").cast("long").alias("top_count"),
+                F.col("gram").alias("top_gram"),
+                F.round(F.col("cnt") * F.col("gchars")
+                        / F.col("__tc").cast("double"), 6)
+                .alias("top_frac"),
+                F.round(F.col("__dupchars")
+                        / F.col("__tc").cast("double"), 6)
+                .alias("dup_frac")))

@@ -550,6 +550,37 @@ def main() -> None:
         and "CartesianProduct" not in osm_plan
         and "Join" in osm_plan))
 
+    # ---- vector update: one anti-join shuffle, no cartesian ------
+    from gdal_spark.operators.layer_ops import update_layer
+
+    upd_a = spark.range(0, 1000).withColumnRenamed("id", "fid") \
+        .withColumn("v", F.col("fid") * 2)
+    upd_b = spark.range(0, 100).withColumnRenamed("id", "fid") \
+        .withColumn("v", F.col("fid") * 3)
+    upd_plan = simple_plan(update_layer(upd_a, upd_b))
+    checks.append((
+        "vector update is a keyed anti-join + union (no cartesian, "
+        "no driver collect in the plan)",
+        "Join LeftAnti" in upd_plan.replace("JOIN LeftAnti",
+                                            "Join LeftAnti")
+        or ("LeftAnti" in upd_plan
+            and "CartesianProduct" not in upd_plan)))
+
+    # ---- vector combine: ONE groupBy shuffle ----------------------
+    from gdal_spark.operators.layer_ops import combine_features
+    from gdal_spark.geometry.wkb import point_wkb as _cpw
+
+    comb_rows = pd.DataFrame({
+        "grp": [i % 5 for i in range(50)],
+        "geometry": [_cpw(float(i), 0.0) for i in range(50)]})
+    comb_plan = simple_plan(
+        combine_features(spark.createDataFrame(comb_rows), "grp"))
+    n_ex_comb = comb_plan.count("Exchange")
+    checks.append((
+        "vector combine is ONE groupBy shuffle + Arrow assembly "
+        f"(found {n_ex_comb} Exchange)",
+        n_ex_comb == 1))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
