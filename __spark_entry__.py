@@ -5636,6 +5636,88 @@ def _repetition_stats_oracle() -> str:
     """
 
 
+def q104_zarr_roundtrip(spark, sf_dir):
+    """Zarr v2 driver (sources/zarr.py; reference frmts/zarr +
+    autotest fixture anchors): a law-generated 256x384 int32 array
+    writes as a zlib-chunked Zarr store DISTRIBUTED (one chunk file
+    per task — the store layout is file-per-chunk) and reads back as
+    one task per chunk; per-chunk-row aggregates must equal the
+    closed-form law in SQL.  Pixel law v(y,x) = (x*31 + y*17) % 101
+    + 1000*((x//64) + (y//64)) — chunk-identifying so a swapped or
+    dropped chunk cannot cancel out."""
+    import tempfile
+
+    from gdal_spark.sources.zarr import (
+        BLOCK_SCHEMA, read_zarr, write_zarr,
+    )
+
+    h, w, ch, cw = 256, 384, 64, 64
+    rows = []
+    for cy in range(h // ch):
+        for cx in range(w // cw):
+            yy, xx = np.mgrid[cy * ch:(cy + 1) * ch,
+                              cx * cw:(cx + 1) * cw]
+            v = ((xx * 31 + yy * 17) % 101
+                 + 1000 * ((xx // 64) + (yy // 64))).astype("<i4")
+            rows.append({"chunk_y": cy, "chunk_x": cx,
+                         "y0": cy * ch, "x0": cx * cw,
+                         "height": ch, "width": cw,
+                         "data": np.ascontiguousarray(v).tobytes(),
+                         "dtype": "<i4"})
+    blocks = spark.createDataFrame(pd.DataFrame(rows), BLOCK_SCHEMA)
+    out = os.path.join(tempfile.mkdtemp(prefix="q104_zarr_"),
+                       "law.zarr")
+    write_zarr(blocks, out, shape=(h, w), chunks=(ch, cw),
+               dtype="<i4", compressor="zlib")
+
+    back = read_zarr(spark, out)
+    from pyspark.sql.types import LongType, StructField, StructType
+    row_schema = StructType([
+        StructField("chunk_y", LongType()),
+        StructField("chunk_x", LongType()),
+        StructField("vsum", LongType()),
+        StructField("vmax", LongType()),
+    ])
+
+    def stats(batches):
+        for b in batches:
+            cys, cxs, sums, maxs = [], [], [], []
+            for _, r in b.iterrows():
+                a = np.frombuffer(bytes(r["data"]),
+                                  dtype=np.dtype(r["dtype"])) \
+                    .reshape(int(r["height"]), int(r["width"]))
+                cys.append(int(r["chunk_y"]))
+                cxs.append(int(r["chunk_x"]))
+                sums.append(int(a.sum()))
+                maxs.append(int(a.max()))
+            yield pd.DataFrame({"chunk_y": cys, "chunk_x": cxs,
+                                "vsum": sums, "vmax": maxs})
+
+    return (back.mapInPandas(stats, row_schema)
+            .orderBy("chunk_y", "chunk_x"))
+
+
+def _zarr_roundtrip_oracle() -> str:
+    return """
+        WITH px AS (
+            SELECT i % 384 AS x, i // 384 AS y,
+                   (i % 384) * 31 + (i // 384) * 17 AS base
+            FROM range(0, 98304) t(i)
+        ),
+        v AS (
+            SELECT x // 64 AS chunk_x, y // 64 AS chunk_y,
+                   base % 101 + 1000 * ((x // 64) + (y // 64)) AS val
+            FROM px
+        )
+        SELECT CAST(chunk_y AS BIGINT) AS chunk_y,
+               CAST(chunk_x AS BIGINT) AS chunk_x,
+               CAST(SUM(val) AS BIGINT) AS vsum,
+               CAST(MAX(val) AS BIGINT) AS vmax
+        FROM v GROUP BY chunk_y, chunk_x
+        ORDER BY chunk_y, chunk_x
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Dict ORDER is the driver's correctness window: it hashes the
     # FIRST 50 entries.  Round-6 rotation (VERDICT r5 "Next round"
@@ -5750,6 +5832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_vector_combine": q101_vector_combine,
     "q102_stratified_sample": q102_stratified_sample,
     "q103_repetition_stats": q103_repetition_stats,
+    "q104_zarr_roundtrip": q104_zarr_roundtrip,
 }
 
 
@@ -6169,6 +6252,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_vector_combine": _vector_combine_oracle(),
         "q102_stratified_sample": _stratified_sample_oracle(),
         "q103_repetition_stats": _repetition_stats_oracle(),
+        "q104_zarr_roundtrip": _zarr_roundtrip_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

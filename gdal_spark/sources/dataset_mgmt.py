@@ -113,6 +113,10 @@ def dataset_identify(path: str, recursive: bool = False
     from gdal_spark.sources.registry import sniff_vector_driver
 
     def probe(p: str) -> str | None:
+        if os.path.isdir(p) and (
+                os.path.exists(os.path.join(p, ".zarray"))
+                or os.path.exists(os.path.join(p, ".zgroup"))):
+            return "Zarr"
         if os.path.isfile(p):
             with open(p, "rb") as fh:
                 head = fh.read(8)
