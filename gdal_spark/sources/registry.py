@@ -352,7 +352,24 @@ def raster_info(path: str) -> dict:
     EPSG; for pyramids also the zoom levels and tile counts.
     SQLite tile containers (MBTiles, GeoPackage pyramids) report
     driver, format, zoom levels, tile counts and bounds — all from
-    the metadata tables, no blob decode."""
+    the metadata tables, no blob decode.  Zarr v2 stores report
+    per-array shape/chunks/dtype/compressor from the .zarray JSON."""
+    if os.path.isdir(path) and (
+            os.path.exists(os.path.join(path, ".zarray"))
+            or os.path.exists(os.path.join(path, ".zgroup"))):
+        from gdal_spark.sources.zarr import zarr_info
+
+        zi = zarr_info(path)
+        return {"driver": "Zarr", "kind": zi["kind"],
+                "arrays": {
+                    name: {"shape": m["shape"],
+                           "chunks": m["chunks"],
+                           "dtype": m["dtype"],
+                           "compressor": (m.get("compressor") or
+                                          {}).get("id", "raw")
+                           if isinstance(m.get("compressor"), dict)
+                           else "raw"}
+                    for name, m in zi["arrays"].items()}}
     if os.path.isfile(path):
         with open(path, "rb") as fh:
             head = fh.read(72)

@@ -118,3 +118,12 @@ def test_roundtrip_distributed(spark, tmp_path):
         write_zarr(blocks, out2, shape=(50, 70), chunks=(16, 32),
                    dtype="<i4", compressor=comp)
         assert np.array_equal(_arr(spark, out2), full)
+
+
+def test_raster_info_zarr():
+    from gdal_spark.sources.registry import raster_info
+
+    info = raster_info(f"{ZD}/byte_cf1.zarr")
+    assert info["driver"] == "Zarr" and info["kind"] == "group"
+    assert info["arrays"]["Band1"]["shape"] == [20, 20]
+    assert info["arrays"]["Band1"]["dtype"] == "|u1"
