@@ -276,3 +276,39 @@ def write_zarr(blocks: DataFrame, path: str, *,
     ).agg({"n": "sum"}).collect()
     with open(os.path.join(path, ".zarray"), "w") as fh:
         json.dump(meta, fh)
+
+
+def zarr_to_tiles(blocks: DataFrame, *, zoom: int = 0,
+                  band: int = 1) -> DataFrame:
+    """BLOCK_SCHEMA -> TILE_SCHEMA for SQUARE full-size chunks, so a
+    Zarr array feeds the raster operator family directly (hillshade,
+    neighbors, contour, zonal, the tile sinks).  Map-only projection
+    + per-row re-encode; edge blocks pad back to the chunk square
+    with zeros (the tile lattice is square by contract)."""
+    from gdal_spark.operators.tiling import TILE_SCHEMA
+
+    def kernel(batches: Iterator[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {f.name: [] for f in TILE_SCHEMA.fields}
+            for _, r in b.iterrows():
+                h, w = int(r["height"]), int(r["width"])
+                ts = max(h, w)
+                a = np.frombuffer(bytes(r["data"]),
+                                  dtype=np.dtype(r["dtype"])) \
+                    .reshape(h, w)
+                if (h, w) != (ts, ts):
+                    full = np.zeros((ts, ts), dtype=a.dtype)
+                    full[:h, :w] = a
+                    a = full
+                rows["zoom"].append(zoom)
+                rows["tile_x"].append(int(r["chunk_x"]))
+                rows["tile_y"].append(int(r["chunk_y"]))
+                rows["band"].append(band)
+                rows["data"].append(
+                    np.ascontiguousarray(a).tobytes())
+                rows["dtype"].append(str(a.dtype))
+                rows["tile_size"].append(ts)
+            yield pd.DataFrame(rows)
+
+    return blocks.mapInPandas(kernel, TILE_SCHEMA)

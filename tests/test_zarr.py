@@ -127,3 +127,35 @@ def test_raster_info_zarr():
     assert info["driver"] == "Zarr" and info["kind"] == "group"
     assert info["arrays"]["Band1"]["shape"] == [20, 20]
     assert info["arrays"]["Band1"]["dtype"] == "|u1"
+
+
+def test_zarr_feeds_raster_ops(spark, tmp_path):
+    """A Zarr DEM runs the raster operator family via zarr_to_tiles
+    (the reference opens Zarr through the same GDALDataset surface
+    its DEM tools consume)."""
+    from gdal_spark.operators.dem import focal_tiles
+    from gdal_spark.sources.zarr import read_zarr, write_zarr, zarr_to_tiles
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    dem = (xx * 2.0 + yy * 3.0).astype("<f8")   # exact plane
+    rows = []
+    for cy in range(2):
+        for cx in range(2):
+            blk = dem[cy*32:(cy+1)*32, cx*32:(cx+1)*32]
+            rows.append({"chunk_y": cy, "chunk_x": cx,
+                         "y0": cy*32, "x0": cx*32,
+                         "height": 32, "width": 32,
+                         "data": np.ascontiguousarray(blk).tobytes(),
+                         "dtype": "<f8"})
+    p = str(tmp_path / "dem.zarr")
+    write_zarr(spark.createDataFrame(pd.DataFrame(rows), BLOCK_SCHEMA),
+               p, shape=(64, 64), chunks=(32, 32), dtype="<f8")
+    tiles = zarr_to_tiles(read_zarr(spark, p))
+    slope = focal_tiles(tiles, "slope", xres=1.0, yres=1.0)
+    from gdal_spark.operators.tiling import decode_tile
+    r = slope.toPandas().iloc[0]
+    a = decode_tile(r["data"], r["dtype"], int(r["tile_size"]))
+    # exact plane: slope everywhere = atan(|grad|) in degrees
+    want = np.degrees(np.arctan(np.hypot(2.0, 3.0)))
+    inner = a[1:-1, 1:-1]
+    assert np.allclose(inner, want, atol=1e-6)
