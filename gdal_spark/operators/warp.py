@@ -281,11 +281,19 @@ def warp_tiles(
     nodata: float | None = None,
     tile_size: int = 256,
     dtype: str | None = None,
+    inv_fn=None,
 ) -> DataFrame:
     """Warp a tiled raster from (src_grid, src_crs) to (dst_grid,
-    dst_crs).  Returns TILE_SCHEMA rows on dst_grid's tile lattice."""
+    dst_crs).  Returns TILE_SCHEMA rows on dst_grid's tile lattice.
+
+    ``inv_fn`` overrides the CRS transform with an arbitrary
+    vectorized dst-world -> src-world inverse — the GCP polynomial /
+    thin-plate-spline transformers from functions/gcp.py plug in
+    here (the reference's GDALCreateGCPTransformer /
+    GDALCreateTPSTransformer warp path)."""
     spark = src_tiles.sparkSession
-    inv = transform_fn(src_crs, dst_crs)
+    inv = inv_fn if inv_fn is not None else \
+        transform_fn(src_crs, dst_crs)
 
     n_dtx = (dst_grid.width + tile_size - 1) // tile_size
     n_dty = (dst_grid.height + tile_size - 1) // tile_size
