@@ -5718,6 +5718,62 @@ def _zarr_roundtrip_oracle() -> str:
     """
 
 
+def q105_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/text.decontaminate, the
+    GPT-3-appendix-C / PaLM 13-gram overlap rule): every 50th doc
+    plays the evaluation set; training docs sharing any word 13-gram
+    with it are flagged.  The eval side BROADCASTS (benchmarks are
+    small by definition) so the corpus never shuffles.  Spark joins
+    8-byte xxhash64 gram hashes (collision odds ~n^2/2^64,
+    declared); the oracle joins the gram STRINGS — flags must agree
+    exactly."""
+    from gdal_spark.functions.text import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 3000)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    flagged = decontaminate(docs, eval_df, n=13)
+    return (flagged.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.col("contaminated").cast("long"))
+                 .cast("bigint").alias("n_contaminated"),
+                 F.sum("n_hits").cast("bigint").alias("sum_hits"))
+            .orderBy("source"))
+
+
+def _decontaminate_oracle() -> str:
+    return """
+        WITH docs AS (
+            SELECT doc_id, source,
+                   STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text),
+                        '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents WHERE doc_id < 3000
+        ),
+        grams AS (
+            SELECT doc_id, source,
+                   ARRAY_TO_STRING(toks[i:i+12], ' ') AS g
+            FROM docs,
+                 UNNEST(RANGE(1, GREATEST(LEN(toks) - 11, 1)))
+                 AS u(i)
+        ),
+        dg AS (SELECT DISTINCT doc_id, source, g FROM grams),
+        ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM dg JOIN ev USING (g)
+            GROUP BY doc_id
+        )
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(SUM(COALESCE(h.n_hits, 0)) AS BIGINT)
+                   AS sum_hits
+        FROM (SELECT DISTINCT doc_id, source FROM docs) d
+        LEFT JOIN hits h USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Dict ORDER is the driver's correctness window: it hashes the
     # FIRST 50 entries.  Round-6 rotation (VERDICT r5 "Next round"
@@ -5833,6 +5889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_stratified_sample": q102_stratified_sample,
     "q103_repetition_stats": q103_repetition_stats,
     "q104_zarr_roundtrip": q104_zarr_roundtrip,
+    "q105_decontaminate": q105_decontaminate,
 }
 
 
@@ -6253,6 +6310,7 @@ def oracle_sql() -> dict[str, str]:
         "q102_stratified_sample": _stratified_sample_oracle(),
         "q103_repetition_stats": _repetition_stats_oracle(),
         "q104_zarr_roundtrip": _zarr_roundtrip_oracle(),
+        "q105_decontaminate": _decontaminate_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,

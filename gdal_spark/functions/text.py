@@ -387,3 +387,53 @@ def repetition_stats(df, text_col: str = "text",
                 F.round(F.col("__dupchars")
                         / F.col("__tc").cast("double"), 6)
                 .alias("dup_frac")))
+
+
+def decontaminate(df, eval_df, text_col: str = "text",
+                  key_col: str = "doc_id", n: int = 13,
+                  mode: str = "flag") -> "DataFrame":
+    """Benchmark decontamination: drop (or flag) training documents
+    sharing any word ``n``-gram with an evaluation set — the
+    standard n-gram-overlap rule (GPT-3 appendix C / PaLM-style
+    13-gram decontamination).
+
+    Scale shape: the EVAL side is small by definition (benchmark
+    suites are thousands of docs), so its distinct gram hashes
+    BROADCAST; the corpus side explodes grams map-side, hashes them
+    to 8-byte longs (xxhash64 — content-stable across executors) and
+    left-semi probes the broadcast set.  One broadcast join, no
+    corpus shuffle; per-doc dedup of hits is a map-side
+    array_distinct.  mode="flag" adds (contaminated, n_hits);
+    mode="drop" returns the clean corpus."""
+    from pyspark.sql import functions as F
+
+    def grams(col):
+        norm = F.trim(F.regexp_replace(F.lower(F.col(col)),
+                                       r"\s+", " "))
+        toks = F.split(norm, " ")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(toks, i, n))))
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    eval_grams = (eval_df.select(
+        F.explode(grams(text_col)).alias("h")).distinct())
+    hits = (df.select(F.col(key_col),
+                      F.explode(F.array_distinct(grams(text_col)))
+                      .alias("h"))
+            .join(F.broadcast(eval_grams), "h", "left_semi")
+            .groupBy(key_col)
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    out = (df.join(hits, key_col, "left")
+           .withColumn("n_hits",
+                       F.coalesce(F.col("n_hits"), F.lit(0)))
+           .withColumn("contaminated", F.col("n_hits") > 0))
+    if mode == "drop":
+        return out.filter(~F.col("contaminated")) \
+            .drop("contaminated", "n_hits")
+    if mode != "flag":
+        raise ValueError(f"unknown decontaminate mode {mode!r}")
+    return out

@@ -68,3 +68,31 @@ def test_repetition_stats_short_doc_empty(spark):
         "text": ["single"],
     }))
     assert repetition_stats(df, n=2).count() == 0
+
+
+def test_decontaminate_flags_and_drops(spark):
+    from gdal_spark.functions.text import decontaminate
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi")                 # 14 words
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": [base + " omicron",                  # shares 13-gram
+                 "totally different words " * 5,
+                 base],                              # the eval doc
+    }))
+    eval_df = df.filter("doc_id = 3")
+    got = (decontaminate(df, eval_df, n=13).orderBy("doc_id")
+           .toPandas().set_index("doc_id"))
+    assert bool(got.loc[1, "contaminated"])          # prefix overlap
+    assert not bool(got.loc[2, "contaminated"])
+    assert bool(got.loc[3, "contaminated"])          # self
+    clean = decontaminate(df, eval_df, n=13, mode="drop")
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+    assert "contaminated" not in clean.columns
+    # short docs (< n words) can never be contaminated
+    short = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.array([9], dtype=np.int64),
+        "text": ["alpha beta"]}))
+    g = decontaminate(short, eval_df, n=13).toPandas()
+    assert not bool(g.iloc[0]["contaminated"])
