@@ -203,6 +203,40 @@ class _Parser:
 
     def parse_result_column(self, sel: _Select) -> str:
         if self.accept_op("*"):
+            # SELECT * EXCEPT (a, b) / EXCLUDE (a, b): the reference
+            # grammar's wildcard-exclusion clause
+            # (ogr/swq_select.cpp:356 "EXCEPT ()", :649
+            # EXCEPT/EXCLUDE diagnostics).  Spark SQL supports the
+            # same `* EXCEPT (cols)` form natively, so the dialect
+            # normalizes EXCLUDE -> EXCEPT and passes it through.
+            nt = self.peek()
+            if nt and nt.kind == "id" and \
+                    nt.text.upper() in ("EXCEPT", "EXCLUDE"):
+                self.next()
+                if not self.accept_op("("):
+                    raise ValueError(
+                        "OGR SQL: EXCEPT/EXCLUDE needs a "
+                        "parenthesized column list")
+                cols = []
+                while True:
+                    c = self.next()
+                    if c.kind != "id":
+                        raise ValueError(
+                            "OGR SQL: EXCEPT/EXCLUDE expects column "
+                            f"names, got {c}")
+                    cols.append(c.text.strip('"'))
+                    if not self.accept_op(","):
+                        break
+                if not self.accept_op(")"):
+                    raise ValueError(
+                        "OGR SQL: unterminated EXCEPT/EXCLUDE list")
+                if len(set(cols)) != len(cols):
+                    # the reference errors on repeats
+                    # (swq_select.cpp:649)
+                    raise ValueError(
+                        "OGR SQL: field repeated in EXCEPT/EXCLUDE "
+                        "expression")
+                return "* EXCEPT (" + ", ".join(cols) + ")"
             return "*"
         expr = self.parse_expr()
         alias = None

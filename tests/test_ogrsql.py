@@ -355,3 +355,21 @@ def test_polygons_intersect_big_parity(spark):
     assert len(got_pairs) == len(set(got_pairs))  # no dup pairs
     assert got_pairs == exp_pairs
     assert len(exp_pairs) >= 5  # workload actually overlaps
+
+
+def test_select_star_except_exclude(spark):
+    import pandas as pd
+    import pytest
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": [1, 2], "b": ["x", "y"], "c": [0.5, 1.5]}))
+    out = execute_ogr_sql(
+        spark, "SELECT * EXCEPT (b) FROM t", {"t": df})
+    assert out.columns == ["a", "c"]
+    out2 = execute_ogr_sql(
+        spark, "SELECT * EXCLUDE (a, c) FROM t WHERE a > 1",
+        {"t": df})
+    assert out2.columns == ["b"] and out2.count() == 1
+    with pytest.raises(Exception, match="repeated"):
+        execute_ogr_sql(spark, "SELECT * EXCEPT (a, a) FROM t",
+                        {"t": df})
