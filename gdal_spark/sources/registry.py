@@ -29,6 +29,7 @@ import os
 _VECTOR_EXT = {
     ".shp": "ESRI Shapefile",
     ".geojson": "GeoJSON",
+    ".topojson": "TopoJSON",
     ".json": "GeoJSON",
     ".geojsonl": "GeoJSONSeq",
     ".ndjson": "GeoJSONSeq",
@@ -114,6 +115,10 @@ def sniff_vector_driver(path: str) -> str:
                 or b"opengis.net/gml" in head:
             return "GML"
     if s.startswith(b"{") or s.startswith(b"["):
+        # a Topology document is TopoJSON, not a FeatureCollection
+        # (the reference's GeoJSON driver family sniffs the same key)
+        if b'"Topology"' in head:
+            return "TopoJSON"
         return "GeoJSON"
     raise ValueError(f"{path}: no driver recognizes this dataset "
                      "(the reference returns NULL from ogr.Open "
@@ -143,6 +148,9 @@ def open_vector(spark, path: str, driver: str | None = None,
     if drv in ("GeoJSON", "GeoJSONSeq"):
         from gdal_spark.sources.geojson import read_geojson
         return read_geojson(spark, path, **opts)
+    if drv == "TopoJSON":
+        from gdal_spark.sources.topojson import read_topojson
+        return read_topojson(spark, path, **opts)
     if drv == "CSV":
         from gdal_spark.sources.csvfile import read_csv_layer
         return read_csv_layer(spark, path, **opts)
