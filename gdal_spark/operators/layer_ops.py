@@ -29,9 +29,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from gdal_spark.geometry import wkb as W
 
-# single -> multi WKB type code
-_PROMOTE = {1: 4, 2: 5, 3: 6}
-
 
 def update_layer(existing: DataFrame, incoming: DataFrame,
                  key: list[str] | str = "fid") -> DataFrame:

@@ -15,6 +15,9 @@ Steps (each cites its standalone algorithm):
                                    (apps/gdalalg_raster_calc.cpp)
   scale <mul> <add>              — linear rescale
                                    (apps/gdalalg_raster_scale.cpp)
+  resize <w> <h> [alg]           — whole-raster pixel resample
+                                   (apps/gdalalg_raster_resize.cpp;
+                                   translate -outsize full-window)
   unscale [scale] [offset]       — apply the band's stored
                                    scale/offset (or explicit args)
                                    and clear them
@@ -149,6 +152,38 @@ def run_raster_pipeline(spark: SparkSession, pipeline: str,
             meta.pop("scale", None)
             meta.pop("offset", None)
             df = df.withMetadata("data", meta)
+        elif verb == "resize":
+            # gdal raster resize (apps/gdalalg_raster_resize.cpp):
+            # whole-raster pixel-space resample to <w> x <h> —
+            # gdal_translate -outsize with a full-frame window.  The
+            # source extent derives from the tile lattice (one
+            # bounded metadata agg), so no georeferencing is needed.
+            from pyspark.sql import functions as _F
+
+            from gdal_spark.operators.rasterize import GridSpec
+            from gdal_spark.operators.warp import translate_tiles
+
+            row = df.agg(
+                _F.min("tile_x"), _F.min("tile_y"),
+                _F.max("tile_x"), _F.max("tile_y"),
+                _F.max("tile_size")).collect()[0]
+            if row[0] is None:
+                raise ValueError("resize: empty raster frame")
+            ts = int(row[4])
+            mnx, mny = int(row[0]), int(row[1])
+            w_px = (int(row[2]) - mnx + 1) * ts
+            h_px = (int(row[3]) - mny + 1) * ts
+            # pixel-space grid over the whole tile lattice (world
+            # == global pixel coords, y down); the occupied region
+            # is the -srcwin
+            lat_w = (int(row[2]) + 1) * ts
+            lat_h = (int(row[3]) + 1) * ts
+            src_grid = GridSpec(0.0, 0.0, 1.0, -1.0, lat_w, lat_h)
+            df = translate_tiles(
+                df, src_grid, (mnx * ts, mny * ts, w_px, h_px),
+                outsize=(int(args[0]), int(args[1])),
+                resample=(args[2] if len(args) > 2 else "near"),
+                tile_size=ts, crs="PIXEL")
         elif verb == "edit":
             # gdal raster edit (apps/gdalalg_raster_edit.cpp):
             # in-place metadata override, NO pixel rewrite — crs=,

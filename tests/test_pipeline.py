@@ -168,3 +168,39 @@ def test_dataset_identify_and_check(spark, tmp_path):
     bad.write_bytes(b"fgb\x03fgb\x00" + b"\x00" * 10)
     rep2 = dataset_check(spark, str(bad))
     assert rep2["errors"]
+
+
+def test_raster_resize_verb(spark):
+    """gdal raster resize: 2x downsample via the pipeline verb must
+    equal the direct 2x2 block mean of the assembled raster."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.tiling import decode_tile, encode_tile
+    from gdal_spark.plans.raster_pipeline import run_raster_pipeline
+
+    ts = 32
+    rng = np.random.default_rng(11)
+    arrs = {(tx, ty): rng.integers(0, 100, (ts, ts)).astype(np.float64)
+            for tx in (0, 1) for ty in (0, 1)}
+    rows = []
+    for (tx, ty), a in arrs.items():
+        data, dt = encode_tile(a)
+        rows.append({"zoom": 0, "tile_x": tx, "tile_y": ty,
+                     "band": 1, "tile_size": ts, "dtype": dt,
+                     "data": data})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    out = run_raster_pipeline(
+        spark, "read t ! resize 32 32 average", {"t": tiles})
+    pdf = out.toPandas()
+    got = np.zeros((32, 32))
+    for _, r in pdf.iterrows():
+        a = decode_tile(r["data"], r["dtype"], int(r["tile_size"]))
+        x0 = int(r["tile_x"]) * int(r["tile_size"])
+        y0 = int(r["tile_y"]) * int(r["tile_size"])
+        got[y0:y0 + a.shape[0], x0:x0 + a.shape[1]] = a
+    full = np.zeros((64, 64))
+    for (tx, ty), a in arrs.items():
+        full[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts] = a
+    want = full.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    assert np.allclose(got, want)
