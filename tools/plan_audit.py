@@ -581,6 +581,39 @@ def main() -> None:
         f"(found {n_ex_comb} Exchange)",
         n_ex_comb == 1))
 
+    # ---- zarr: chunk-key task list, no file-content source --------
+    import json as _json
+    import tempfile as _tf
+
+    from gdal_spark.sources.zarr import read_zarr
+
+    zp = os.path.join(_tf.mkdtemp(prefix="audit_zarr_"), "a.zarr")
+    os.makedirs(zp)
+    with open(os.path.join(zp, ".zarray"), "w") as zf:
+        _json.dump({"zarr_format": 2, "shape": [64, 64],
+                    "chunks": [16, 16], "dtype": "<i4",
+                    "compressor": None, "filters": None,
+                    "order": "C", "fill_value": 0}, zf)
+    z_plan = simple_plan(read_zarr(spark, zp))
+    checks.append((
+        "zarr read plans over the chunk-key list only (no "
+        "binaryFile/file-content source; one task per chunk)",
+        "binaryFile" not in z_plan and "FileScan" not in z_plan
+        and "MapInPandas" in z_plan))
+
+    # ---- decontaminate: eval grams broadcast, corpus never shuffles
+    from gdal_spark.functions.text import decontaminate
+
+    dd = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "text": [f"w{i} " * 30 for i in range(100)]}))
+    dec_plan = simple_plan(decontaminate(
+        dd, dd.limit(5), n=13).select("doc_id", "contaminated"))
+    checks.append((
+        "decontaminate probes a BROADCAST eval-gram set (corpus side "
+        "has no sort-merge join against the eval grams)",
+        "BroadcastHashJoin" in dec_plan))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n"
