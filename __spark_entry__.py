@@ -5774,6 +5774,114 @@ def _decontaminate_oracle() -> str:
     """
 
 
+def q106_topojson(spark, sf_dir):
+    """TopoJSON reader (sources/topojson.py; reference
+    ogrtopojsonreader.cpp) under a live oracle: a law-generated
+    Topology — 50 delta-encoded arcs with a quantization transform,
+    each referenced FORWARD by one LineString and REVERSED (~i) by
+    another — reads distributed, and per-feature position-weighted
+    coordinate sums must equal the closed-form law in SQL (the
+    weighting makes arc ORIENTATION observable, so a wrong ~i
+    reversal cannot cancel).  All coords land on exact binary
+    fractions (scale .5/.25), so the match needs no tolerance."""
+    import json
+    import tempfile
+
+    from gdal_spark.geometry.wkb import parse_wkb
+    from gdal_spark.sources.topojson import read_topojson
+
+    n_arcs = 50
+    arcs = []
+    for i in range(n_arcs):
+        # delta-encoded: start (i, 2i) then +(1,3), +(2,-1), +(1,1)
+        arcs.append([[i, 2 * i], [1, 3], [2, -1], [1, 1]])
+    topo = {
+        "type": "Topology",
+        "transform": {"scale": [0.5, 0.25],
+                      "translate": [100.0, 200.0]},
+        "arcs": arcs,
+        "objects": {
+            "lines": {"type": "GeometryCollection", "geometries": [
+                {"type": "LineString", "arcs": [i],
+                 "properties": {"aid": str(i), "dir": "fwd"}}
+                for i in range(n_arcs)
+            ] + [
+                {"type": "LineString", "arcs": [-1 - i],
+                 "properties": {"aid": str(i), "dir": "rev"}}
+                for i in range(n_arcs)
+            ]},
+        },
+    }
+    path = os.path.join(tempfile.mkdtemp(prefix="q106_topo_"),
+                        "law.topojson")
+    with open(path, "w") as fh:
+        json.dump(topo, fh)
+
+    df = read_topojson(spark, path)
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    out_schema = StructType([
+        StructField("aid", LongType()),
+        StructField("dir", StringType()),
+        StructField("n_pts", LongType()),
+        StructField("wx", DoubleType()),
+        StructField("wy", DoubleType()),
+    ])
+
+    def stats(batches):
+        for b in batches:
+            aids, dirs, ns, wxs, wys = [], [], [], [], []
+            for _, r in b.iterrows():
+                g = parse_wkb(bytes(r["geometry"]))
+                c = g.parts[0]
+                k = np.arange(1, len(c) + 1, dtype=np.float64)
+                aids.append(int(r["aid"]))
+                dirs.append(r["dir"])
+                ns.append(len(c))
+                wxs.append(float((c[:, 0] * k).sum()))
+                wys.append(float((c[:, 1] * k).sum()))
+            yield pd.DataFrame({"aid": aids, "dir": dirs,
+                                "n_pts": ns, "wx": wxs, "wy": wys})
+
+    return (df.select("geometry", "aid", "dir")
+            .mapInPandas(stats, out_schema)
+            .orderBy("aid", "dir"))
+
+
+def _topojson_oracle() -> str:
+    # absolute quantized points of arc i: cum deltas (0,0),(1,3),
+    # (3,2),(4,3) from start (i, 2i); world = q*scale + translate
+    return """
+        WITH pts AS (
+            SELECT i, u.k,
+                   (CAST(i AS DOUBLE)
+                    + CAST([0, 1, 3, 4][u.k] AS DOUBLE)) * 0.5e0
+                       + 100e0 AS x,
+                   (CAST(2 * i AS DOUBLE)
+                    + CAST([0, 3, 2, 3][u.k] AS DOUBLE)) * 0.25e0
+                       + 200e0 AS y
+            FROM range(0, 50) t(i),
+                 UNNEST(RANGE(1, 5)) AS u(k)
+        ),
+        fwd AS (
+            SELECT CAST(i AS BIGINT) AS aid, 'fwd' AS dir,
+                   CAST(COUNT(*) AS BIGINT) AS n_pts,
+                   SUM(x * k) AS wx, SUM(y * k) AS wy
+            FROM pts GROUP BY i
+        ),
+        rev AS (
+            SELECT CAST(i AS BIGINT) AS aid, 'rev' AS dir,
+                   CAST(COUNT(*) AS BIGINT) AS n_pts,
+                   SUM(x * (5 - k)) AS wx, SUM(y * (5 - k)) AS wy
+            FROM pts GROUP BY i
+        )
+        SELECT * FROM fwd UNION ALL SELECT * FROM rev
+        ORDER BY aid, dir
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Dict ORDER is the driver's correctness window: it hashes the
     # FIRST 50 entries.  Round-6 rotation (VERDICT r5 "Next round"
@@ -5890,6 +5998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_repetition_stats": q103_repetition_stats,
     "q104_zarr_roundtrip": q104_zarr_roundtrip,
     "q105_decontaminate": q105_decontaminate,
+    "q106_topojson": q106_topojson,
 }
 
 
@@ -6311,6 +6420,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_repetition_stats": _repetition_stats_oracle(),
         "q104_zarr_roundtrip": _zarr_roundtrip_oracle(),
         "q105_decontaminate": _decontaminate_oracle(),
+        "q106_topojson": _topojson_oracle(),
         "q30_sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, value, ts,
