@@ -125,6 +125,150 @@ def passage_windows(text_col: str, window: int = 10) -> Column:
                 F.slice(toks, i, window), " ")))
 
 
+# --- passage-window machinery (shared by stats + removal) -----------
+#
+# Window identity = the space-joined token window string of the
+# normalized (lowercased, whitespace-collapsed) text.  Because the
+# tokens of the normalized text contain no spaces, that string IS the
+# byte slice [start of token i, end of token i+w-1) of the normalized
+# buffer — so all windows of a doc hash in one vectorized numpy pass
+# with a position-independent rolling polynomial:
+#   pref[k] = sum_{t<k} buf[t]*P^t  (mod 2^64, P odd => invertible)
+#   h(i, j) = (pref[j] - pref[i]) * P^{-i}
+# Equal window strings hash equal anywhere in the corpus; collisions
+# are ~n^2/2^64 (same class as the previous xxhash64-of-string law).
+# numpy is cold-start-fast where the interpreted Catalyst lambda
+# chain (transform/slice/array_join) paid seconds of first-run JIT.
+
+_ROLL_P = 0xC6A4A7935BD1E995          # odd => invertible mod 2^64
+_ROLL_PINV = pow(_ROLL_P, -1, 1 << 64)
+_MIX = 0x9E3779B97F4A7C15
+
+
+def _roll_tables(n: int):
+    """(P^k, P^-k) power tables of length n, grown on demand and
+    cached per worker process."""
+    import numpy as np
+
+    tab = getattr(_roll_tables, "_tab", None)
+    if tab is None or len(tab[0]) < n:
+        m = max(n, 4096)
+        pw = np.empty(m, dtype=np.uint64)
+        ipw = np.empty(m, dtype=np.uint64)
+        pw[0] = ipw[0] = 1
+        np.cumprod(np.full(m - 1, _ROLL_P, dtype=np.uint64),
+                   out=pw[1:])
+        np.cumprod(np.full(m - 1, _ROLL_PINV, dtype=np.uint64),
+                   out=ipw[1:])
+        tab = (pw, ipw)
+        _roll_tables._tab = tab
+    return tab
+
+
+def _doc_window_hashes(buf: bytes, window: int):
+    """Rolling hashes of every ``window``-token passage of one
+    normalized doc buffer -> uint64 array (len T-window+1, or
+    empty when the doc has fewer than ``window`` tokens)."""
+    import numpy as np
+
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    sp = np.flatnonzero(b == 32)
+    t = len(sp) + 1                      # token count
+    if t < window:
+        return np.zeros(0, dtype=np.uint64)
+    pw, ipw = _roll_tables(len(b) + 1)
+    pref = np.empty(len(b) + 1, dtype=np.uint64)
+    pref[0] = 0
+    np.cumsum(b.astype(np.uint64) * pw[:len(b)], out=pref[1:])
+    starts = np.r_[np.uint64(0), sp.astype(np.uint64) + np.uint64(1)]
+    ends = np.r_[sp.astype(np.uint64), np.uint64(len(b))]
+    s = starts[:t - window + 1]
+    e = ends[window - 1:]
+    h = (pref[e] - pref[s]) * ipw[s]
+    # one mix round so the hash-partitioner sees well-spread longs
+    h = h * np.uint64(_MIX)
+    h ^= h >> np.uint64(29)
+    return h
+
+
+def _norm_buf(text) -> bytes:
+    return (" ".join(str(text).lower().split())).encode(
+        "utf-8", "ignore")
+
+
+def _passage_win_frame(df, text_col: str, key_col: str, window: int,
+                       with_pos: bool):
+    """(key, h[, pos][, c]) window-hash rows — ONE Arrow kernel pass
+    over the corpus; the shuffle downstream carries 8-byte hashes,
+    never passage text.  Without ``with_pos`` duplicate windows
+    within a doc pre-aggregate map-side into (h, c) counts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    key_type = df.schema[key_col].dataType
+    fields = [StructField(key_col, key_type)]
+    if with_pos:
+        fields.append(StructField("pos", IntegerType()))
+    fields += [StructField("h", LongType())]
+    if not with_pos:
+        fields.append(StructField("c", LongType()))
+    schema = StructType(fields)
+    w = int(window)
+
+    def rep_key(key, n):
+        return (np.full(n, key, dtype=object)
+                if isinstance(key, (str, bytes))
+                else np.full(n, key))
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            keys, hs, poss, cs = [], [], [], []
+            for key, text in zip(b[key_col], b[text_col]):
+                h = _doc_window_hashes(_norm_buf(text), w)
+                if not len(h):
+                    continue
+                if with_pos:
+                    keys.append(rep_key(key, len(h)))
+                    hs.append(h.view(np.int64))
+                    poss.append(np.arange(len(h), dtype=np.int32))
+                else:
+                    uh, uc = np.unique(h, return_counts=True)
+                    keys.append(rep_key(key, len(uh)))
+                    hs.append(uh.view(np.int64))
+                    cs.append(uc.astype(np.int64))
+            if not keys:
+                continue
+            out = {key_col: np.concatenate(keys)}
+            if with_pos:
+                out["pos"] = np.concatenate(poss)
+            out["h"] = np.concatenate(hs)
+            if not with_pos:
+                out["c"] = np.concatenate(cs)
+            yield pd.DataFrame(out)
+
+    src = df.select(key_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(kernel, schema)
+
+
+def _h_sorted(df, extra_cols):
+    """Hash-repartition on h + in-partition sort: every row of one
+    hash lands in one task, adjacent — the streaming precondition of
+    the fold kernels (bounded memory at any scale)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartition(par, "h").sortWithinPartitions("h")
+            .select("h", *extra_cols))
+
+
 def duplicate_passage_stats(df, text_col: str = "text",
                             key_col: str = "doc_id",
                             window: int = 10):
@@ -132,42 +276,79 @@ def duplicate_passage_stats(df, text_col: str = "text",
     n_dup_windows, dup_fraction) — the Gopher-style 'duplicate text
     fraction' quality signal, computed corpus-wide.
 
-    Plan shape (audited by eye, 100-TB honest): explode windows
-    map-side, hash each window to ONE long (xxhash64 — the shuffle
-    carries 8 bytes per window, never the passage text; collisions
-    are ~n^2/2^64, declared), ONE groupBy counts global window
-    frequency, and a second keyed agg folds per-doc stats.  No
-    Python anywhere in the pipeline."""
+    Plan shape (100-TB honest): windows hash map-side in ONE Arrow
+    kernel (8 bytes/window leaves the task, never passage text, and
+    same-doc repeats pre-aggregate to counts), ONE hash shuffle on h
+    feeds a streaming fold (sorted groups, cross-batch carry, memory
+    bounded per task) that emits per-doc partials, and ONE keyed agg
+    finishes.  The corpus is read exactly once — the previous
+    join-back shape computed the window subtree twice."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    # higher-order lambdas (transform/slice) evaluate INTERPRETED,
-    # not codegen'd — spread the CPU-bound projection: small inputs
-    # arrive as one parquet split (a no-op at real scale)
-    src = df.select(key_col, text_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    wins = (src.select(
-        F.col(key_col),
-        F.explode(passage_windows(text_col, window)).alias("w"))
-        .select(key_col, F.xxhash64("w").alias("h")))
-    # "seen in >= 2 distinct docs" == min(key) != max(key): two
-    # cheap partial-aggregable scalars instead of countDistinct's
-    # dedup pass
-    freq = wins.groupBy("h").agg(
-        (F.min(key_col) != F.max(key_col)).alias("is_dup"))
-    per_doc = (wins.join(freq, "h")
-               .groupBy(key_col)
-               .agg(F.count("*").alias("n_windows"),
-                    F.sum(F.when(F.col("is_dup"), 1)
-                          .otherwise(0)).alias("n_dup_windows")))
-    return per_doc.select(
-        key_col,
-        F.col("n_windows").cast("long").alias("n_windows"),
-        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
-        F.round(F.col("n_dup_windows")
-                / F.col("n_windows").cast("double"), 6)
-        .alias("dup_fraction"))
+    wins = _passage_win_frame(df, text_col, key_col, window,
+                              with_pos=False)
+    key_type = df.schema[key_col].dataType
+    fold_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("n", LongType()),
+        StructField("nd", LongType()),
+    ])
+
+    def fold(batches):
+        carry = None
+
+        def reduce_rows(b):
+            # rows sorted by h; "dup" = the h-group spans >= 2
+            # distinct keys (min code != max code over the sorted
+            # unique-key codes, valid for any key dtype)
+            hs = b["h"].to_numpy()
+            uniq, codes = np.unique(b[key_col].to_numpy(),
+                                    return_inverse=True)
+            cs = b["c"].to_numpy()
+            gstart = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+            glen = np.diff(np.r_[gstart, len(hs)])
+            dup_g = (np.minimum.reduceat(codes, gstart)
+                     != np.maximum.reduceat(codes, gstart))
+            dup_row = np.repeat(dup_g, glen)
+            n = np.bincount(codes, weights=cs,
+                            minlength=len(uniq)).astype(np.int64)
+            nd = np.bincount(codes, weights=cs * dup_row,
+                             minlength=len(uniq)).astype(np.int64)
+            return pd.DataFrame({key_col: uniq, "n": n, "nd": nd})
+
+        for b in batches:
+            if not len(b):
+                continue
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+                carry = None
+            hs = b["h"].to_numpy()
+            # hold back the trailing h-group: it may continue in the
+            # next batch
+            last = np.flatnonzero(hs != hs[-1])
+            cut = (last[-1] + 1) if len(last) else 0
+            if cut:
+                yield reduce_rows(b.iloc[:cut])
+            carry = b.iloc[cut:]
+        if carry is not None and len(carry):
+            yield reduce_rows(carry)
+
+    folded = _h_sorted(wins, [key_col, "c"]).mapInPandas(
+        fold, fold_schema)
+    return (folded.groupBy(key_col)
+            .agg(F.sum("n").alias("n_windows"),
+                 F.sum("nd").alias("n_dup_windows"))
+            .select(
+                key_col,
+                F.col("n_windows").cast("long").alias("n_windows"),
+                F.col("n_dup_windows").cast("long")
+                .alias("n_dup_windows"),
+                F.round(F.col("n_dup_windows")
+                        / F.col("n_windows").cast("double"), 6)
+                .alias("dup_fraction")))
 
 
 _STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
@@ -251,11 +432,15 @@ def remove_duplicate_passages(df, text_col: str = "text",
     token covered by one is cut; the first occurrence keeps its
     text intact.
 
-    Plan: the q82 window pipeline (hashes shuffle as single longs)
-    + min(key)-per-hash ownership, foreign positions fold per doc
-    (one collect_list bounded by the doc's own token count), and a
-    final Arrow kernel masks + rebuilds the text.  Adds
-    (clean_text, n_tokens, n_removed) to the frame."""
+    Plan: the q82 window-hash kernel (hashes shuffle as single
+    longs, corpus read ONCE) + a streaming per-hash fold that emits
+    only foreign positions (rows whose key exceeds the hash group's
+    min-key owner), foreign positions fold per doc (one
+    collect_list bounded by the doc's own token count), and a final
+    Arrow kernel masks + rebuilds the text.  Adds (clean_text,
+    n_tokens, n_removed) to the frame."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         IntegerType, LongType, StringType, StructField, StructType,
@@ -268,14 +453,52 @@ def remove_duplicate_passages(df, text_col: str = "text",
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                    r"\s+", " "))
     toks = F.split(norm, " ")
-    wins = (src.select(
-        F.col(key_col),
-        F.posexplode(passage_windows(text_col, window))
-        .alias("pos", "w"))
-        .select(key_col, "pos", F.xxhash64("w").alias("h")))
-    owner = wins.groupBy("h").agg(F.min(key_col).alias("own"))
-    foreign = (wins.join(owner, "h")
-               .filter(F.col("own") < F.col(key_col))
+    wins = _passage_win_frame(df, text_col, key_col, window,
+                              with_pos=True)
+    key_type = df.schema[key_col].dataType
+    for_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("pos", IntegerType()),
+    ])
+
+    def fold_foreign(batches):
+        carry = None
+
+        def reduce_rows(b):
+            hs = b["h"].to_numpy()
+            uniq, codes = np.unique(b[key_col].to_numpy(),
+                                    return_inverse=True)
+            gstart = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+            glen = np.diff(np.r_[gstart, len(hs)])
+            own = np.repeat(np.minimum.reduceat(codes, gstart), glen)
+            fr = codes > own
+            if not fr.any():
+                return None
+            return pd.DataFrame({
+                key_col: uniq[codes[fr]],
+                "pos": b["pos"].to_numpy()[fr]})
+
+        for b in batches:
+            if not len(b):
+                continue
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+                carry = None
+            hs = b["h"].to_numpy()
+            last = np.flatnonzero(hs != hs[-1])
+            cut = (last[-1] + 1) if len(last) else 0
+            if cut:
+                r = reduce_rows(b.iloc[:cut])
+                if r is not None:
+                    yield r
+            carry = b.iloc[cut:]
+        if carry is not None and len(carry):
+            r = reduce_rows(carry)
+            if r is not None:
+                yield r
+
+    foreign = (_h_sorted(wins, [key_col, "pos"])
+               .mapInPandas(fold_foreign, for_schema)
                .groupBy(key_col)
                .agg(F.collect_list("pos").alias("dup_pos")))
 

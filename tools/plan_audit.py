@@ -489,7 +489,14 @@ def main() -> None:
         f"-> groupBy tile; found {n_ex_gm} Exchange)",
         n_ex_gm == 1))
 
-    # ---- duplicate-passage stats: pure JVM, no Python anywhere ---
+    # ---- duplicate-passage stats: corpus read ONCE, hashes-only
+    # shuffles.  (r7: the former pure-JVM interpreted-lambda window
+    # projection was replaced by ONE Arrow rolling-hash kernel — the
+    # old plan evaluated the window subtree twice, once per side of
+    # the frequency join, and paid seconds of first-run lambda
+    # interpretation.  The scale contract is unchanged: shuffles
+    # carry 8-byte window hashes, never passage text, and the fold
+    # streams sorted hash groups with bounded task memory.) --------
     from gdal_spark.functions.text import duplicate_passage_stats
 
     dp_docs = spark.createDataFrame(pd.DataFrame({
@@ -497,12 +504,17 @@ def main() -> None:
         "text": ["alpha beta gamma delta epsilon zeta eta theta "
                  * 3] * 20}))
     dp = duplicate_passage_stats(dp_docs, window=8)
-    dp_plan = simple_plan(dp)
+    dp_plan = plan_of(dp)
+    dp_simple = simple_plan(dp)
+    n_scan_dp = dp_simple.count("LocalTableScan")
     checks.append((
-        "duplicate-passage stats is pure JVM (no Python stage in "
-        "the plan; shuffle carries 8-byte window hashes)",
-        "Python" not in dp_plan and "InPandas" not in dp_plan
-        and "BatchEvalPython" not in dp_plan))
+        "duplicate-passage stats reads the corpus ONCE (single scan "
+        "feeding the window-hash kernel; the old join-back shape "
+        f"computed it twice; found {n_scan_dp} scan(s)) and its "
+        f"shuffles carry 8-byte hashes ({n_exchanges(dp_plan)} "
+        "exchanges: hash-of-window + per-doc agg, plus at most one "
+        "small-input spread)",
+        n_scan_dp == 1 and 2 <= n_exchanges(dp_plan) <= 3))
 
     # ---- check-coverage: defect set joins back as a BROADCAST ----
     from gdal_spark.geometry.wkb import polygon_wkb
