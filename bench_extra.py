@@ -182,6 +182,14 @@ def main() -> None:
             emb_d = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
             run("embedding", lambda: embedding_dedup(
                 emb_d, 0.95, method="lsh").count())
+        elif op == "rasterize":
+            from gdal_spark.operators.rasterize import GridSpec, rasterize
+            from gdal_spark.sources.polygons import random_polygons_pdf
+            rast_grid = GridSpec(-180.0, 85.0, 0.05, 0.05, 7200, 3400)
+            polys_1k = random_polygons_pdf(1000)
+            run("rasterize", lambda: rasterize(
+                spark, polys_1k, rast_grid, burn_col="fid",
+                dtype="int32").count())
         else:
             print(f"unknown op {op}", file=sys.stderr)
 

@@ -205,8 +205,29 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_jaccard_estimate(sigs_a: F.Column, sigs_b: F.Column) -> F.Column:
-    """Estimated Jaccard = fraction of equal signature slots."""
+def minhash_jaccard_estimate(sigs_a: F.Column, sigs_b: F.Column,
+                             num_hashes: int | None = None) -> F.Column:
+    """Estimated Jaccard = fraction of equal signature slots.
+
+    With ``num_hashes`` known the comparison unrolls into a flat sum
+    of slot equalities — plain codegen'd expressions.  The generic
+    path (unknown width) keeps the higher-order zip_with/aggregate
+    form, which Catalyst evaluates INTERPRETED and pays heavy
+    first-run cost (CLAUDE.md lambda lesson)."""
+    if isinstance(sigs_a, str):
+        sigs_a = F.col(sigs_a)
+    if isinstance(sigs_b, str):
+        sigs_b = F.col(sigs_b)
+    if num_hashes:
+        eq = [
+            F.coalesce(
+                (sigs_a[i] == sigs_b[i]).cast("int"), F.lit(0))
+            for i in range(num_hashes)
+        ]
+        total = eq[0]
+        for term in eq[1:]:
+            total = total + term
+        return total.cast("double") / F.lit(float(num_hashes))
     return (
         F.aggregate(
             F.zip_with(sigs_a, sigs_b, lambda x, y: (x == y).cast("int")),
@@ -238,14 +259,32 @@ def minhash_lsh_dedup(
                               seed).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_candidates(sigs, key_col, bands, rows)
     # cheap signature-estimate PREFILTER (slack below the threshold so
-    # estimator variance cannot veto a true duplicate) ...
+    # estimator variance cannot veto a true duplicate).  The equal-slot
+    # count runs in ONE numpy kernel: the Catalyst zip_with/aggregate
+    # form evaluates interpreted (seconds of first-run cost), and the
+    # unrolled 64-term expression tree pays per-call planning time.
     sa = sigs.select(F.col(key_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(key_col).alias("b"), F.col("sig").alias("sig_b"))
+    cut = max(threshold - 0.25, 0.0)
+    pre_schema = StructType([
+        StructField("a", df.schema[key_col].dataType),
+        StructField("b", df.schema[key_col].dataType),
+    ])
+
+    def est_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            va = np.array(b["sig_a"].tolist(), dtype=np.int64)
+            vb = np.array(b["sig_b"].tolist(), dtype=np.int64)
+            est = (va == vb).sum(axis=1) / float(num_hashes)
+            keep = est >= cut
+            if keep.any():
+                yield b.loc[keep, ["a", "b"]]
+
     prefiltered = (
         cand.join(sa, "a").join(sb, "b")
-        .withColumn("jac_est", minhash_jaccard_estimate("sig_a", "sig_b"))
-        .filter(F.col("jac_est") >= F.lit(max(threshold - 0.25, 0.0)))
-        .select("a", "b")
+        .mapInPandas(est_kernel, pre_schema)
     )
     # ... then EXACT n-gram Jaccard before any row is dropped — false
     # LSH collisions never delete data (the module contract)

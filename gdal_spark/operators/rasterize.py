@@ -102,44 +102,75 @@ def fill_polygon_scanline(
             if visited is not None:
                 visited[y, x0:x1 + 1] = True
 
-    # flatten rings into segment arrays (per-part wrap: segment
-    # (last, first) handled by closing points being present)
-    for y in range(miny, maxy + 1):
-        dy = y + 0.5
-        ints: list[int] = []
-        horiz: list[tuple[int, int]] = []
-        for ring in rings:
-            x1s = ring[:, 0]
-            y1s = ring[:, 1]
-            for i in range(1, len(ring)):
-                dy1, dy2 = y1s[i - 1], y1s[i]
-                if (dy1 < dy and dy2 < dy) or (dy1 > dy and dy2 > dy):
-                    continue
-                if dy1 < dy2:
-                    dx1, dx2 = x1s[i - 1], x1s[i]
-                elif dy1 > dy2:
-                    dy1, dy2 = dy2, dy1
-                    dx2, dx1 = x1s[i - 1], x1s[i]
-                else:
-                    # horizontal: bottom segments (right-to-left) fill
-                    # separately; top segments skipped
-                    if x1s[i - 1] > x1s[i]:
-                        hx1 = math.floor(x1s[i] + 0.5)
-                        hx2 = math.floor(x1s[i - 1] + 0.5)
+    # Vectorized crossings (r7): all (segment x scanline) crossings
+    # compute in one numpy broadcast using the reference law's exact
+    # per-element float expression order — the per-row python segment
+    # loop paid ~10-30us per scanline.  The per-row pairing/horizontal
+    # interplay below is byte-for-byte the reference inner loop, fed
+    # from the precomputed sorted crossing lists.
+    sy1l, sy2l, sx1l, sx2l = [], [], [], []
+    horiz_rows: dict[int, list[tuple[int, int]]] = {}
+    for ring in rings:
+        ys0, ys1 = ring[:-1, 1], ring[1:, 1]
+        xs0, xs1 = ring[:-1, 0], ring[1:, 0]
+        hm = ys0 == ys1
+        if hm.any():
+            # horizontal bottom segments (traversed right-to-left)
+            # are active only on the scanline whose center equals
+            # the segment's y exactly
+            for x0h, x1h, yh in zip(xs0[hm], xs1[hm], ys0[hm]):
+                if x0h > x1h:
+                    yr = yh - 0.5
+                    if yr == math.floor(yr) and \
+                            miny <= int(yr) <= maxy:
+                        hx1 = math.floor(x1h + 0.5)
+                        hx2 = math.floor(x0h + 0.5)
                         if hx1 > maxx or hx2 <= 0:
                             continue
-                        horiz.append((int(max(hx1, 0.0)),
-                                      int(min(float(hx2), float(w)))))
-                    continue
-                if dy < dy2 and dy >= dy1:
-                    inter = (dy - dy1) * (dx2 - dx1) / (dy2 - dy1) + dx1
-                    inter = min(max(inter, -2**31), 2**31 - 1)
-                    ints.append(int(math.floor(inter + 0.5)))
-        ints.sort()
-        horiz.sort()
+                        horiz_rows.setdefault(int(yr), []).append(
+                            (int(max(hx1, 0.0)),
+                             int(min(float(hx2), float(w)))))
+        nh = ~hm
+        if nh.any():
+            lo = ys0 < ys1
+            sy1l.append(np.where(lo, ys0, ys1)[nh])
+            sy2l.append(np.where(lo, ys1, ys0)[nh])
+            sx1l.append(np.where(lo, xs0, xs1)[nh])
+            sx2l.append(np.where(lo, xs1, xs0)[nh])
+    if sy1l:
+        sy1 = np.concatenate(sy1l)
+        sy2 = np.concatenate(sy2l)
+        sx1 = np.concatenate(sx1l)
+        sx2 = np.concatenate(sx2l)
+        dy_col = (np.arange(miny, maxy + 1, dtype=np.float64)
+                  + 0.5)[:, None]
+        mask = (dy_col >= sy1[None, :]) & (dy_col < sy2[None, :])
+        with np.errstate(all="ignore"):
+            inter = ((dy_col - sy1[None, :]) * (sx2 - sx1)[None, :]
+                     / (sy2 - sy1)[None, :] + sx1[None, :])
+        inter = np.minimum(np.maximum(inter, -2.0**31), 2.0**31 - 1)
+        xi = np.floor(inter + 0.5)
+        ridx, sidx = np.nonzero(mask)
+        xv = xi[ridx, sidx].astype(np.int64)
+        order = np.lexsort((xv, ridx))
+        ridx, xv = ridx[order], xv[order]
+    else:
+        ridx = xv = np.zeros(0, dtype=np.int64)
+    if len(ridx):
+        gstart = np.flatnonzero(np.r_[True, ridx[1:] != ridx[:-1]])
+        gend = np.r_[gstart[1:], len(ridx)]
+    else:
+        gstart = gend = np.zeros(0, dtype=np.int64)
+
+    seen_rows = set()
+    for s, e in zip(gstart, gend):
+        y = miny + int(ridx[s])
+        seen_rows.add(y)
+        ints = xv[s:e]
+        horiz = sorted(horiz_rows.get(y, []))
         for i in range(0, len(ints) - 1, 2):
             if ints[i] <= maxx and ints[i + 1] > 0:
-                burn_span(y, ints[i], ints[i + 1] - 1)
+                burn_span(y, int(ints[i]), int(ints[i + 1]) - 1)
         # horizontal fills, skipping spans already burnt this line
         i = 0
         for hx1, hx2 in horiz:
@@ -148,6 +179,13 @@ def fill_polygon_scanline(
                     i += 2
                 if i + 1 >= len(ints) or ints[i] != hx1:
                     burn_span(y, hx1, hx2 - 1)
+    # rows that carry only horizontal segments (no crossings)
+    for y, hlist in horiz_rows.items():
+        if y in seen_rows:
+            continue
+        for hx1, hx2 in sorted(hlist):
+            if hx1 <= maxx and hx2 > 0:
+                burn_span(y, hx1, hx2 - 1)
 
 
 _EPS_IO = 1e-4  # EPSILON_INTERSECT_ONLY (llrasterize.cpp:418)

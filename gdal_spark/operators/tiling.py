@@ -224,17 +224,18 @@ def page_density_tiles(
     num_partitions: int | None = None,
     codec: str | None = None,
 ) -> DataFrame:
-    """Base-zoom page-density raster: count of points per pixel."""
-    return densify(
-        sparse_density(points, zoom, tile_size, lon, lat, num_partitions),
-        zoom, tile_size, codec,
-    )
+    """Base-zoom page-density raster: count of points per pixel.
+    The dense render fuses into the merge kernel (one Python stage
+    fewer than densify(sparse_density(...)))."""
+    return sparse_density(points, zoom, tile_size, lon, lat,
+                          num_partitions, _dense=(tile_size, codec))
 
 
 def sparse_density(
     points: DataFrame, zoom: int, tile_size: int = 256,
     lon: str = "lon", lat: str = "lat",
     num_partitions: int | None = None,
+    _dense: tuple | None = None,
 ) -> DataFrame:
     """Sparse per-tile histogram: (tile_x, tile_y, idx, cnt) with one
     row per occupied tile.
@@ -306,15 +307,64 @@ def sparse_density(
     nparts = num_partitions or (
         points.sparkSession.sparkContext.defaultParallelism * 2
     )
-    return _merge_sparse(partials, nparts)
+    return _merge_sparse(partials, nparts, dense=_dense)
 
 
-def _merge_sparse(partials: DataFrame, nparts: int) -> DataFrame:
+def _dense_pdf(b: pd.DataFrame, tile_size: int,
+               codec: str | None) -> Iterator[pd.DataFrame]:
+    """Sparse (idx, cnt) rows -> dense TILE_SCHEMA frames (shared by
+    densify() and the fused merge kernel), yielded in bounded blocks
+    so no Arrow column exceeds its 2GB cap."""
+    tsts = tile_size * tile_size
+    umax = np.iinfo(np.uint32).max
+    block = 256
+    n = len(b)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        payloads, dts_s = [], []
+        for idx_b, cnt_b in zip(b["idx"].iloc[s:e],
+                                b["cnt"].iloc[s:e]):
+            idx = np.frombuffer(idx_b, dtype=np.int32)
+            vals = np.minimum(
+                np.frombuffer(cnt_b, dtype=np.int64), umax
+            ).astype(np.uint32)
+            if codec == "deflate" and \
+                    len(idx) <= _SPARSE_FRAC * tsts:
+                # straight from the sparse entries: the dense
+                # histogram is never allocated (the zlib zero-scan
+                # was the measured pyramid bottleneck)
+                payloads.append(deflate_sparse_tile(
+                    idx.astype(np.int64), vals, tsts))
+                dts_s.append("deflate:uint32")
+                continue
+            hist = np.zeros(tsts, dtype=np.uint32)
+            hist[idx] = vals
+            payload, dts = encode_tile(
+                hist.reshape(tile_size, tile_size), codec)
+            payloads.append(payload)
+            dts_s.append(dts)
+        yield pd.DataFrame({
+            "zoom": b["zoom"].iloc[s:e].to_numpy(),
+            "tile_x": b["tile_x"].iloc[s:e].to_numpy(),
+            "tile_y": b["tile_y"].iloc[s:e].to_numpy(),
+            "band": 1,
+            "data": payloads,
+            "dtype": dts_s,
+            "tile_size": tile_size,
+        })
+
+
+def _merge_sparse(partials: DataFrame, nparts: int,
+                  dense: tuple | None = None) -> DataFrame:
     """Stream-merge sparse partials per tile (range partition + sort
     clusters each tile; the mapInPandas iterator merges across
     Arrow-batch boundaries within a partition, avoiding per-group
     pandas overhead on tens of thousands of tiles).  Output stays
-    SPARSE: one (idx, cnt) row per tile."""
+    SPARSE: one (idx, cnt) row per tile — unless ``dense=(tile_size,
+    codec)``, which densifies INSIDE the same kernel: every distinct
+    pandas-UDF stage costs ~0.3-0.5 s fixed on this box (CLAUDE.md
+    stage-count lesson), so the render fuses into the merge instead
+    of crossing Arrow again."""
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # vectorized per batch: decode every partial, combine into one
@@ -378,16 +428,24 @@ def _merge_sparse(partials: DataFrame, nparts: int) -> DataFrame:
         if carry is not None and len(carry):
             yield carry
 
+    def merge_dense(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        ts, codec = dense
+        for sparse_pdf in merge(batches):
+            yield from _dense_pdf(sparse_pdf, ts, codec)
+
     # hash repartition, not range: RangePartitioner runs a sampling
     # job that recomputes the (expensive) partial stage twice; the
     # merge only needs same-tile co-location + in-partition order.
     # Sinks that want globally tile-ordered output (write_tiles) sort
     # at write time.
-    return (
+    shuffled = (
         partials.repartition(nparts, "zoom", "tile_x", "tile_y")
         .sortWithinPartitions("zoom", "tile_x", "tile_y")
-        .mapInPandas(merge, _PARTIAL_SCHEMA)
     )
+    if dense is not None:
+        return shuffled.mapInPandas(merge_dense, TILE_SCHEMA)
+    return shuffled.mapInPandas(merge, _PARTIAL_SCHEMA)
 
 
 def sparse_overview(sparse: DataFrame, tile_size: int = 256,
@@ -454,49 +512,11 @@ def densify(sparse: DataFrame, zoom: int, tile_size: int = 256,
     ``codec='deflate'`` the payloads are zlib-compressed (the PNG
     stand-in), cutting Arrow/sink bytes ~100x on sparse tiles."""
 
-    tsts = tile_size * tile_size
-    umax = np.iinfo(np.uint32).max
-    block = 256  # output rows per yielded frame
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            n = len(b)
-            for s in range(0, n, block):
-                e = min(s + block, n)
-                payloads, dts_s = [], []
-                for idx_b, cnt_b in zip(b["idx"].iloc[s:e],
-                                        b["cnt"].iloc[s:e]):
-                    idx = np.frombuffer(idx_b, dtype=np.int32)
-                    vals = np.minimum(
-                        np.frombuffer(cnt_b, dtype=np.int64), umax
-                    ).astype(np.uint32)
-                    if codec == "deflate" and \
-                            len(idx) <= _SPARSE_FRAC * tsts:
-                        # straight from the sparse entries: the
-                        # dense histogram is never allocated (the
-                        # zlib zero-scan was the measured pyramid
-                        # bottleneck — 71,698 tiles, median 7
-                        # nonzero pixels)
-                        payloads.append(deflate_sparse_tile(
-                            idx.astype(np.int64), vals, tsts))
-                        dts_s.append("deflate:uint32")
-                        continue
-                    hist = np.zeros(tsts, dtype=np.uint32)
-                    hist[idx] = vals
-                    payload, dts = encode_tile(
-                        hist.reshape(tile_size, tile_size), codec)
-                    payloads.append(payload)
-                    dts_s.append(dts)
-                yield pd.DataFrame({
-                    "zoom": (b["zoom"].iloc[s:e].to_numpy()
-                             if "zoom" in b.columns else zoom),
-                    "tile_x": b["tile_x"].iloc[s:e].to_numpy(),
-                    "tile_y": b["tile_y"].iloc[s:e].to_numpy(),
-                    "band": 1,
-                    "data": payloads,
-                    "dtype": dts_s,
-                    "tile_size": tile_size,
-                })
+            if "zoom" not in b.columns:
+                b = b.assign(zoom=zoom)
+            yield from _dense_pdf(b, tile_size, codec)
 
     return sparse.mapInPandas(kernel, TILE_SCHEMA)
 
@@ -594,6 +614,7 @@ def sparse_pyramid(
     points: DataFrame, base_zoom: int, min_zoom: int = 0,
     tile_size: int = 256, lon: str = "lon", lat: str = "lat",
     num_partitions: int | None = None,
+    _dense: tuple | None = None,
 ) -> DataFrame:
     """ALL pyramid levels in a single pass: phase 1 derives every
     zoom's (tile, pixel) key from the base-zoom key by bit shifts
@@ -668,7 +689,7 @@ def sparse_pyramid(
     nparts = num_partitions or (
         points.sparkSession.sparkContext.defaultParallelism * 2
     )
-    return _merge_sparse(partials, nparts)
+    return _merge_sparse(partials, nparts, dense=_dense)
 
 
 def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int = 0,
@@ -676,10 +697,10 @@ def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int = 0,
                   codec: str | None = None) -> DataFrame:
     """Full pyramid: base zoom rendered from points, overview zooms
     aggregated concurrently in the same single-shuffle pass
-    (see sparse_pyramid); densified map-side for output."""
-    level = sparse_pyramid(points, base_zoom, min_zoom, tile_size,
-                           lon, lat)
-    return densify(level, base_zoom, tile_size, codec)
+    (see sparse_pyramid); densified inside the merge kernel (no
+    extra Arrow stage)."""
+    return sparse_pyramid(points, base_zoom, min_zoom, tile_size,
+                          lon, lat, _dense=(tile_size, codec))
 
 
 def tiles_as_features(tiles: DataFrame, gt: list[float] | None = None,
