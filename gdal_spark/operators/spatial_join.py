@@ -215,12 +215,17 @@ def spatial_join_points_in_polygons(
         (F.col(lon) >= F.col("minx")) & (F.col(lon) < F.col("maxx"))
         & (F.col(lat) >= F.col("miny")) & (F.col(lat) < F.col("maxy"))
     )
-    rect_hits = cand.filter(F.col("is_rect") & rect_in) \
-        .select(*out_cols)
     # stage 2b: interior-cell fast accept — the candidate's cell is
-    # wholly inside the polygon, no exact test needed (JVM-only)
-    full_hits = cand.filter(~F.col("is_rect") & F.col("full_in")) \
-        .select(*out_cols)
+    # wholly inside the polygon, no exact test needed (JVM-only).
+    # Rect accepts and interior-cell accepts are DISJOINT conditions
+    # on the same candidate frame, so one filter covers both: a
+    # branch per condition would re-evaluate the whole scan+join
+    # subtree per branch (no exchange below the broadcast join means
+    # nothing is reused across union arms)
+    jvm_hits = cand.filter(
+        (F.col("is_rect") & rect_in)
+        | (~F.col("is_rect") & F.col("full_in"))
+    ).select(*out_cols)
     # stage 3: exact ray-cast kernel for boundary cells only
     nonrect = cand.filter(~F.col("is_rect") & ~F.col("full_in")) \
         .select(*out_cols)
@@ -232,7 +237,7 @@ def spatial_join_points_in_polygons(
         if not _is_axis_rect(parse_wkb(bytes(wkb)))
     }
     if not rings_by_fid:
-        return rect_hits.unionByName(full_hits)
+        return jvm_hits
     bc = spark.sparkContext.broadcast(rings_by_fid)
     schema = nonrect.schema
 
@@ -252,8 +257,7 @@ def spatial_join_points_in_polygons(
             if len(out):
                 yield out
 
-    return rect_hits.unionByName(full_hits) \
-        .unionByName(nonrect.mapInPandas(exact, schema))
+    return jvm_hits.unionByName(nonrect.mapInPandas(exact, schema))
 
 
 def spatial_join_big_polygons(
@@ -359,9 +363,12 @@ def spatial_join_big_polygons(
         (F.col(lon) >= F.col("minx")) & (F.col(lon) < F.col("maxx"))
         & (F.col(lat) >= F.col("miny")) & (F.col(lat) < F.col("maxy"))
     )
-    rect_hits = cand.filter(F.col("is_rect") & rect_in).select(*out_cols)
-    full_hits = cand.filter(~F.col("is_rect") & F.col("full_in")) \
-        .select(*out_cols)
+    # disjoint JVM accepts merged into ONE filter (see the broadcast
+    # path: a branch per condition re-evaluates the candidate join)
+    jvm_hits = cand.filter(
+        (F.col("is_rect") & rect_in)
+        | (~F.col("is_rect") & F.col("full_in"))
+    ).select(*out_cols)
     nonrect = cand.filter(~F.col("is_rect") & ~F.col("full_in")) \
         .select(*(out_cols + [geom_col]))
     schema = nonrect.drop(geom_col).schema
@@ -386,8 +393,7 @@ def spatial_join_big_polygons(
             if len(out):
                 yield out
 
-    return rect_hits.unionByName(full_hits) \
-        .unionByName(nonrect.mapInPandas(exact, schema))
+    return jvm_hits.unionByName(nonrect.mapInPandas(exact, schema))
 
 
 def brute_force_join_pdf(points_pdf: pd.DataFrame, polys_pdf: pd.DataFrame,

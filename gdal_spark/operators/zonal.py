@@ -26,7 +26,7 @@ from pyspark.sql.types import (
     DoubleType, LongType, StructField, StructType
 )
 
-from gdal_spark.operators.rasterize import GridSpec, rasterize
+from gdal_spark.operators.rasterize import GridSpec
 
 _PARTIAL = StructType([
     StructField("zone", LongType()),
@@ -44,21 +44,56 @@ _VALCOUNT = StructType([
 ])
 
 
-def _joined_tiles(spark, value_tiles: DataFrame, zones_pdf: pd.DataFrame,
-                  grid: GridSpec, tile_size: int, all_touched: bool):
-    zones = zones_pdf.copy()
-    zones["__burn"] = zones["fid"].astype(np.int64) + 1  # 0 = outside
-    # zone rasters are near-constant: deflate them so the tile join
-    # shuffles kilobytes, not dense 512KB int64 buffers
-    zone_tiles = rasterize(
-        spark, zones, grid, burn_col="__burn", dtype="int64",
-        all_touched=all_touched, merge_alg="replace", tile_size=tile_size,
-        codec="deflate",
-    ).select(
-        "tile_x", "tile_y",
-        F.col("data").alias("zdata"),
-    )
-    return value_tiles.join(zone_tiles, ["tile_x", "tile_y"])
+def _zone_render_bc(spark, zones_pdf: pd.DataFrame, grid: GridSpec,
+                    tile_size: int):
+    """Broadcast the zone layer as pixel-space rings + per-zone tile
+    bboxes.  The zonal kernels render each value tile's zone raster
+    IN PLACE with the exact rasterize law (same scanline fill, same
+    sequential later-zone-wins burn order) — the zones_pdf API is
+    driver-side by contract, so shipping rings instead of a
+    rasterized+shuffled zone tile layer removes the zone rasterize
+    stage AND the value-tile join exchange: zonal becomes map-only
+    over the value tiles plus ONE aggregation shuffle."""
+    from gdal_spark.geometry.wkb import parse_wkb
+
+    entries = []
+    for order, (_, r) in enumerate(zones_pdf.iterrows()):
+        g = parse_wkb(bytes(r["geometry"]))
+        rings_px = [grid.to_px(ring) for ring in g.rings()]
+        burn = float(int(r["fid"]) + 1)          # 0 = outside
+        allc = np.vstack(rings_px)
+        entries.append((rings_px, burn, g.kind,
+                        allc[:, 0].min() // tile_size,
+                        allc[:, 0].max() // tile_size,
+                        allc[:, 1].min() // tile_size,
+                        allc[:, 1].max() // tile_size))
+    return spark.sparkContext.broadcast(entries)
+
+
+def _render_zone_tile(entries, tx: int, ty: int, grid: GridSpec,
+                      tile_size: int, all_touched: bool) -> np.ndarray:
+    """int64 zone raster of ONE tile: the same per-tile render the
+    distributed rasterize's kernel runs (rasterize_chunk on rings
+    shifted into tile-local space, sequential burn order)."""
+    from gdal_spark.operators.rasterize import rasterize_chunk
+
+    ox, oy = tx * tile_size, ty * tile_size
+    w = min(tile_size, grid.width - ox)
+    h = min(tile_size, grid.height - oy)
+    local = []
+    for rings_px, burn, kind, tx0, tx1, ty0, ty1 in entries:
+        if tx0 <= tx <= tx1 and ty0 <= ty <= ty1:
+            local.append(([r - np.array([[ox, oy]]) for r in rings_px],
+                          burn, kind))
+    if not local:
+        return np.zeros((tile_size, tile_size), dtype=np.int64)
+    arr = rasterize_chunk((h, w), local, "int64", all_touched,
+                          "replace")
+    if (h, w) != (tile_size, tile_size):
+        full = np.zeros((tile_size, tile_size), dtype=arr.dtype)
+        full[:h, :w] = arr
+        arr = full
+    return arr
 
 
 def zonal_stats(
@@ -75,10 +110,10 @@ def zonal_stats(
     ``zones_pdf``: fid + geometry(WKB).  Zone ids burn over a -1
     background; zone -1 (outside every polygon) is dropped.
     """
-    joined = _joined_tiles(spark, value_tiles, zones_pdf, grid,
-                           tile_size, all_touched)
+    bc = _zone_render_bc(spark, zones_pdf, grid, tile_size)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        entries = bc.value
         for b in batches:
             rows = {k: [] for k in
                     ("zone", "cnt", "vsum", "vsum2", "vmin", "vmax")}
@@ -86,10 +121,14 @@ def zonal_stats(
                 ts = int(r["tile_size"])
                 from gdal_spark.operators.tiling import decode_tile
 
+                zones = _render_zone_tile(
+                    entries, int(r["tile_x"]), int(r["tile_y"]),
+                    grid, ts, all_touched)
+                mask = zones >= 1
+                if not mask.any():
+                    continue
                 vals = decode_tile(r["data"], r["dtype"], ts) \
                     .astype(np.float64)
-                zones = decode_tile(r["zdata"], "deflate:int64", ts)
-                mask = zones >= 1
                 if nodata is not None:
                     mask &= vals != nodata
                 z = zones[mask]
@@ -111,7 +150,7 @@ def zonal_stats(
                     k: np.concatenate(rows[k]) for k in rows
                 })
 
-    partials = joined.mapInPandas(kernel, _PARTIAL)
+    partials = value_tiles.mapInPandas(kernel, _PARTIAL)
     return (
         partials.groupBy("zone")
         .agg(
@@ -138,20 +177,24 @@ def zonal_value_counts(
     tile_size: int = 256,
 ) -> DataFrame:
     """(zone, value, cnt) rows — basis for MAJORITY/MINORITY/VARIETY."""
-    joined = _joined_tiles(spark, value_tiles, zones_pdf, grid,
-                           tile_size, False)
+    bc = _zone_render_bc(spark, zones_pdf, grid, tile_size)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        entries = bc.value
         for b in batches:
             rows = {"zone": [], "value": [], "cnt": []}
             for _, r in b.iterrows():
                 ts = int(r["tile_size"])
                 from gdal_spark.operators.tiling import decode_tile
 
+                zones = _render_zone_tile(
+                    entries, int(r["tile_x"]), int(r["tile_y"]),
+                    grid, ts, False)
+                mask = zones >= 1
+                if not mask.any():
+                    continue
                 vals = decode_tile(r["data"], r["dtype"], ts) \
                     .astype(np.float64)
-                zones = decode_tile(r["zdata"], "deflate:int64", ts)
-                mask = zones >= 1
                 if nodata is not None:
                     mask &= vals != nodata
                 if not mask.any():
@@ -167,7 +210,7 @@ def zonal_value_counts(
                 })
 
     counts = (
-        joined.mapInPandas(kernel, _VALCOUNT)
+        value_tiles.mapInPandas(kernel, _VALCOUNT)
         .groupBy("zone", "value").agg(F.sum("cnt").alias("cnt"))
     )
     return counts.withColumn("zone", F.col("zone") - 1)

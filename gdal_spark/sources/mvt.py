@@ -491,11 +491,18 @@ def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
     zooms = list(range(minzoom, maxzoom + 1))
     ext, buf = extent, buffer
 
+    # __px/__py carry pure-point geometries as two doubles through
+    # the tile shuffle (r7): the point fast path previously rebuilt
+    # a 21-byte WKB object per row on BOTH sides of the exchange —
+    # two python loops over every feature; now only non-point
+    # geometries serialize as WKB (geometry_col stays for them).
     cover_schema = StructType(
         [StructField("zoom", IntegerType()),
          StructField("tile_x", LongType()),
          StructField("tile_y", LongType()),
-         StructField(geometry_col, BinaryType())]
+         StructField(geometry_col, BinaryType()),
+         StructField("__px", DoubleType()),
+         StructField("__py", DoubleType())]
         + ([StructField(fid_col, LongType())] if fid_col else [])
         + [StructField(c, df.schema[c].dataType) for c in prop_cols])
 
@@ -518,14 +525,6 @@ def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
                                               ("x", "<f8"),
                                               ("y", "<f8")])
                 m = _merc_xy(np.stack([a["x"], a["y"]], axis=1))
-                out = np.empty(len(m), dtype=a.dtype)
-                out["hdr"] = _PT_HDR
-                out["x"] = m[:, 0]
-                out["y"] = m[:, 1]
-                raw2 = out.tobytes()
-                merc_wkb = np.array(
-                    [raw2[i * 21:(i + 1) * 21]
-                     for i in range(len(m))], dtype=object)
                 for z in zooms:
                     tw = 2.0 * ORIGIN / (1 << z)
                     mi = (1 << z) - 1
@@ -545,7 +544,8 @@ def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
                     base = pd.DataFrame({
                         "zoom": np.full(len(m), z, dtype=np.int32),
                         "tile_x": txmin, "tile_y": tymin,
-                        geometry_col: merc_wkb,
+                        geometry_col: None,
+                        "__px": m[:, 0], "__py": m[:, 1],
                     })
                     for c in carry_cols:
                         base[c] = b[c].to_numpy()
@@ -568,7 +568,8 @@ def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
                                             dtype=np.int32),
                             "tile_x": [e[1] for e in extra],
                             "tile_y": [e[2] for e in extra],
-                            geometry_col: merc_wkb[idx],
+                            geometry_col: None,
+                            "__px": m[idx, 0], "__py": m[idx, 1],
                         })
                         for c in carry_cols:
                             dup[c] = b[c].to_numpy()[idx]
@@ -588,6 +589,8 @@ def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
                 bbox = g.bbox()
                 base = {c: carried[c].iloc[j] for c in carry_cols}
                 base[geometry_col] = merc
+                base["__px"] = None
+                base["__py"] = None
                 for z in zooms:
                     buf_m = buf / ext * (2.0 * ORIGIN / (1 << z))
                     txmin, txmax, tymin, tymax = _tile_cover(
@@ -645,6 +648,8 @@ def _mvt_encode_frame(covered: DataFrame, *, path: str | None,
         c_fids: list = []
         c_geos: list = []
         c_props: list = []
+        c_pxs: list = []
+        c_pys: list = []
         out: list[dict] = []
         EMPTY: dict = {}
 
@@ -657,33 +662,46 @@ def _mvt_encode_frame(covered: DataFrame, *, path: str | None,
             y_top = ORIGIN - ty * span
             enc_feats = []
             simp_tol = simp if simp else None
-            wkbs = [bytes(w) for w in c_geos]
-            if all(len(w) == 21 and w[:5] == b"\x01\x01\x00\x00\x00"
-                   for w in wkbs):
-                # vectorized all-points tile: one frombuffer +
-                # one quantize for the whole tile (per-feature
-                # small-array numpy is ~20us each — the hot cost)
-                a = np.frombuffer(b"".join(wkbs),
-                                  dtype=[("hdr", "S5"), ("x", "<f8"),
-                                         ("y", "<f8")])
-                ix = np.floor((a["x"] - x0) / span * ext + 0.5) \
+            # points arrive as __px/__py doubles (no WKB was built):
+            # one vectorized quantize for all of them
+            pxa = np.asarray(c_pxs, dtype=np.float64)
+            pts_mask = ~np.isnan(pxa)
+            if pts_mask.any():
+                pya = np.asarray(c_pys, dtype=np.float64)
+                sel = np.flatnonzero(pts_mask)
+                ix = np.floor((pxa[sel] - x0) / span * ext + 0.5) \
                     .astype(np.int64)
-                iy = np.floor((y_top - a["y"]) / span * ext + 0.5) \
+                iy = np.floor((y_top - pya[sel]) / span * ext + 0.5) \
                     .astype(np.int64)
                 zzx = ((ix << 1) ^ (ix >> 63)).tolist()
                 zzy = ((iy << 1) ^ (iy >> 63)).tolist()
                 enc_feats = [
-                    (fid, 1, (9, zzx[i], zzy[i]), pr)
-                    for i, (fid, pr) in enumerate(zip(c_fids,
-                                                      c_props))]
-            else:
-                for fid, wkb, pr in zip(c_fids, wkbs, c_props):
+                    (c_fids[j], 1, (9, zzx[i], zzy[i]), c_props[j])
+                    for i, j in enumerate(sel.tolist())]
+            if not pts_mask.all():
+                for j in np.flatnonzero(~pts_mask).tolist():
+                    wkb = bytes(c_geos[j])
+                    if len(wkb) == 21 and \
+                            wkb[:5] == b"\x01\x01\x00\x00\x00":
+                        # WKB point from a mixed batch: same
+                        # quantize law as the column fast path
+                        mx, my = np.frombuffer(wkb, dtype="<f8",
+                                               offset=5)
+                        ix1 = int(np.floor((mx - x0) / span * ext
+                                           + 0.5))
+                        iy1 = int(np.floor((y_top - my) / span * ext
+                                           + 0.5))
+                        enc_feats.append(
+                            (c_fids[j], 1,
+                             (9, (ix1 << 1) ^ (ix1 >> 63),
+                              (iy1 << 1) ^ (iy1 >> 63)), c_props[j]))
+                        continue
                     g = parse_wkb(wkb)
                     prep = _prep_feature(g, x0, y_top, span, ext,
                                          buf, simp_tol)
                     if prep is not None:
-                        enc_feats.append((fid, prep[0], prep[1],
-                                          pr))
+                        enc_feats.append((c_fids[j], prep[0],
+                                          prep[1], c_props[j]))
             if not enc_feats:
                 return
             blob = _encode_layer(lyr, ext, enc_feats)
@@ -725,6 +743,8 @@ def _mvt_encode_frame(covered: DataFrame, *, path: str | None,
             xs = b["tile_x"].to_numpy()
             ys = b["tile_y"].to_numpy()
             geos = b[geometry_col].to_numpy().tolist()
+            pxs = b["__px"].to_numpy(dtype=np.float64).tolist()
+            pys = b["__py"].to_numpy(dtype=np.float64).tolist()
             fids = (cook(b[fid_col], "Integer64") if fid_col
                     else [None] * n)
             if prop_cols:
@@ -746,9 +766,12 @@ def _mvt_encode_frame(covered: DataFrame, *, path: str | None,
                     flush()
                     cur = key
                     c_fids, c_geos, c_props = [], [], []
+                    c_pxs, c_pys = [], []
                 c_fids.extend(fids[s:e])
                 c_geos.extend(geos[s:e])
                 c_props.extend(props[s:e])
+                c_pxs.extend(pxs[s:e])
+                c_pys.extend(pys[s:e])
         flush()
         if out:
             yield pd.DataFrame(out)

@@ -74,12 +74,20 @@ def coords_for_index(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.where(hot, lon_c, lon_u), np.where(hot, lat_c, lat_u)
 
 
+def _fmt6(vals) -> pd.Series:
+    """'%.6f' of a float array as a Series — np.char.mod runs the
+    same C printf formatting as f'{v:.6f}' without a per-row python
+    lambda (byte-identical output, ~10x faster)."""
+    return pd.Series(np.char.mod("%.6f", np.asarray(vals,
+                                                    dtype=np.float64)))
+
+
 def expected_text(i: np.ndarray, lon: np.ndarray, lat: np.ndarray,
                   lang: "pd.Series | np.ndarray") -> pd.Series:
     """The byte-exact text oracle for page index *i*."""
     i = pd.Series(np.asarray(i, dtype=np.int64))
-    lon6 = pd.Series(np.asarray(lon)).map(lambda v: f"{v:.6f}")
-    lat6 = pd.Series(np.asarray(lat)).map(lambda v: f"{v:.6f}")
+    lon6 = _fmt6(lon)
+    lat6 = _fmt6(lat)
     lang = pd.Series(np.asarray(lang))
     return (
         "Page " + i.astype(str) + " [" + lang + "] located at "
@@ -163,14 +171,15 @@ def pages_df(spark: SparkSession, n: int, partitions: int | None = None,
                 b["i"].to_numpy(), b["lon"].to_numpy(), b["lat"].to_numpy(),
                 b["lang"],
             )
-            lat6 = pd.Series(b["lat"]).map(lambda v: f"{v:.6f}")
-            lon6 = pd.Series(b["lon"]).map(lambda v: f"{v:.6f}")
+            lat6 = _fmt6(b["lat"].to_numpy())
+            lon6 = _fmt6(b["lon"].to_numpy())
             html = (
-                "<html><head><title>Page " + b["i"].astype(str)
+                "<html><head><title>Page "
+                + pd.Series(b["i"].to_numpy()).astype(str)
                 + '</title><meta name="geo.position" content="'
                 + lat6 + ";" + lon6 + '"/></head><body><p>'
-                + text + "</p></body></html>"
-            ).map(lambda s: s.encode("utf-8"))
+                + text.reset_index(drop=True) + "</p></body></html>"
+            ).str.encode("utf-8")
             yield pd.DataFrame({
                 "i": b["i"], "url": b["url"], "warc_ts": b["warc_ts"],
                 "html": html, "text": text, "lang": b["lang"],
@@ -196,7 +205,7 @@ def with_extracted_geo(pages: DataFrame) -> DataFrame:
 
     @pandas_udf(GEO_SCHEMA)
     def extract(html: pd.Series) -> pd.DataFrame:
-        s = html.map(lambda b: b.decode("utf-8", "replace"))
+        s = html.str.decode("utf-8", errors="replace")
         m = s.str.extract(
             r'geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)"'
         )
@@ -216,7 +225,7 @@ def extract_text(pages: DataFrame) -> DataFrame:
 
     @pandas_udf(StringType())
     def extract(html: pd.Series) -> pd.Series:
-        s = html.map(lambda b: b.decode("utf-8", "replace"))
+        s = html.str.decode("utf-8", errors="replace")
         return s.str.extract(r"<p>(.*?)</p>", expand=False)
 
     return pages.withColumn("extracted_text", extract(F.col("html")))
