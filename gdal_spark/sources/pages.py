@@ -198,24 +198,22 @@ GEO_SCHEMA = StructType([
 def with_extracted_geo(pages: DataFrame) -> DataFrame:
     """Geocode stage: parse the geo.position hint out of html.
 
-    Arrow-vectorized (pandas .str extraction over the batch); returns
-    the input plus ``geo_lat`` / ``geo_lon`` columns.
+    Pure-JVM regexp_extract over the decoded html (r7): the previous
+    pandas-UDF extraction paid a second JVM->Python->JVM crossing of
+    the full html payload right after the render kernel; the same
+    regex runs codegen'd in the JVM, and a non-matching row maps to
+    NULL exactly as pd.to_numeric(errors='coerce') did.  Returns the
+    input plus ``geo_lat`` / ``geo_lon`` columns.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(GEO_SCHEMA)
-    def extract(html: pd.Series) -> pd.DataFrame:
-        s = html.str.decode("utf-8", errors="replace")
-        m = s.str.extract(
-            r'geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)"'
-        )
-        return pd.DataFrame({
-            "lat": pd.to_numeric(m[0], errors="coerce"),
-            "lon": pd.to_numeric(m[1], errors="coerce"),
-        })
-
-    g = extract(F.col("html"))
-    return pages.withColumn("geo_lat", g["lat"]).withColumn("geo_lon", g["lon"])
+    pat = r'geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)"'
+    s = F.col("html").cast("string")
+    lat_s = F.regexp_extract(s, pat, 1)
+    lon_s = F.regexp_extract(s, pat, 2)
+    return (pages
+            .withColumn("geo_lat",
+                        F.when(lat_s != "", lat_s).cast("double"))
+            .withColumn("geo_lon",
+                        F.when(lon_s != "", lon_s).cast("double")))
 
 
 def extract_text(pages: DataFrame) -> DataFrame:
