@@ -57,6 +57,127 @@ _PARTIAL_SCHEMA = StructType([
     StructField("cnt", BinaryType()),    # int64 counts
 ])
 
+# packed partials (r7): ONE row per (input partition, destination
+# bucket) instead of one row per (input partition, tile).  A 1M-point
+# pyramid shuffled ~520k tiny rows whose per-row overhead dominated
+# the exchange; packing cuts that to a few thousand rows while the
+# byte payload (the sparse entries themselves) is unchanged.  hdr
+# packs int64 quads [zoom, tile_x, tile_y, n_entries] per tile;
+# idx/cnt concatenate the per-tile entry arrays in hdr order.
+_PACKED_SCHEMA = StructType([
+    StructField("bucket", IntegerType()),
+    StructField("hdr", BinaryType()),
+    StructField("idx", BinaryType()),
+    StructField("cnt", BinaryType()),
+])
+
+# distinct bucket values per output partition: >> 1 so the hash
+# partitioner spreads buckets evenly (guide §2.5 — too few distinct
+# synthetic keys leaves partitions empty under hash collisions)
+_BUCKETS_PER_PART = 32
+
+
+def _pack_frame(zs, txs, tys, lens, pix, csum,
+                n_buckets: int) -> pd.DataFrame:
+    """Per-tile sparse arrays -> packed one-row-per-bucket frame.
+
+    ``zs/txs/tys/lens``: per-tile int64 arrays; ``pix``/``csum``:
+    entries concatenated in tile order (int32 / int64).  Tiles map to
+    buckets via a splitmix hash of the tile key, so every copy of a
+    tile lands in the same bucket regardless of producer."""
+    tile_key = ((zs << 58) + (txs << 29) + tys).astype(np.uint64)
+    h = tile_key * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    bkt = (h % np.uint64(n_buckets)).astype(np.int64)
+    order = np.argsort(bkt, kind="stable")
+    lens_o = lens[order]
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    # ragged gather of entry ranges in bucket order
+    total = int(lens.sum())
+    if total:
+        off = np.repeat(starts[order] - np.r_[0, np.cumsum(lens_o)[:-1]],
+                        lens_o)
+        ent = np.arange(total, dtype=np.int64) + off
+        pix_o = pix[ent]
+        cnt_o = csum[ent]
+    else:
+        pix_o = pix[:0]
+        cnt_o = csum[:0]
+    bko = bkt[order]
+    bstart = np.flatnonzero(np.r_[True, bko[1:] != bko[:-1]])
+    bend = np.r_[bstart[1:], len(bko)]
+    ent_bounds = np.r_[0, np.cumsum(lens_o)]
+    rows = {"bucket": [], "hdr": [], "idx": [], "cnt": []}
+    quads = np.column_stack([zs[order], txs[order], tys[order],
+                             lens_o]).astype(np.int64)
+    for s, e in zip(bstart, bend):
+        rows["bucket"].append(int(bko[s]))
+        rows["hdr"].append(quads[s:e].tobytes())
+        lo, hi = ent_bounds[s], ent_bounds[e]
+        rows["idx"].append(pix_o[lo:hi].tobytes())
+        rows["cnt"].append(cnt_o[lo:hi].tobytes())
+    return pd.DataFrame(rows)
+
+
+def _merge_packed(packed: DataFrame, nparts: int,
+                  dense: tuple | None = None) -> DataFrame:
+    """Packed partials -> merged tiles: ONE hash exchange on the
+    bucket id, then a per-partition numpy reduce.  The kernel buffers
+    its partition's sparse entries (the same asymptotic bound as the
+    sorted-merge carry — entries / nparts; callers size nparts for
+    the scale via num_partitions)."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hdrs, idxs, cnts = [], [], []
+        for b in batches:
+            for hb, ib, cb in zip(b["hdr"], b["idx"], b["cnt"]):
+                hdrs.append(np.frombuffer(hb, np.int64).reshape(-1, 4))
+                idxs.append(np.frombuffer(ib, np.int32))
+                cnts.append(np.frombuffer(cb, np.int64))
+        if not hdrs:
+            return
+        hdr = np.vstack(hdrs)
+        alli = np.concatenate(idxs)
+        allc = np.concatenate(cnts)
+        tile_key = (hdr[:, 0] << 58) + (hdr[:, 1] << 29) + hdr[:, 2]
+        lens = hdr[:, 3]
+        uniq_tiles, tile_ord = np.unique(tile_key, return_inverse=True)
+        tiles_rep = np.repeat(tile_ord.astype(np.int64), lens)
+        key = tiles_rep * (1 << 18) + alli
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        uk = ks[starts]
+        csum = (np.add.reduceat(allc[order], starts)
+                if len(ks) else np.zeros(0, np.int64))
+        tile = uniq_tiles[(uk >> 18)]
+        pix = (uk & ((1 << 18) - 1)).astype(np.int32)
+        tst = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+        ten = np.r_[tst[1:], len(tile)]
+        csum64 = csum.astype(np.int64)
+        # emit in bounded tile blocks so no Arrow column grows large
+        block = 4096
+        for bs in range(0, len(tst), block):
+            be = min(bs + block, len(tst))
+            rows = {"zoom": [], "tile_x": [], "tile_y": [], "idx": [],
+                    "cnt": []}
+            for s, e in zip(tst[bs:be], ten[bs:be]):
+                t = int(tile[s])
+                rows["zoom"].append(t >> 58)
+                rows["tile_x"].append((t >> 29) & ((1 << 29) - 1))
+                rows["tile_y"].append(t & ((1 << 29) - 1))
+                rows["idx"].append(pix[s:e].tobytes())
+                rows["cnt"].append(csum64[s:e].tobytes())
+            pdf = pd.DataFrame(rows)
+            if dense is not None:
+                yield from _dense_pdf(pdf, dense[0], dense[1])
+            else:
+                yield pdf
+
+    shuffled = packed.repartition(nparts, "bucket")
+    schema = TILE_SCHEMA if dense is not None else _PARTIAL_SCHEMA
+    return shuffled.mapInPandas(merge, schema)
+
 
 def decode_tile(data: bytes, dtype: str, tile_size: int) -> np.ndarray:
     """Decode one tile payload.  ``dtype`` may carry a codec prefix:
@@ -266,10 +387,17 @@ def sparse_density(
         ).alias("key")
     )
 
+    nparts = num_partitions or (
+        points.sparkSession.sparkContext.defaultParallelism
+    )
+    n_buckets = nparts * _BUCKETS_PER_PART
+
     # ---- phase 1: map-side combine (per-partition sparse partials).
     # One np.unique per partition replaces per-point shuffle rows: a
-    # hot tile leaves each partition as ONE (idx, cnt) sparse row, so
-    # the shuffle is bounded by n_partitions x occupied_tiles.
+    # hot tile leaves each partition as ONE (idx, cnt) sparse run, so
+    # the shuffle is bounded by n_partitions x occupied_tiles — and
+    # the runs PACK into one row per destination bucket (r7), so the
+    # exchange moves thousands of rows, not one per tile.
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks: list[np.ndarray] = []
         counts: list[np.ndarray] = []
@@ -291,23 +419,16 @@ def sparse_density(
         pix = (uk & ((1 << pix_bits) - 1)).astype(np.int32)
         tstarts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
         tends = np.r_[tstarts[1:], len(tile)]
-        rows = {"zoom": [], "tile_x": [], "tile_y": [], "idx": [],
-                "cnt": []}
-        for s, e in zip(tstarts, tends):
-            t = int(tile[s])
-            rows["zoom"].append(zoom)
-            rows["tile_x"].append(t // n)
-            rows["tile_y"].append(t % n)
-            rows["idx"].append(pix[s:e].tobytes())
-            rows["cnt"].append(csum[s:e].astype(np.int64).tobytes())
-        yield pd.DataFrame(rows)
+        utile = tile[tstarts]
+        yield _pack_frame(
+            np.full(len(utile), zoom, dtype=np.int64),
+            (utile // n).astype(np.int64),
+            (utile % n).astype(np.int64),
+            (tends - tstarts).astype(np.int64),
+            pix, csum.astype(np.int64), n_buckets)
 
-    partials = staged.mapInPandas(partial, _PARTIAL_SCHEMA)
-
-    nparts = num_partitions or (
-        points.sparkSession.sparkContext.defaultParallelism * 2
-    )
-    return _merge_sparse(partials, nparts, dense=_dense)
+    packed = staged.mapInPandas(partial, _PACKED_SCHEMA)
+    return _merge_packed(packed, nparts, dense=_dense)
 
 
 def _dense_pdf(b: pd.DataFrame, tile_size: int,
@@ -499,7 +620,7 @@ def sparse_overview(sparse: DataFrame, tile_size: int = 256,
                 yield pd.DataFrame(rows)
 
     nparts = num_partitions or (
-        sparse.sparkSession.sparkContext.defaultParallelism * 2
+        sparse.sparkSession.sparkContext.defaultParallelism
     )
     return _merge_sparse(sparse.mapInPandas(transform, _PARTIAL_SCHEMA),
                          nparts)
@@ -640,6 +761,10 @@ def sparse_pyramid(
     )
     pix_bits = 2 * int(np.log2(tile_size))
     log_nb = int(np.log2(n_base))
+    nparts = num_partitions or (
+        points.sparkSession.sparkContext.defaultParallelism
+    )
+    n_buckets = nparts * _BUCKETS_PER_PART
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks: list[np.ndarray] = []
@@ -656,8 +781,7 @@ def sparse_pyramid(
         allc = np.concatenate(counts)
         base_px = allk >> log_nb
         base_py = allk & (n_base - 1)
-        rows = {"zoom": [], "tile_x": [], "tile_y": [], "idx": [],
-                "cnt": []}
+        zl, txl, tyl, lenl, pixl, cntl = [], [], [], [], [], []
         for z in range(min_zoom, base_zoom + 1):
             shift = base_zoom - z
             zpx = base_px >> shift
@@ -675,21 +799,20 @@ def sparse_pyramid(
             pix = (uk & ((1 << pix_bits) - 1)).astype(np.int32)
             tst = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
             ten = np.r_[tst[1:], len(tile)]
-            for si, ei in zip(tst, ten):
-                t = int(tile[si])
-                rows["zoom"].append(z)
-                rows["tile_x"].append(t // n)
-                rows["tile_y"].append(t % n)
-                rows["idx"].append(pix[si:ei].tobytes())
-                rows["cnt"].append(
-                    csum[si:ei].astype(np.int64).tobytes())
-        yield pd.DataFrame(rows)
+            utile = tile[tst]
+            zl.append(np.full(len(utile), z, dtype=np.int64))
+            txl.append((utile // n).astype(np.int64))
+            tyl.append((utile % n).astype(np.int64))
+            lenl.append((ten - tst).astype(np.int64))
+            pixl.append(pix)
+            cntl.append(csum.astype(np.int64))
+        yield _pack_frame(
+            np.concatenate(zl), np.concatenate(txl),
+            np.concatenate(tyl), np.concatenate(lenl),
+            np.concatenate(pixl), np.concatenate(cntl), n_buckets)
 
-    partials = staged.mapInPandas(partial, _PARTIAL_SCHEMA)
-    nparts = num_partitions or (
-        points.sparkSession.sparkContext.defaultParallelism * 2
-    )
-    return _merge_sparse(partials, nparts, dense=_dense)
+    packed = staged.mapInPandas(partial, _PACKED_SCHEMA)
+    return _merge_packed(packed, nparts, dense=_dense)
 
 
 def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int = 0,
