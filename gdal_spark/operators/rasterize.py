@@ -498,7 +498,7 @@ def rasterize(
         if out["zoom"]:
             yield pd.DataFrame(out)
 
-    nparts = spark.sparkContext.defaultParallelism * 2
+    nparts = spark.sparkContext.defaultParallelism
     return (
         assign.repartition(nparts, "tile_x", "tile_y")
         .sortWithinPartitions("tile_x", "tile_y")
