@@ -246,46 +246,94 @@ def minhash_lsh_dedup(
     """Near-dup removal: keep the min-key representative of each
     connected candidate group (single-link via min propagation).
 
-    The signatures frame is persisted for its three uses (banding +
-    both prefilter sides) and RELEASED before return: the small
-    drop-key frame is eagerly localCheckpoint'ed so the returned
-    plan no longer references the cache — repeated calls in a
-    long-lived session (the 100-TB pipeline shape) don't accumulate
-    pinned signature frames in executor storage."""
-    from pyspark import StorageLevel
-
-    rows = num_hashes // bands
+    Pipeline shape (r7): the banding explode CARRIES the signature
+    through ONE (band, bucket) hash repartition; a single sorted
+    kernel finds each bucket's min-key representative (star pairing)
+    AND applies the equal-slot estimate prefilter in the same pass.
+    Identical pair set to the window+joins formulation (bucket law,
+    min rule and estimate law unchanged), but the window sort, both
+    signature-attach joins, the signatures persist and the eager
+    checkpoint are gone — the signature frame now has exactly one
+    consumer, so nothing is pinned in executor storage between
+    calls.  Cost moved into the exchange instead: the banding
+    shuffle carries bands x 8 x num_hashes bytes per doc (~8 KB at
+    the 64/16 defaults) versus ~20 bytes per band row before — still
+    O(corpus signatures), bounded, and strictly fewer stages."""
+    rpb = num_hashes // bands
     sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle,
-                              seed).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = minhash_lsh_candidates(sigs, key_col, bands, rows)
-    # cheap signature-estimate PREFILTER (slack below the threshold so
-    # estimator variance cannot veto a true duplicate).  The equal-slot
-    # count runs in ONE numpy kernel: the Catalyst zip_with/aggregate
-    # form evaluates interpreted (seconds of first-run cost), and the
-    # unrolled 64-term expression tree pays per-call planning time.
-    sa = sigs.select(F.col(key_col).alias("a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(key_col).alias("b"), F.col("sig").alias("sig_b"))
+                              seed)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.slice("sig", i * rpb + 1, rpb)).alias("bucket"))
+        for i in range(bands)]
+    exploded = (
+        sigs.select(key_col, "sig",
+                    F.explode(F.array(*band_cols)).alias("bb"))
+        .select(key_col, "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    parts = (exploded.repartition(par, "band", "bucket")
+             .sortWithinPartitions("band", "bucket", key_col))
+    # estimate cut has slack below the threshold so estimator
+    # variance cannot veto a true duplicate; the equal-slot count
+    # runs in numpy (the Catalyst zip_with/aggregate form evaluates
+    # interpreted — seconds of first-run cost, CLAUDE.md lesson)
     cut = max(threshold - 0.25, 0.0)
-    pre_schema = StructType([
+    pair_schema = StructType([
         StructField("a", df.schema[key_col].dataType),
         StructField("b", df.schema[key_col].dataType),
     ])
 
-    def est_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def star_est(batches: Iterator[pd.DataFrame]
+                 ) -> Iterator[pd.DataFrame]:
+        # groups are contiguous under the partition sort; a group can
+        # span Arrow batches, so the open group's rep carries across
+        carry_key = None
+        carry_rep = None
+        carry_sig = None
         for b in batches:
-            if not len(b):
+            n = len(b)
+            if not n:
                 continue
-            va = np.array(b["sig_a"].tolist(), dtype=np.int64)
-            vb = np.array(b["sig_b"].tolist(), dtype=np.int64)
-            est = (va == vb).sum(axis=1) / float(num_hashes)
-            keep = est >= cut
-            if keep.any():
-                yield b.loc[keep, ["a", "b"]]
+            bd = b["band"].to_numpy()
+            bk = b["bucket"].to_numpy()
+            ks = b[key_col].to_numpy()
+            sg = np.array(b["sig"].tolist(), dtype=np.int64)
+            new = np.ones(n, dtype=bool)
+            new[1:] = (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])
+            cont = (carry_key is not None
+                    and (bd[0], bk[0]) == carry_key)
+            if cont:
+                new[0] = False
+            starts = np.flatnonzero(new)
+            gid = np.cumsum(new) - 1        # -1 marks the carry segment
+            rep_sig = np.empty_like(sg)
+            rep_key = np.empty(n, dtype=ks.dtype)
+            in_new = gid >= 0
+            if starts.size:
+                rep_rows = starts[gid[in_new]]
+                rep_sig[in_new] = sg[rep_rows]
+                rep_key[in_new] = ks[rep_rows]
+            if cont and (~in_new).any():
+                rep_sig[~in_new] = carry_sig
+                rep_key[~in_new] = carry_rep
+            est = (sg == rep_sig).sum(axis=1) / float(num_hashes)
+            is_rep = np.zeros(n, dtype=bool)
+            if starts.size:
+                is_rep[starts] = True
+            emit = (~is_rep) & (est >= cut)
+            if emit.any():
+                yield pd.DataFrame({"a": rep_key[emit], "b": ks[emit]})
+            if starts.size:
+                last = starts[-1]
+                carry_key = (bd[n - 1], bk[n - 1])
+                carry_rep = ks[last]
+                carry_sig = sg[last]
+            # else: the whole batch continued the open group
 
-    prefiltered = (
-        cand.join(sa, "a").join(sb, "b")
-        .mapInPandas(est_kernel, pre_schema)
-    )
+    prefiltered = parts.mapInPandas(star_est, pair_schema).distinct()
     # ... then EXACT n-gram Jaccard before any row is dropped — false
     # LSH collisions never delete data (the module contract)
     verified = (
@@ -294,13 +342,9 @@ def minhash_lsh_dedup(
         .select("a", "b")
     )
     # each b maps to min(a) over its dup partners; survivors = keys
-    # that are never a 'b' with a smaller 'a'.  The drop frame is
-    # keys only (8 bytes/row, distributed) — eager checkpoint cuts
-    # the lineage so sigs can unpersist now, not at session end.
+    # that are never a 'b' with a smaller 'a'
     drop = verified.groupBy("b").agg(F.min("a").alias("rep")) \
-        .select(F.col("b").alias(key_col)) \
-        .localCheckpoint(eager=True)
-    sigs.unpersist()
+        .select(F.col("b").alias(key_col))
     return df.join(drop, key_col, "left_anti")
 
 
