@@ -415,12 +415,49 @@ def embedding_dedup(
                     F.col(vec_col).alias("vec_a"))
     vb = emb.select(F.col(key_col).alias("b"),
                     F.col(vec_col).alias("vec_b"))
-    verified = (
-        pairs.join(va, "a").join(vb, "b")
-        .withColumn("cos", cosine_sim_col("vec_a", F.col("vec_b")))
-        .filter(F.col("cos") >= F.lit(float(threshold)))
-        .select("b")
-    )
+    # exact-cosine verify in a numpy kernel that REPLAYS the JVM
+    # left-fold bit-for-bit (the Catalyst zip_with/aggregate form
+    # evaluates interpreted and pays seconds of first-run cost):
+    # per-element float32 product (the array<float> element type),
+    # widened to double and accumulated left-to-right — a j-loop of
+    # vectorized ops preserves the exact IEEE op order per row, so a
+    # knife-edge pair at the threshold decides identically (q40/q18
+    # frozen-oracle contract).  BLAS/np.dot would change summation
+    # order and is deliberately not used.
+    elem_np = {"float": np.float32, "double": np.float64}[
+        emb.schema[vec_col].dataType.elementType.simpleString()]
+    thr = float(threshold)
+    drop_schema = StructType([
+        StructField("b", emb.schema[key_col].dataType)])
+
+    def cos_verify(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ma = np.array([np.asarray(v, dtype=elem_np)
+                           for v in b["vec_a"]])
+            mb = np.array([np.asarray(v, dtype=elem_np)
+                           for v in b["vec_b"]])
+            n, d = ma.shape
+            dot = np.zeros(n, dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            nb = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                xa = ma[:, j]
+                xb = mb[:, j]
+                dot += (xa * xb).astype(np.float64)
+                na += (xa * xa).astype(np.float64)
+                nb += (xb * xb).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(na) * np.sqrt(nb))
+                keep = cos >= thr
+            if keep.any():
+                yield pd.DataFrame(
+                    {"b": b["b"].to_numpy()[keep]})
+
+    verified = (pairs.join(va, "a").join(vb, "b")
+                .mapInPandas(cos_verify, drop_schema))
     drop = verified.distinct().withColumnRenamed("b", key_col)
     return emb.join(drop, key_col, "left_anti")
 
