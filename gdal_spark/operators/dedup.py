@@ -430,20 +430,40 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     ])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
         for batch in batches:
             shingles = _shingle_hashes(batch[text_col], shingle)
-            out = np.zeros(len(batch), dtype=np.int64)
-            for i, grams in enumerate(shingles):
-                # spread 61-bit gram hashes to 64 bits via splitmix step
-                g = grams * np.uint64(0x9E3779B97F4A7C15)
-                g ^= g >> np.uint64(31)
-                bits = (g[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                score = bits.sum(axis=0) * 2 - len(g)
-                word = np.uint64(0)
-                for bi in np.nonzero(score > 0)[0]:
-                    word |= np.uint64(1) << np.uint64(bi)
-                out[i] = np.int64(word.astype(np.int64))
+            n = len(batch)
+            counts = np.fromiter((len(g) for g in shingles),
+                                 dtype=np.int64, count=n)
+            flat = (np.concatenate(shingles) if n
+                    else np.zeros(0, np.uint64))
+            # spread 61-bit gram hashes to 64 bits via splitmix step
+            flat = flat * np.uint64(0x9E3779B97F4A7C15)
+            flat ^= flat >> np.uint64(31)
+            bounds = np.r_[0, np.cumsum(counts)]
+            # per-bit popcount across the whole batch in one reduceat
+            # pass per bit (the per-doc bits matrix + python word
+            # loop was ~ms/doc); same math, vectorized across docs
+            sums = np.zeros((n, 64), dtype=np.int64)
+            nz = counts > 0
+            starts = bounds[:-1][nz]
+            for bi in range(64):
+                col = ((flat >> np.uint64(bi)) & np.uint64(1)) \
+                    .astype(np.int64)
+                if starts.size:
+                    sums[nz, bi] = np.add.reduceat(col, starts)
+            # FROZEN LAW (q20 goldens): the original per-doc loop
+            # computed `bits.sum()*2 - len(g)` in uint64, where a
+            # negative score WRAPS and still passes `> 0` — so a bit
+            # is set unless exactly half the grams carry it.  The
+            # vectorized form replicates that wraparound semantics
+            # explicitly (score != 0), not the signed sign test.
+            score = sums * 2 - counts[:, None]
+            words = ((score != 0).astype(np.uint64)
+                     << np.arange(64, dtype=np.uint64)[None, :]) \
+                .sum(axis=1, dtype=np.uint64)
+            out = words.astype(np.int64)
+            out[~nz] = 0
             yield pd.DataFrame({key_col: batch[key_col], "simhash": out})
 
     return df.select(key_col, text_col).mapInPandas(kernel, schema)
