@@ -722,9 +722,15 @@ def overview_reduce(tiles: DataFrame, agg: str = "sum") -> DataFrame:
     parents = tiles.withColumn(
         "ptile_x", (F.col("tile_x") / 2).cast("long")
     ).withColumn("ptile_y", (F.col("tile_y") / 2).cast("long"))
-    nparts = tiles.sparkSession.sparkContext.defaultParallelism * 2
+    # hash repartition, NOT repartitionByRange: range partitioning
+    # runs a sampling job that recomputes the whole upstream stage
+    # (CLAUDE.md lesson); the carry kernel only needs parent keys
+    # colocated and contiguous, which hash + within-partition sort
+    # provides (children fill disjoint quadrants, so their order
+    # within a parent does not affect the reduce)
+    nparts = tiles.sparkSession.sparkContext.defaultParallelism
     return (
-        parents.repartitionByRange(nparts, "ptile_x", "ptile_y")
+        parents.repartition(nparts, "ptile_x", "ptile_y")
         .sortWithinPartitions("ptile_x", "ptile_y")
         .mapInPandas(reduce_stream, TILE_SCHEMA)
         .select(*[f.name for f in TILE_SCHEMA.fields])
