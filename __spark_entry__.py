@@ -3704,7 +3704,15 @@ def q90_stream_sessionize(spark, sf_dir):
     ev.coalesce(1).write.parquet(src)
     stream = stream_parquet_source(spark, src, ev.schema,
                                    max_files_per_trigger=10)
-    out = sessionize_stream(stream)
+    # timeout_mode="none": a finite availableNow replay must not
+    # register processing-time timers — with timers pending the
+    # query never terminates on its own (this call used to burn the
+    # full 300 s await) and each user's LAST session would flush if
+    # anything ran long enough, changing the result.  With no
+    # timers the query stops at end-of-data and the closed set is
+    # deterministic: exactly the oracle's "all but the final
+    # session per user".
+    out = sessionize_stream(stream, timeout_mode="none")
     q = (out.writeStream
          .option("checkpointLocation", os.path.join(d, "ck"))
          .trigger(availableNow=True)

@@ -205,7 +205,107 @@ def _footprint_stat(patch, lx, ly, stat, nodata, fill):
     """Box-footprint statistical kernels (GDALResampleAlg
     GRA_Average/Min/Max/Med/Q1/Q3/Sum/RMS/Mode,
     alg/gdalwarper.h:34-68): aggregate source pixels whose centers
-    fall in each dst pixel's source footprint."""
+    fall in each dst pixel's source footprint.
+
+    Dispatch (r7): every CRS pair this engine warps between maps x
+    from x and y from y, so the footprint intervals are SEPARABLE —
+    one interval per dst column and one per dst row.  When the
+    coordinate arrays are bitwise-separable the vectorized per-row
+    path runs (same interval law, same reduction order as
+    block.ravel() — see _footprint_stat_rows); anything else falls
+    back to the original per-pixel loop, which also remains the
+    reference for the bit-equality differential test."""
+    if stat != "mode" and (nodata is None
+                           or stat in ("min", "max")):
+        # nodata + sum/average/rms stays on the loop: masked
+        # substitution changes the pairwise-summation tree for
+        # blocks > 128 elements; min/max are order-free
+        if (lx == lx[0:1, :]).all() and (ly == ly[:, 0:1]).all():
+            return _footprint_stat_rows(patch, lx, ly, stat, nodata,
+                                        fill)
+    return _footprint_stat_loop(patch, lx, ly, stat, nodata, fill)
+
+
+def _footprint_intervals(c: np.ndarray, g: np.ndarray, n: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """The loop's per-axis window law, vectorized verbatim:
+    half-open center-in-footprint bounds, nearest-pixel fallback
+    for sub-pixel footprints, clamp to [0, n]."""
+    r = np.abs(g) / 2
+    a0 = np.ceil(c - r - 0.5).astype(np.int64)
+    a1 = np.ceil(c + r - 0.5).astype(np.int64)
+    narrow = a1 <= a0
+    if narrow.any():
+        f = np.floor(c[narrow]).astype(np.int64)
+        a0[narrow] = f
+        a1[narrow] = f + 1
+    return np.clip(a0, 0, None), np.minimum(a1, n)
+
+
+def _footprint_stat_rows(patch, lx, ly, stat, nodata, fill):
+    """Vectorized separable path: gather each row's uniform-width
+    blocks into a (cols, kh*kw) matrix whose last axis is laid out
+    in block.ravel() order, then reduce along it — numpy's add
+    reduction over a contiguous axis applies the same (pairwise)
+    summation it applies to the 1-D ravel, so sums/means are
+    bit-identical to the loop; min/max/median/percentile are
+    order-free.  nodata masking (min/max only — the dispatcher
+    routes other masked stats to the loop) substitutes +/-inf
+    sentinels, with all-masked blocks restored to ``fill``."""
+    h, w = patch.shape
+    dx = np.gradient(lx, axis=1)
+    dy = np.gradient(ly, axis=0)
+    out = np.full(lx.shape, np.float64(fill))
+    x0v, x1v = _footprint_intervals(lx[0], dx[0], w)
+    y0v, y1v = _footprint_intervals(ly[:, 0], dy[:, 0], h)
+    kws = x1v - x0v
+    for j in range(lx.shape[0]):
+        y0, y1 = int(y0v[j]), int(y1v[j])
+        kh = y1 - y0
+        if kh <= 0:
+            continue
+        rows = patch[y0:y1]
+        for kw in np.unique(kws):
+            if kw <= 0:
+                continue
+            cols = np.flatnonzero(kws == kw)
+            idx = x0v[cols][:, None] + np.arange(kw)[None, :]
+            vals = rows[:, idx]                  # (kh, C, kw)
+            vals = vals.transpose(1, 0, 2).reshape(len(cols),
+                                                   kh * kw)
+            mask = (vals != nodata) if nodata is not None else None
+            if stat == "average":
+                res = vals.mean(axis=1)
+            elif stat == "min":
+                res = (vals.min(axis=1) if mask is None else
+                       np.where(mask, vals, np.inf).min(axis=1))
+            elif stat == "max":
+                res = (vals.max(axis=1) if mask is None else
+                       np.where(mask, vals, -np.inf).max(axis=1))
+            elif stat == "sum":
+                res = vals.sum(axis=1)
+            elif stat == "med":
+                res = np.median(vals, axis=1)
+            elif stat == "q1":
+                res = np.percentile(vals, 25, axis=1)
+            elif stat == "q3":
+                res = np.percentile(vals, 75, axis=1)
+            elif stat == "rms":
+                res = np.sqrt((vals.astype(np.float64) ** 2)
+                              .mean(axis=1))
+            else:  # pragma: no cover - dispatcher guards
+                raise ValueError(stat)
+            if mask is None:
+                out[j, cols] = res
+            else:
+                ok = mask.any(axis=1)
+                out[j, cols[ok]] = res[ok]
+    return out
+
+
+def _footprint_stat_loop(patch, lx, ly, stat, nodata, fill):
+    """The original per-pixel reference loop (kept verbatim as the
+    fallback and the differential-test reference)."""
     h, w = patch.shape
     dx = np.gradient(lx, axis=1)
     dy = np.gradient(ly, axis=0)

@@ -52,6 +52,7 @@ def windowed_counts(stream: DataFrame, ts_col: str = "ts",
 def sessionize_stream(
     stream: DataFrame, gap_seconds: int = 1800,
     ts_col: str = "ts", user_col: str = "user_id",
+    timeout_mode: str = "processing",
 ) -> DataFrame:
     """Custom stateful streaming operator: per-user session windows
     with a gap timeout, via applyInPandasWithState (the engine's
@@ -60,9 +61,26 @@ def sessionize_stream(
 
     Emits one row per CLOSED session: (user_id, session_start,
     session_end, n_events).  Sessions close when the event-time gap
-    exceeds ``gap_seconds`` or the state times out.
+    exceeds ``gap_seconds`` or (``timeout_mode="processing"``) the
+    state times out.
+
+    ``timeout_mode``: "processing" (default) registers a
+    processing-time timer per user so idle sessions eventually
+    flush — the long-running-stream behavior.  "none" registers NO
+    timers: only data-driven gaps close sessions, each user's open
+    session stays in state forever.  Finite replays
+    (``trigger(availableNow=True)``) MUST use "none": pending
+    processing-time timers keep the query alive after the data is
+    exhausted (an availableNow run never terminates on its own and
+    whether the final sessions flush becomes a race against when the
+    caller stops the query — with "none" the query terminates at
+    end-of-data and the closed-session set is deterministic).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if timeout_mode not in ("processing", "none"):
+        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
+    use_timers = timeout_mode == "processing"
 
     out_schema = StructType([]) \
         .add("user_id", "long").add("session_start", "timestamp") \
@@ -98,7 +116,8 @@ def sessionize_stream(
             state.remove()
         else:
             state.update((s0, e0, n0))
-            state.setTimeoutDuration(gap_seconds * 1000)
+            if use_timers:
+                state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             # emit microsecond precision: Spark timestamps are us and
             # Arrow refuses a lossy ns -> us cast
@@ -120,7 +139,8 @@ def sessionize_stream(
         stream.groupBy(user_col)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",
-            GroupStateTimeout.ProcessingTimeTimeout,
+            (GroupStateTimeout.ProcessingTimeTimeout if use_timers
+             else GroupStateTimeout.NoTimeout),
         )
     )
 

@@ -93,7 +93,11 @@ def test_stateful_sessionize_stream(spark, tmp_path, sf_dir):
     ev.coalesce(1).write.parquet(src)
     stream = stream_parquet_source(spark, src, ev.schema,
                                    max_files_per_trigger=10)
-    sess = sessionize_stream(stream, gap_seconds=1800)
+    # finite replay: no processing-time timers, so the availableNow
+    # query terminates at end-of-data instead of idling out the
+    # awaitTermination budget
+    sess = sessionize_stream(stream, gap_seconds=1800,
+                             timeout_mode="none")
     out = str(tmp_path / "sess_out")
     ckpt = str(tmp_path / "sess_ckpt")
     q = (
