@@ -452,7 +452,7 @@ def q22_zonal_density(spark, sf_dir):
     from gdal_spark.operators.zonal import zonal_stats
 
     pts = _points_from_orders(spark, sf_dir)
-    tiles = page_density_tiles(pts, zoom=6)
+    tiles = page_density_tiles(pts, zoom=6, codec="deflate")
     res = geo.tile_span(6) / 256
     n_px = 64 * 256
     grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
@@ -518,7 +518,7 @@ def q25_warp_density(spark, sf_dir):
     from gdal_spark.operators.warp import warp_tiles
 
     pts = _points_from_orders(spark, sf_dir)
-    tiles = page_density_tiles(pts, zoom=5)
+    tiles = page_density_tiles(pts, zoom=5, codec="deflate")
     n_px = 32 * 256
     res = 2 * geo.ORIGIN / n_px
     src = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
@@ -554,7 +554,7 @@ def q27_sample_density_at_cities(spark, sf_dir):
     from gdal_spark.operators.tiling import page_density_tiles
 
     pts = _points_from_orders(spark, sf_dir)
-    tiles = page_density_tiles(pts, zoom=6)
+    tiles = page_density_tiles(pts, zoom=6, codec="deflate")
     res = geo.tile_span(6) / 256
     n_px = 64 * 256
     grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
@@ -689,7 +689,7 @@ def q34_contour(spark, sf_dir):
     from gdal_spark.operators.tiling import page_density_tiles
 
     pts = _points_from_orders(spark, sf_dir)
-    tiles = page_density_tiles(pts, zoom=5)
+    tiles = page_density_tiles(pts, zoom=5, codec="deflate")
     n_px = 32 * 256
     res = 2 * geo.ORIGIN / n_px
     grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
@@ -1230,7 +1230,7 @@ def q51_footprint_px(spark, sf_dir):
     from gdal_spark.operators.tiling import page_density_tiles
 
     pts = _points_from_orders(spark, sf_dir)
-    tiles = page_density_tiles(pts, zoom=6)
+    tiles = page_density_tiles(pts, zoom=6, codec="deflate")
     fp = footprint_tiles(tiles, [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
                          nodata=0.0)
     return fp.agg(
@@ -1259,7 +1259,7 @@ def q52_translate_mass(spark, sf_dir):
     from gdal_spark.operators.warp import translate_tiles
 
     pts = _points_from_orders(spark, sf_dir)
-    tiles = page_density_tiles(pts, zoom=6)
+    tiles = page_density_tiles(pts, zoom=6, codec="deflate")
     n_px = 64 * 256
     res = 2 * geo.ORIGIN / n_px
     src = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)

@@ -160,7 +160,22 @@ def contour_tiles(tiles: DataFrame, levels: list[float], gt: list[float],
         # row/col those cells need
         window = canvas[1:ts + 2, 1:ts + 2]
         rows = {f.name: [] for f in SEG_SCHEMA.fields}
+        # all-one-side early skip: a window whose finite values all
+        # sit on one side of the (fudged, same expression as the
+        # kernel) level has no crossings — NaN corners read as
+        # "below" and every segment a NaN corner could induce lies
+        # on an adjacent edge, so it interpolates to NaN coords and
+        # is filtered anyway.  Sparse rasters make most tiles
+        # constant-zero; this skips their marching pass outright.
+        finite = window[np.isfinite(window)]
+        if not finite.size:
+            return pd.DataFrame(rows)
+        w_lo = finite.min()
+        w_hi = finite.max()
         for level in lv:
+            lf = level + max(abs(level), 1.0) * 1e-9
+            if w_hi <= lf or w_lo > lf:
+                continue
             segs = marching_squares_segments(window, level)
             if len(segs):
                 # cells with nodata/missing-halo corners are skipped
@@ -184,8 +199,12 @@ def contour_tiles(tiles: DataFrame, levels: list[float], gt: list[float],
             rows["y2"].extend(gy2)
         return pd.DataFrame(rows)
 
+    # explicit width: constant-encoded halo rows make the exchange
+    # bytes tiny, and a width-less repartition lets AQE coalesce the
+    # CPU-bound marching render onto ~1 task (CLAUDE.md lesson)
+    par = tiles.sparkSession.sparkContext.defaultParallelism
     return (
-        halos.repartition("tile_x", "tile_y")
+        halos.repartition(par, "tile_x", "tile_y")
         .groupBy("tile_x", "tile_y")
         .applyInPandas(render, SEG_SCHEMA)
     )

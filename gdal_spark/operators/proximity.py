@@ -52,7 +52,15 @@ _REL = {1: (-1, -1), 2: (0, -1), 3: (1, -1), 4: (-1, 0),
 
 
 def emit_halos_k(tiles: DataFrame, k: int) -> DataFrame:
-    """Center rows + 8 k-wide border blocks addressed to neighbors."""
+    """Center rows + 8 k-wide border blocks addressed to neighbors.
+
+    CONSTANT blocks (every element equal — the dominant case for
+    sparse density rasters and cutline masks, where most tiles are
+    all-zero) ship as ONE value with ``h = -1``: the assembler knows
+    every placement region's shape from (rel, ts, k), so a 512 KB
+    zero tile crosses the exchange as 8 bytes.  Values are identical
+    by construction — the canvas region is filled with the same
+    constant the full block would have written."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -62,20 +70,46 @@ def emit_halos_k(tiles: DataFrame, k: int) -> DataFrame:
                 rows["tile_x"].append(tx)
                 rows["tile_y"].append(ty)
                 rows["rel"].append(rel)
-                rows["data"].append(
-                    np.ascontiguousarray(arr).tobytes())
+                flat = arr.reshape(-1)
+                if flat.size and (flat == flat[0]).all():
+                    rows["data"].append(flat[:1].tobytes())
+                    rows["h"].append(-1)
+                    rows["w"].append(arr.shape[1])
+                else:
+                    rows["data"].append(
+                        np.ascontiguousarray(arr).tobytes())
+                    rows["h"].append(arr.shape[0])
+                    rows["w"].append(arr.shape[1])
                 rows["dtype"].append(str(arr.dtype))
                 rows["tile_size"].append(ts)
                 rows["zoom"].append(zoom)
                 rows["band"].append(band)
-                rows["h"].append(arr.shape[0])
-                rows["w"].append(arr.shape[1])
 
             for _, r in b.iterrows():
                 ts = int(r["tile_size"])
                 tx, ty = int(r["tile_x"]), int(r["tile_y"])
                 arr = decode_tile(r["data"], r["dtype"], ts)
-                add(tx, ty, 0, arr, ts, int(r["zoom"]), int(r["band"]))
+                flat0 = arr.reshape(-1)
+                if flat0.size and (flat0 == flat0[0]).all():
+                    # add()'s constant branch emits the h=-1 form
+                    add(tx, ty, 0, arr[:1, :1], ts,
+                        int(r["zoom"]), int(r["band"]))
+                else:
+                    # center PASSES THROUGH the original payload —
+                    # a deflate-coded sparse tile stays compressed
+                    # across the exchange instead of shipping ts*ts
+                    # raw bytes (the assembler decodes via the same
+                    # codec-aware dtype string)
+                    rows["tile_x"].append(tx)
+                    rows["tile_y"].append(ty)
+                    rows["rel"].append(0)
+                    rows["data"].append(r["data"])
+                    rows["dtype"].append(r["dtype"])
+                    rows["tile_size"].append(ts)
+                    rows["zoom"].append(int(r["zoom"]))
+                    rows["band"].append(int(r["band"]))
+                    rows["h"].append(ts)
+                    rows["w"].append(ts)
                 blocks = {
                     1: arr[:k, :k], 2: arr[:k, :], 3: arr[:k, -k:],
                     4: arr[:, :k], 5: arr[:, -k:],
@@ -108,15 +142,30 @@ def assemble_halo_canvas(pdf: pd.DataFrame, ts: int, k: int,
     canvas = np.full((ts + 2 * k, ts + 2 * k), fill, dtype=np.float64)
     c0 = center.iloc[0] if len(center) else pdf.iloc[0]
     if len(center):
-        arr = np.frombuffer(c0["data"], dtype=np.dtype(c0["dtype"])) \
-            .reshape(ts, ts)
-        canvas[k:-k, k:-k] = arr
+        if int(c0["h"]) == -1:     # constant-block encoding
+            canvas[k:-k, k:-k] = np.frombuffer(
+                c0["data"], dtype=np.dtype(c0["dtype"]))[0]
+        else:
+            # center rows carry the tile's ORIGINAL payload (codec-
+            # aware dtype string, possibly compressed) — decode_tile
+            # handles raw and coded forms alike
+            canvas[k:-k, k:-k] = decode_tile(
+                c0["data"], c0["dtype"], ts)
+    # the k-strip placement regions have fixed shapes per rel
+    _shapes = {1: (k, k), 2: (k, ts), 3: (k, k), 4: (ts, k),
+               5: (ts, k), 6: (k, k), 7: (k, ts), 8: (k, k)}
     # placement: block from a source at offset -(dx,dy) of this tile
     for _, r in pdf[pdf["rel"] != 0].iterrows():
         rel = int(r["rel"])
-        h, w = int(r["h"]), int(r["w"])
-        blk = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])) \
-            .reshape(h, w)
+        if int(r["h"]) == -1:      # constant-block encoding
+            val = np.frombuffer(r["data"],
+                                dtype=np.dtype(r["dtype"]))[0]
+            blk = np.broadcast_to(val, _shapes[rel])
+        else:
+            h, w = int(r["h"]), int(r["w"])
+            blk = np.frombuffer(r["data"],
+                                dtype=np.dtype(r["dtype"])) \
+                .reshape(h, w)
         if rel == 2:            # dst above src -> src top block at bottom
             canvas[-k:, k:-k] = blk
         elif rel == 7:
@@ -216,8 +265,12 @@ def proximity_tiles(tiles: DataFrame, target_values: list[float],
             "data": [payload], "dtype": [dts], "tile_size": [ts],
         })
 
+    # explicit width: constant-encoded halo rows shrink the exchange
+    # bytes, and a width-less repartition lets AQE coalesce the
+    # CPU-bound render onto ~1 task (CLAUDE.md lesson)
+    par = tiles.sparkSession.sparkContext.defaultParallelism
     return (
-        halos.repartition("tile_x", "tile_y")
+        halos.repartition(par, "tile_x", "tile_y")
         .groupBy("tile_x", "tile_y")
         .applyInPandas(render, TILE_SCHEMA)
     )
@@ -380,8 +433,12 @@ def fillnodata_tiles(tiles: DataFrame, nodata: float,
             "data": [payload], "dtype": [dts], "tile_size": [ts],
         })
 
+    # explicit width: constant-encoded halo rows shrink the exchange
+    # bytes, and a width-less repartition lets AQE coalesce the
+    # CPU-bound render onto ~1 task (CLAUDE.md lesson)
+    par = tiles.sparkSession.sparkContext.defaultParallelism
     return (
-        halos.repartition("tile_x", "tile_y")
+        halos.repartition(par, "tile_x", "tile_y")
         .groupBy("tile_x", "tile_y")
         .applyInPandas(render, TILE_SCHEMA)
     )
@@ -529,8 +586,9 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
     ts = tile_size
     keyed = runs.withColumn("tile_x", (F.col("x0") / ts).cast("long")) \
         .withColumn("tile_y", (F.col("y") / ts).cast("long"))
+    par = runs.sparkSession.sparkContext.defaultParallelism
     return (
-        keyed.repartition("tile_x", "tile_y")
+        keyed.repartition(par, "tile_x", "tile_y")
         .groupBy("tile_x", "tile_y")
         .applyInPandas(rewrite, TILE_SCHEMA)
     )

@@ -479,10 +479,16 @@ def warp_tiles(
             "tile_size": [ts],
         })
 
-    # groupBy shuffles on its own; a repartitionByRange here would add
-    # a second exchange plus the RangePartitioner sampling job
+    # explicit-width hash repartition on the group keys: the groupBy
+    # alone would let AQE coalesce the exchange by BYTES, and with
+    # compressed tile payloads the whole CPU-bound render collapses
+    # onto ~1 task (measured 6 -> 37 s when the source tiles became
+    # deflate-coded); REPARTITION_BY_NUM pins the width and satisfies
+    # the groupBy's distribution, so no second exchange appears
+    par = spark.sparkContext.defaultParallelism
     return (
-        joined.groupBy("dtx", "dty")
+        joined.repartition(par, "dtx", "dty")
+        .groupBy("dtx", "dty")
         .applyInPandas(render, TILE_SCHEMA)
     )
 
