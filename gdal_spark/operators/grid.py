@@ -439,7 +439,26 @@ def sample_at_points(
         F.floor(px / ts).cast("long").alias("tile_x"),
         F.floor(py / ts).cast("long").alias("tile_y"),
     )
-    halos = _emit_halos(tiles)
+    # only tiles in the 3x3 neighborhood of a POINT tile can
+    # contribute (center or strip) to a sampled group — prune the
+    # raster BEFORE the halo emit so the exchange carries a few
+    # tiles instead of the whole raster (a 12-point lookup into a
+    # z6 density shipped ~GBs of decoded tiles otherwise); the
+    # second semi-join drops strips addressed to point-less tiles.
+    # No broadcast hint: AQE broadcasts the key sets when the probe
+    # layer is small (the interpolate-at-point shape) and falls back
+    # to a shuffle semi-join for dense probe sets, which costs at
+    # most one extra pass over the tile payloads.
+    pkeys = pts.select("tile_x", "tile_y").distinct()
+    offs = [F.struct((F.col("tile_x") + dx).alias("tile_x"),
+                     (F.col("tile_y") + dy).alias("tile_y"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    cover = (pkeys.select(F.explode(F.array(*offs)).alias("c"))
+             .select("c.tile_x", "c.tile_y").distinct())
+    tiles_needed = tiles.join(cover, ["tile_x", "tile_y"],
+                              "left_semi")
+    halos = _emit_halos(tiles_needed).join(
+        pkeys, ["tile_x", "tile_y"], "left_semi")
     key_type = points.schema[key_col].dataType
     schema = StructType([
         StructField("k", key_type),
