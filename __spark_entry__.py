@@ -598,7 +598,7 @@ def q29_dem_hillshade(spark, sf_dir):
     from gdal_spark.operators.tiling import page_density_tiles
 
     pts = _points_from_orders(spark, sf_dir)
-    tiles = page_density_tiles(pts, zoom=4)
+    tiles = page_density_tiles(pts, zoom=4, codec="deflate")
     shade = focal_tiles(tiles, "hillshade")
     return _cs64(tile_checksums(shade)).orderBy("tile_x", "tile_y")
 

@@ -81,8 +81,16 @@ def _emit_halos(tiles: DataFrame) -> DataFrame:
                 from gdal_spark.operators.tiling import decode_tile
 
                 arr = decode_tile(r["data"], dt, ts)
-                add(tx, ty, 0, arr.tobytes(), str(arr.dtype), ts, zoom,
-                    band)
+                flat = arr.reshape(-1)
+                if flat.size and (flat == flat[0]).all():
+                    # all-equal tile ships as one value (decode_tile
+                    # expands the const: form on the other side)
+                    add(tx, ty, 0, flat[:1].tobytes(),
+                        "const:" + str(arr.dtype), ts, zoom, band)
+                else:
+                    # pass the ORIGINAL payload through — a deflate-
+                    # coded tile stays compressed across the exchange
+                    add(tx, ty, 0, r["data"], dt, ts, zoom, band)
                 strips = {
                     1: arr[:1, :1], 2: arr[:1, :], 3: arr[:1, -1:],
                     4: arr[:, :1], 5: arr[:, -1:],
@@ -92,9 +100,12 @@ def _emit_halos(tiles: DataFrame) -> DataFrame:
                     ntx, nty = tx + dx, ty + dy
                     if ntx < 0 or nty < 0:
                         continue
+                    # strips are raw slices of the DECODED array, so
+                    # they carry the plain element dtype (the input's
+                    # codec prefix would mislabel them)
                     add(ntx, nty, rel,
                         np.ascontiguousarray(strips[rel]).tobytes(),
-                        dt, ts, zoom, band)
+                        str(arr.dtype), ts, zoom, band)
             yield pd.DataFrame(rows)
 
     return tiles.mapInPandas(kernel, _HALO_SCHEMA)
@@ -118,12 +129,15 @@ def focal_tiles(tiles: DataFrame, op: str, xres: float = 1.0,
         if len(center) == 0:
             return pd.DataFrame(
                 {k.name: [] for k in TILE_SCHEMA.fields})
+        from gdal_spark.operators.tiling import decode_tile
+
         ts = int(center["tile_size"].iloc[0])
         dt = np.dtype(str(center["dtype"].iloc[0]).split(":")[-1])
         fillv = np.nan if nodata is None else float(nodata)
         canvas = np.full((ts + 2, ts + 2), np.nan)
-        arr = np.frombuffer(center["data"].iloc[0], dtype=dt) \
-            .reshape(ts, ts).astype(np.float64)
+        arr = decode_tile(center["data"].iloc[0],
+                          str(center["dtype"].iloc[0]), ts) \
+            .astype(np.float64)
         if nodata is not None:
             arr = np.where(arr == nodata, np.nan, arr)
         canvas[1:-1, 1:-1] = arr
@@ -163,8 +177,14 @@ def focal_tiles(tiles: DataFrame, op: str, xres: float = 1.0,
             "dtype": ["float64"], "tile_size": [ts],
         })
 
+    # hash repartition with an EXPLICIT width: repartitionByRange ran
+    # a sampling job that recomputed the whole upstream (density +
+    # halo emit executed twice per action), and a width-less
+    # repartition would let AQE collapse the CPU-bound render onto
+    # ~1 task once the halo payloads compress (CLAUDE.md lessons)
+    par = tiles.sparkSession.sparkContext.defaultParallelism
     return (
-        halos.repartitionByRange("tile_x", "tile_y")
+        halos.repartition(par, "tile_x", "tile_y")
         .groupBy("tile_x", "tile_y")
         .applyInPandas(render, TILE_SCHEMA)
     )

@@ -189,6 +189,12 @@ def decode_tile(data: bytes, dtype: str, tile_size: int) -> np.ndarray:
 
         raw = zlib.decompress(data)
         dt = np.dtype(dtype.split(":", 1)[1])
+    elif dtype.startswith("const:"):
+        # constant-tile encoding (r7): an all-equal tile ships as a
+        # single value; consumers decode to the full array
+        dt = np.dtype(dtype.split(":", 1)[1])
+        val = np.frombuffer(data, dtype=dt)[0]
+        return np.full((tile_size, tile_size), val, dtype=dt)
     else:
         raw = data
         dt = np.dtype(dtype)
