@@ -469,11 +469,557 @@ _TILEJSON_TYPE = {"String": "String", "Integer64": "Number",
                   "Real": "Number", "Boolean": "Boolean"}
 
 
+_PT_HDR_B = b"\x01\x01\x00\x00\x00"
+_NOFID = np.int64(-(1 << 63))          # packed-path null-fid sentinel
+_PACKED_ENABLED = True                 # A/B switch for tests/benchmarks
+
+
+def _splitmix_u64(v: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64 array (wrapping mod 2^64 —
+    numpy uint64 arithmetic wraps silently, which is exactly what a
+    hash finalizer wants)."""
+    v = v + np.uint64(0x9E3779B97F4A7C15)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def _tile_bucket(z: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Deterministic tile-key hash for the packed shuffle: every
+    entry of one (z, x, y) tile maps to the same bucket on every
+    executor (NEVER python hash() — process-salted)."""
+    h = ((z.astype(np.uint64) << np.uint64(52))
+         ^ (x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+         ^ (y.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+    return _splitmix_u64(h)
+
+
+def _uvarint_arr(v: np.ndarray):
+    """Vectorized protobuf varints for a uint64 array.
+
+    Returns (flat uint8 buffer, per-value start offsets, per-value
+    byte lengths); concatenating buffer slices reproduces
+    ``b"".join(_uvarint(x) for x in v)`` byte-for-byte."""
+    n = len(v)
+    lens = np.ones(n, dtype=np.int64)
+    x = v >> np.uint64(7)
+    while x.any():
+        lens += (x != 0).astype(np.int64)
+        x = x >> np.uint64(7)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    x = v.astype(np.uint64, copy=True)
+    idx = np.arange(n)
+    k = 0
+    while len(idx):
+        more = lens[idx] > k + 1
+        buf[offs[idx] + k] = (x[idx] & np.uint64(0x7F)).astype(np.uint8) \
+            | (more.astype(np.uint8) << np.uint8(7))
+        x[idx] = x[idx] >> np.uint64(7)
+        idx = idx[more]
+        k += 1
+    return buf, offs[:-1], lens
+
+
+def _scatter_var(dst: np.ndarray, pos: np.ndarray, src: np.ndarray,
+                 src_offs: np.ndarray, src_lens: np.ndarray) -> np.ndarray:
+    """Copy variable-length byte runs src[src_offs[i]:+src_lens[i]]
+    into dst at pos[i]; returns pos advanced by src_lens."""
+    if len(pos):
+        mx = int(src_lens.max()) if len(src_lens) else 0
+        for k in range(mx):
+            m = src_lens > k
+            dst[pos[m] + k] = src[src_offs[m] + k]
+    return pos + src_lens
+
+
+def _point_feature_bytes(fids: np.ndarray | None, zzx: np.ndarray,
+                         zzy: np.ndarray):
+    """Vectorized MVT Feature messages for single-point features —
+    byte-identical to the ``_encode_layer`` per-feature loop over
+    ``(fid, 1, (9, zzx, zzy), {})`` feats::
+
+        0x12 L( [0x08 fid]?  0x18 0x01  0x22 L2( 0x09 zzx zzy ) )
+
+    ``fids`` is an int64 array (``_NOFID`` marks a null fid, which
+    omits field 1 exactly as the loop does for ``fid is None``) or
+    None.  Returns (uint8 buffer, int64 offsets[n+1])."""
+    n = len(zzx)
+    bx, ox, lx = _uvarint_arr(zzx.astype(np.uint64))
+    by, oy, ly = _uvarint_arr(zzy.astype(np.uint64))
+    if fids is not None:
+        valid = fids != _NOFID
+        bf, of, lf = _uvarint_arr(
+            np.where(valid, fids, 0).astype(np.uint64))
+        lf = np.where(valid, lf, 0)
+        fid_part = np.where(valid, 1 + lf, 0)
+    else:
+        valid = None
+        fid_part = np.zeros(n, dtype=np.int64)
+    cmd_len = 1 + lx + ly                       # 0x09 + zzx + zzy
+    bc, oc, lc = _uvarint_arr(cmd_len.astype(np.uint64))
+    inner = fid_part + 2 + 1 + lc + cmd_len     # 18 01 | 22 L2 cmds
+    bi, oi, li = _uvarint_arr(inner.astype(np.uint64))
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(1 + li + inner, out=offs[1:])     # 12 L inner
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    pos = offs[:-1].copy()
+    buf[pos] = 0x12
+    pos += 1
+    pos = _scatter_var(buf, pos, bi, oi, li)
+    if fids is not None:
+        buf[pos[valid]] = 0x08
+        pos = pos + valid.astype(np.int64)
+        pos = _scatter_var(buf, pos, bf, of, lf)
+    buf[pos] = 0x18
+    pos += 1
+    buf[pos] = 0x01
+    pos += 1
+    buf[pos] = 0x22
+    pos += 1
+    pos = _scatter_var(buf, pos, bc, oc, lc)
+    buf[pos] = 0x09
+    pos += 1
+    pos = _scatter_var(buf, pos, bx, ox, lx)
+    _scatter_var(buf, pos, by, oy, ly)
+    return buf, offs
+
+
+def _feature_pb(fid, gtype: int, cmds) -> bytes:
+    """One no-properties Feature message (the _encode_layer loop body
+    minus tags)."""
+    f = bytearray()
+    if fid is not None:
+        f += _key(1, 0) + _uvarint(int(fid))
+    f += _key(3, 0) + _uvarint(gtype)
+    f += _packed(4, cmds)
+    return _ld(2, bytes(f))
+
+
+def _wrap_layer(name: str, extent: int, body: bytes) -> bytes:
+    """Tile message around a pre-built feature-bytes body —
+    byte-identical to _encode_layer with zero keys/values."""
+    layer = (_key(15, 0) + _uvarint(2) + _ld(1, name.encode("utf-8"))
+             + body + _key(5, 0) + _uvarint(extent))
+    return _ld(3, layer)
+
+
+def _mvt_prepare_packed(df: DataFrame, geometry_col: str, minzoom: int,
+                        maxzoom: int, extent: int, buffer: int,
+                        fid_col: str | None):
+    """Packed stage A for no-properties layers (guide §2.3: shuffle
+    row OVERHEAD was the exchange cost, not entry bytes — same
+    packing pattern as the pyramid partial shuffle).
+
+    The cover kernel accumulates (tile, fid, merc x/y | wkb) entries
+    per task and ships ONE blob row per (source partition, tile
+    bucket): int16/int64/float64 arrays + a wkb side table, ~34
+    bytes per point entry instead of a 7-column row.  Buckets =
+    32 x defaultParallelism splitmix keys so the hash partitioner
+    spreads evenly (§2.5); all entries of a tile share a bucket, so
+    the encode kernel sees whole tiles.  Per-task memory is one
+    bucket group (~1/32 of a reduce partition), matching the sorted
+    carry contract of the row path."""
+    zooms = list(range(minzoom, maxzoom + 1))
+    ext, buf = extent, buffer
+    has_fid = fid_col is not None
+    spark = df.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    n_buckets = np.uint64(32 * par)
+    fid_name = fid_col
+
+    pack_schema = StructType([StructField("bucket", LongType()),
+                              StructField("blob", BinaryType())])
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.geometry.wkb import parse_wkb
+
+        chunks: list[tuple] = []     # (z16,x64,y64,fid|None,px,py,wkbs|None)
+        any_wkb = False
+
+        def fid_arr(series):
+            vals = series.to_numpy()
+            if vals.dtype.kind == "f":       # bigint col WITH NULLS
+                na = np.isnan(vals)
+                out = np.where(na, 0.0, vals).astype(np.int64)
+                out[na] = _NOFID
+                return out
+            return vals.astype(np.int64, copy=False)
+
+        for b in batches:
+            vals = [None if v is None else bytes(v)
+                    for v in b[geometry_col]]
+            if not vals:
+                continue
+            fids = fid_arr(b[fid_name]) if has_fid else None
+            if all(v is not None and len(v) == 21
+                   and v[:5] == _PT_HDR_B for v in vals):
+                a = np.frombuffer(b"".join(vals),
+                                  dtype=[("hdr", "S5"), ("x", "<f8"),
+                                         ("y", "<f8")])
+                m = _merc_xy(np.stack([a["x"], a["y"]], axis=1))
+                for z in zooms:
+                    tw = 2.0 * ORIGIN / (1 << z)
+                    mi = (1 << z) - 1
+                    buf_m = buf / ext * tw
+                    txmin = np.clip(np.floor(
+                        (m[:, 0] - buf_m + ORIGIN) / tw + 0.001),
+                        0, mi).astype(np.int64)
+                    txmax = np.clip(np.floor(
+                        (m[:, 0] + buf_m + ORIGIN) / tw + 0.001),
+                        0, mi).astype(np.int64)
+                    tymin = np.clip(np.floor(
+                        (ORIGIN - (m[:, 1] + buf_m)) / tw + 0.001),
+                        0, mi).astype(np.int64)
+                    tymax = np.clip(np.floor(
+                        (ORIGIN - (m[:, 1] - buf_m)) / tw + 0.001),
+                        0, mi).astype(np.int64)
+                    chunks.append((np.full(len(m), z, np.int16),
+                                   txmin, tymin, fids,
+                                   m[:, 0], m[:, 1], None))
+                    multi = (txmax > txmin) | (tymax > tymin)
+                    if multi.any():
+                        idx, txs, tys = [], [], []
+                        for j in np.flatnonzero(multi):
+                            for tx in range(txmin[j], txmax[j] + 1):
+                                for ty in range(tymin[j],
+                                                tymax[j] + 1):
+                                    if tx == txmin[j] and \
+                                            ty == tymin[j]:
+                                        continue
+                                    idx.append(j)
+                                    txs.append(tx)
+                                    tys.append(ty)
+                        ia = np.asarray(idx)
+                        chunks.append((
+                            np.full(len(ia), z, np.int16),
+                            np.asarray(txs, np.int64),
+                            np.asarray(tys, np.int64),
+                            fids[ia] if has_fid else None,
+                            m[ia, 0], m[ia, 1], None))
+                continue
+            # mixed/non-point batch: per-row (same class as the row
+            # path's slow cover); single WKB points become px/py
+            # entries (identical quantize law downstream)
+            z_l: list = []
+            x_l: list = []
+            y_l: list = []
+            f_l: list = []
+            px_l: list = []
+            py_l: list = []
+            w_l: list = []
+            for j, wv in enumerate(vals):
+                if wv is None:
+                    continue
+                fidv = int(fids[j]) if has_fid else 0
+                if len(wv) == 21 and wv[:5] == _PT_HDR_B:
+                    xy = np.frombuffer(wv, dtype="<f8", offset=5)
+                    m1 = _merc_xy(np.array([[xy[0], xy[1]]]))
+                    mx, my = float(m1[0, 0]), float(m1[0, 1])
+                    for z in zooms:
+                        buf_m = buf / ext * (2.0 * ORIGIN / (1 << z))
+                        txmin, txmax, tymin, tymax = _tile_cover(
+                            (mx, my, mx, my), z, buf_m)
+                        for tx in range(txmin, txmax + 1):
+                            for ty in range(tymin, tymax + 1):
+                                z_l.append(z)
+                                x_l.append(tx)
+                                y_l.append(ty)
+                                f_l.append(fidv)
+                                px_l.append(mx)
+                                py_l.append(my)
+                                w_l.append(None)
+                    continue
+                g = parse_wkb(wv)
+                g.parts = [_merc_xy(p) for p in g.parts]
+                if not g.parts:
+                    continue
+                merc = _geom_wkb_merc(g)
+                bbox = g.bbox()
+                for z in zooms:
+                    buf_m = buf / ext * (2.0 * ORIGIN / (1 << z))
+                    txmin, txmax, tymin, tymax = _tile_cover(
+                        bbox, z, buf_m)
+                    for tx in range(txmin, txmax + 1):
+                        for ty in range(tymin, tymax + 1):
+                            z_l.append(z)
+                            x_l.append(tx)
+                            y_l.append(ty)
+                            f_l.append(fidv)
+                            px_l.append(np.nan)
+                            py_l.append(np.nan)
+                            w_l.append(merc)
+                            any_wkb = True
+            if z_l:
+                chunks.append((
+                    np.asarray(z_l, np.int16),
+                    np.asarray(x_l, np.int64),
+                    np.asarray(y_l, np.int64),
+                    np.asarray(f_l, np.int64) if has_fid else None,
+                    np.asarray(px_l, np.float64),
+                    np.asarray(py_l, np.float64), w_l))
+
+        if not chunks:
+            return
+        z = np.concatenate([c[0] for c in chunks])
+        x = np.concatenate([c[1] for c in chunks])
+        y = np.concatenate([c[2] for c in chunks])
+        fid = (np.concatenate([c[3] for c in chunks])
+               if has_fid else None)
+        px = np.concatenate([c[4] for c in chunks])
+        py = np.concatenate([c[5] for c in chunks])
+        wkbs = None
+        if any_wkb:
+            wkbs = []
+            for c in chunks:
+                wkbs.extend(c[6] if c[6] is not None
+                            else [None] * len(c[0]))
+        bkt = (_tile_bucket(z, x, y) % n_buckets).astype(np.int64)
+        order = np.argsort(bkt, kind="stable")
+        z, x, y = z[order], x[order], y[order]
+        px, py = px[order], py[order]
+        if has_fid:
+            fid = fid[order]
+        if wkbs is not None:
+            wkbs = [wkbs[i] for i in order]
+        sb = bkt[order]
+        chg = np.flatnonzero(sb[1:] != sb[:-1]) + 1
+        starts = np.concatenate(([0], chg)).tolist()
+        ends = np.concatenate((chg, [len(sb)])).tolist()
+        rows_b: list[int] = []
+        rows_d: list[bytes] = []
+        for s, e in zip(starts, ends):
+            flags = 1 if has_fid else 0
+            seg_w = wkbs[s:e] if wkbs is not None else None
+            has_w = seg_w is not None and \
+                any(w is not None for w in seg_w)
+            if has_w:
+                flags |= 2
+            parts = [struct.pack("<Bq", flags, e - s),
+                     np.ascontiguousarray(z[s:e]).tobytes(),
+                     np.ascontiguousarray(x[s:e]).tobytes(),
+                     np.ascontiguousarray(y[s:e]).tobytes(),
+                     np.ascontiguousarray(px[s:e]).tobytes(),
+                     np.ascontiguousarray(py[s:e]).tobytes()]
+            if has_fid:
+                parts.append(np.ascontiguousarray(fid[s:e]).tobytes())
+            if has_w:
+                lens = [0 if w is None else len(w) for w in seg_w]
+                woffs = np.zeros(e - s + 1, dtype=np.int64)
+                np.cumsum(lens, out=woffs[1:])
+                parts.append(woffs.tobytes())
+                parts.append(b"".join(w for w in seg_w
+                                      if w is not None))
+            rows_b.append(int(sb[s]))
+            rows_d.append(b"".join(parts))
+            if len(rows_b) >= 512:
+                yield pd.DataFrame({"bucket": rows_b, "blob": rows_d})
+                rows_b, rows_d = [], []
+        if rows_b:
+            yield pd.DataFrame({"bucket": rows_b, "blob": rows_d})
+
+    return (df.mapInPandas(pack, pack_schema)
+            .repartition(par, "bucket")
+            .sortWithinPartitions("bucket"))
+
+
+def _mvt_encode_packed(packed: DataFrame, *, path: str | None,
+                       layer: str, extent: int, buffer: int,
+                       compress: bool, simplification: float | None,
+                       fid_col: str | None, geometry_col: str
+                       ) -> DataFrame:
+    """Packed stage B: per-bucket carry over the bucket-sorted blob
+    rows; point features encode in one vectorized pass per bucket
+    (_point_feature_bytes), non-point entries replay the row path's
+    _prep_feature law.  Same manifest schema as the row encode."""
+    ext, bufp, comp = extent, buffer, compress
+    simp = simplification if simplification else None
+    lyr = layer
+    has_fid = fid_col is not None
+
+    man_schema = StructType([
+        StructField("zoom", IntegerType()),
+        StructField("tile_x", LongType()),
+        StructField("tile_y", LongType()),
+        StructField("n_features", LongType()),
+        StructField("nbytes", LongType())
+        if path is not None else
+        StructField("blob", BinaryType()),
+    ])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.geometry.wkb import parse_wkb
+
+        out: list[dict] = []
+
+        def parse_blob(blob: bytes):
+            mv = memoryview(blob)
+            flags, n = struct.unpack_from("<Bq", mv, 0)
+            off = 9
+            z = np.frombuffer(mv, np.int16, n, off)
+            off += 2 * n
+            x = np.frombuffer(mv, np.int64, n, off)
+            off += 8 * n
+            y = np.frombuffer(mv, np.int64, n, off)
+            off += 8 * n
+            px = np.frombuffer(mv, np.float64, n, off)
+            off += 8 * n
+            py = np.frombuffer(mv, np.float64, n, off)
+            off += 8 * n
+            fid = None
+            if flags & 1:
+                fid = np.frombuffer(mv, np.int64, n, off)
+                off += 8 * n
+            wkbs = None
+            if flags & 2:
+                woffs = np.frombuffer(mv, np.int64, n + 1, off)
+                off += 8 * (n + 1)
+                data = bytes(mv[off:])
+                wkbs = [data[woffs[i]:woffs[i + 1]]
+                        if woffs[i + 1] > woffs[i] else None
+                        for i in range(n)]
+            return z, x, y, fid, px, py, wkbs
+
+        def emit_tile(zv: int, xv: int, yv: int, body: bytes,
+                      n_feats: int) -> None:
+            blob = _wrap_layer(lyr, ext, body)
+            if comp:
+                blob = gzip.compress(blob, 6, mtime=0)
+            if path is not None:
+                d = os.path.join(path, str(zv), str(xv))
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{yv}.pbf"), "wb") as fh:
+                    fh.write(blob)
+                out.append({"zoom": zv, "tile_x": xv, "tile_y": yv,
+                            "n_features": n_feats,
+                            "nbytes": len(blob)})
+            else:
+                out.append({"zoom": zv, "tile_x": xv, "tile_y": yv,
+                            "n_features": n_feats, "blob": blob})
+
+        def nonpoint_bytes(entries: list, zv: int, xv: int, yv: int):
+            span = 2.0 * ORIGIN / (1 << zv)
+            x0 = xv * span - ORIGIN
+            y_top = ORIGIN - yv * span
+            pieces: list[bytes] = []
+            k = 0
+            # deterministic order (the row path's is shuffle-arrival)
+            entries = sorted(entries,
+                             key=lambda t: (t[0] is None, t[0] or 0,
+                                            t[1]))
+            for fidv, wv in entries:
+                g = parse_wkb(wv)
+                prep = _prep_feature(g, x0, y_top, span, ext, bufp,
+                                     simp)
+                if prep is None:
+                    continue
+                pieces.append(_feature_pb(fidv, prep[0], prep[1]))
+                k += 1
+            return b"".join(pieces), k
+
+        def run_bucket(chunks: list) -> None:
+            z = np.concatenate([c[0] for c in chunks])
+            x = np.concatenate([c[1] for c in chunks])
+            y = np.concatenate([c[2] for c in chunks])
+            fid = (np.concatenate([c[3] for c in chunks])
+                   if has_fid else None)
+            px = np.concatenate([c[4] for c in chunks])
+            py = np.concatenate([c[5] for c in chunks])
+            wkb_any = any(c[6] is not None for c in chunks)
+            pts = ~np.isnan(px)
+            np_tiles: dict[tuple, list] = {}
+            if wkb_any:
+                wkbs: list = []
+                for c in chunks:
+                    wkbs.extend(c[6] if c[6] is not None
+                                else [None] * len(c[0]))
+                for i in np.flatnonzero(~pts).tolist():
+                    fidv = None
+                    if fid is not None and fid[i] != _NOFID:
+                        fidv = int(fid[i])
+                    np_tiles.setdefault(
+                        (int(z[i]), int(x[i]), int(y[i])), []) \
+                        .append((fidv, wkbs[i]))
+            if pts.any():
+                sel = np.flatnonzero(pts)
+                zp = z[sel].astype(np.int64)
+                xp = x[sel]
+                yp = y[sel]
+                fp = fid[sel] if fid is not None else None
+                keys = ((fp, yp, xp, zp) if fp is not None
+                        else (yp, xp, zp))
+                o = np.lexsort(keys)
+                zp, xp, yp = zp[o], xp[o], yp[o]
+                if fp is not None:
+                    fp = fp[o]
+                pxp = px[sel][o]
+                pyp = py[sel][o]
+                span = 2.0 * ORIGIN / (1 << zp).astype(np.float64)
+                x0 = xp.astype(np.float64) * span - ORIGIN
+                y_top = ORIGIN - yp.astype(np.float64) * span
+                ix = np.floor((pxp - x0) / span * ext + 0.5) \
+                    .astype(np.int64)
+                iy = np.floor((y_top - pyp) / span * ext + 0.5) \
+                    .astype(np.int64)
+                fbuf, foffs = _point_feature_bytes(
+                    fp, (ix << 1) ^ (ix >> 63),
+                    (iy << 1) ^ (iy >> 63))
+                fb = fbuf.tobytes()
+                chg = np.flatnonzero(
+                    (zp[1:] != zp[:-1]) | (xp[1:] != xp[:-1])
+                    | (yp[1:] != yp[:-1])) + 1
+                st = np.concatenate(([0], chg)).tolist()
+                en = np.concatenate((chg, [len(zp)])).tolist()
+                for s, e in zip(st, en):
+                    key = (int(zp[s]), int(xp[s]), int(yp[s]))
+                    body = fb[foffs[s]:foffs[e]]
+                    n_f = e - s
+                    extra = np_tiles.pop(key, None)
+                    if extra:
+                        eb, k = nonpoint_bytes(extra, *key)
+                        body += eb
+                        n_f += k
+                    emit_tile(*key, body, n_f)
+            for key in sorted(np_tiles):
+                eb, k = nonpoint_bytes(np_tiles[key], *key)
+                if k:
+                    emit_tile(*key, eb, k)
+
+        cur = None
+        acc: list = []
+        for b in batches:
+            bks = b["bucket"].to_numpy()
+            blobs = b["blob"].to_numpy()
+            for i in range(len(b)):
+                bk = int(bks[i])
+                if bk != cur:
+                    if acc:
+                        run_bucket(acc)
+                        acc = []
+                    cur = bk
+                acc.append(parse_blob(bytes(blobs[i])))
+                if len(out) >= 1024:
+                    yield pd.DataFrame(out)
+                    out = []
+        if acc:
+            run_bucket(acc)
+        if out:
+            yield pd.DataFrame(out)
+
+    return packed.mapInPandas(encode, man_schema)
+
+
 def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
                  maxzoom: int, extent: int, buffer: int):
     """Shared stage A of every MVT sink (directory, MBTiles): the
     cover kernel + one keyed shuffle.  Returns (covered frame
-    sorted by tile key, fid_col, prop_cols, field_types)."""
+    sorted by tile key, fid_col, prop_cols, field_types).
+
+    No-properties layers (fid + geometry only — the dominant POI /
+    page shape) take the PACKED pipeline instead: the returned
+    frame has schema (bucket, blob) and ``_mvt_encode_frame``
+    dispatches on it."""
     if not minzoom <= maxzoom:
         raise ValueError("minzoom must be <= maxzoom")
     dt = dict(df.dtypes)
@@ -487,6 +1033,11 @@ def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
             f"mvt properties must be string/int/double/boolean; got "
             f"{[(c, dt[c]) for c in bad]}")
     field_types = {c: _OK_PROP_TYPES[dt[c]] for c in prop_cols}
+
+    if not prop_cols and _PACKED_ENABLED:
+        packed = _mvt_prepare_packed(df, geometry_col, minzoom,
+                                     maxzoom, extent, buffer, fid_col)
+        return packed, fid_col, prop_cols, field_types
 
     zooms = list(range(minzoom, maxzoom + 1))
     ext, buf = extent, buffer
@@ -624,7 +1175,15 @@ def _mvt_encode_frame(covered: DataFrame, *, path: str | None,
     ``{z}/{x}/{y}.pbf`` files and emits a manifest (zoom, tile_x,
     tile_y, n_features, nbytes); with ``path=None`` it emits the
     gzip blobs themselves (zoom, tile_x, tile_y, n_features, blob)
-    for container sinks (MBTiles)."""
+    for container sinks (MBTiles).  A (bucket, blob) input frame
+    from the packed no-properties stage A dispatches to
+    ``_mvt_encode_packed``."""
+    if covered.columns == ["bucket", "blob"]:
+        return _mvt_encode_packed(
+            covered, path=path, layer=layer, extent=extent,
+            buffer=buffer, compress=compress,
+            simplification=simplification, fid_col=fid_col,
+            geometry_col=geometry_col)
     ext, buf, comp, simp = extent, buffer, compress, simplification
     lyr = layer
 
