@@ -4951,7 +4951,7 @@ def q44_cutline_mass(spark, sf_dir):
     from gdal_spark.operators.tiling import page_density_tiles
 
     pts = _points_from_orders(spark, sf_dir)
-    tiles = page_density_tiles(pts, zoom=6)
+    tiles = page_density_tiles(pts, zoom=6, codec="deflate")
     res = geo.tile_span(6) / 256
     n_px = 64 * 256
     grid = GridSpec(-geo.ORIGIN, geo.ORIGIN, res, res, n_px, n_px)
@@ -4969,12 +4969,15 @@ def q44_cutline_mass(spark, sf_dir):
     schema = StructType([StructField("mass", LongType())])
 
     def mass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.operators.tiling import decode_tile
+
         for b in batches:
             if len(b) == 0:
                 continue
             vals = [
-                int(np.frombuffer(d, dtype=np.dtype(dt)).sum())
-                for d, dt in zip(b["data"], b["dtype"])
+                int(decode_tile(d, dt, int(ts)).sum())
+                for d, dt, ts in zip(b["data"], b["dtype"],
+                                     b["tile_size"])
             ]
             yield pd.DataFrame({"mass": np.array(vals, dtype=np.int64)})
 

@@ -257,9 +257,11 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
                       g.kind))
     if not feats:
         # empty cutline layer: everything is outside (the distributed
-        # path reaches the same result via an empty mask frame)
-        const_payload, const_dt = encode_tile(
-            np.full((ts, ts), float(nodata), dtype=np.float64), None)
+        # path reaches the same result via an empty mask frame);
+        # constant tiles ship as the 8-byte const: coding, never a
+        # raw ts^2 payload (decode_tile expands it)
+        const_payload, const_dt = (np.float64(nodata).tobytes(),
+                                   "const:float64")
         return src_tiles.select(
             "zoom", "tile_x", "tile_y", "band",
             F.lit(bytearray(const_payload)).alias("data"),
@@ -270,6 +272,81 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
     bc = spark.sparkContext.broadcast(
         (feats, float(blend_px), float(nodata), k,
          int(grid.width), int(grid.height)))
+
+    if blend_px <= 0:
+        # HARD-CUT fast path: with no feather, alpha is the tile's
+        # OWN ts^2 mask — the k-halo, neighbor-lattice bits and the
+        # stats probe contribute nothing (the halo ring is cropped
+        # away before use).  Those stages each re-executed the full
+        # src lineage once per action (probe collect + near arm +
+        # far arm = THREE density builds in q44's shape); this is
+        # ONE map-only pass, with a bbox shortcut replacing the JVM
+        # far-arm projection.
+        const_payload0, const_dt0 = (np.float64(nodata).tobytes(),
+                                     "const:float64")
+
+        def kernel0(batches: Iterator[pd.DataFrame]) \
+                -> Iterator[pd.DataFrame]:
+            feats_, _blend, nd, _k, gw, gh = bc.value
+            out = {f.name: [] for f in TILE_SCHEMA.fields}
+            last_key = None
+            m = None
+
+            def tile_mask(tx: int, ty: int) -> np.ndarray:
+                ox, oy = tx * ts, ty * ts
+                shift = np.array([[float(ox), float(oy)]])
+                local = [([ring - shift for ring in rings], 1.0,
+                          kind) for rings, kind in feats_]
+                W = rasterize_chunk((ts, ts), local, "uint8")
+                # the world beyond the grid is outside-the-cutline
+                if ox + ts > gw:
+                    W[:, max(gw - ox, 0):] = 0
+                if oy + ts > gh:
+                    W[max(gh - oy, 0):, :] = 0
+                return W >= 0.5
+
+            for b in batches:
+                for _, r in b.iterrows():
+                    tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                    if (tx, ty) != last_key:
+                        ox, oy = tx * ts, ty * ts
+                        if (ox > bx1 or ox + ts < bx0
+                                or oy > by1 or oy + ts < by0):
+                            m = None          # bbox miss: all-outside
+                        else:
+                            m = tile_mask(tx, ty)
+                        last_key = (tx, ty)
+                    if m is None or not m.any():
+                        payload, dts = const_payload0, const_dt0
+                    elif m.all():
+                        dts_in = str(r["dtype"])
+                        if np.dtype(dts_in.split(":")[-1]) \
+                                == np.float64:
+                            payload, dts = bytes(r["data"]), dts_in
+                        else:
+                            src = decode_tile(r["data"], dts_in,
+                                              ts).astype(np.float64)
+                            payload, dts = encode_tile(src, None)
+                    else:
+                        src = decode_tile(r["data"], r["dtype"],
+                                          ts).astype(np.float64)
+                        payload, dts = encode_tile(
+                            np.where(m, src, float(nd)), None)
+                    out["zoom"].append(int(r["zoom"]))
+                    out["tile_x"].append(tx)
+                    out["tile_y"].append(ty)
+                    out["band"].append(int(r["band"]))
+                    out["data"].append(payload)
+                    out["dtype"].append(dts)
+                    out["tile_size"].append(ts)
+                    if len(out["zoom"]) >= 64:
+                        yield pd.DataFrame(out)
+                        out = {f.name: []
+                               for f in TILE_SCHEMA.fields}
+            if out["zoom"]:
+                yield pd.DataFrame(out)
+
+        return src_tiles.mapInPandas(kernel0, TILE_SCHEMA)
 
     # lattice shape probe (keys-only JVM agg): dense rectangular
     # lattices derive neighbor existence from the bounds as a pure
@@ -313,8 +390,8 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
     # JVM pre-cull: tiles whose haloed window misses the cutline's
     # pixel bbox are pure outside — constant payload, never decoded,
     # never in Python
-    const_payload, const_dt = encode_tile(
-        np.full((ts, ts), float(nodata), dtype=np.float64), None)
+    const_payload, const_dt = (np.float64(nodata).tobytes(),
+                               "const:float64")
     wx0 = F.col("tile_x").cast("double") * ts - k
     wy0 = F.col("tile_y").cast("double") * ts - k
     near_cond = ((wx0 <= F.lit(bx1)) & (wx0 + (ts + 2 * k) >= F.lit(bx0))
@@ -330,9 +407,11 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
         feats_, blend_, nd, k_, gw, gh = bc.value
         win = ts + 2 * k_
         out = {f.name: [] for f in TILE_SCHEMA.fields}
-        # rows arrive sorted by (tile_x, tile_y): the window mask —
+        # single-entry mask carry: same-tile rows (multi-band) are
+        # adjacent within a source partition, so the window mask —
         # the O(edges) cost of this kernel — computes once per tile
-        # and carries across that tile's bands
+        # without any payload shuffle (map-only; a recompute for
+        # out-of-order bands costs CPU only, never correctness)
         last_key = None
         m = None
         alpha = None
@@ -374,9 +453,18 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
                 if not m.any():
                     payload, dts = const_payload, const_dt
                 elif m.all():
-                    src = decode_tile(r["data"], r["dtype"], ts) \
-                        .astype(np.float64)
-                    payload, dts = encode_tile(src, None)
+                    # fully-inside tile: output == src (alpha 1).  A
+                    # float64 payload passes through UNTOUCHED in its
+                    # original (possibly deflate/const) coding — no
+                    # decode, no re-encode, and compressed inputs stay
+                    # compressed across the output
+                    dts_in = str(r["dtype"])
+                    if np.dtype(dts_in.split(":")[-1]) == np.float64:
+                        payload, dts = bytes(r["data"]), dts_in
+                    else:
+                        src = decode_tile(r["data"], dts_in, ts) \
+                            .astype(np.float64)
+                        payload, dts = encode_tile(src, None)
                 else:
                     src = decode_tile(r["data"], r["dtype"], ts) \
                         .astype(np.float64)
@@ -395,14 +483,12 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
         if out["zoom"]:
             yield pd.DataFrame(out)
 
-    par = max(spark.sparkContext.defaultParallelism, 8)
-    # hash-partition by tile key + sort so a tile's bands are
-    # adjacent and the window mask computes once per tile (the
-    # cross-row carry in the kernel)
-    near = (with_bits.filter(near_cond)
-            .repartition(par, "tile_x", "tile_y")
-            .sortWithinPartitions("tile_x", "tile_y")
-            .mapInPandas(kernel, TILE_SCHEMA))
+    # MAP-ONLY: no repartition — the old tile-key shuffle existed
+    # only so multi-band rows would be mask-carry-adjacent, but it
+    # shipped every near-tile payload through an exchange (2 GB at
+    # a z6 density); bands of one tile already sit in the same
+    # source partition, and a cold mask recompute is O(edges) CPU
+    near = with_bits.filter(near_cond).mapInPandas(kernel, TILE_SCHEMA)
     return near.unionByName(far)
 
 

@@ -508,8 +508,10 @@ def rasterize(
 
 def assemble_raster(tiles_pdf: pd.DataFrame, grid: GridSpec) -> np.ndarray:
     """Collect tiles -> full numpy raster (tests / small outputs)."""
-    dt = np.dtype(tiles_pdf["dtype"].iloc[0]) if len(tiles_pdf) else \
-        np.float64
+    # dtype strings may carry a codec prefix (deflate:/const:) —
+    # the element dtype is the suffix
+    dt = (np.dtype(str(tiles_pdf["dtype"].iloc[0]).split(":")[-1])
+          if len(tiles_pdf) else np.float64)
     out = np.zeros((grid.height, grid.width), dtype=dt)
     for _, r in tiles_pdf.iterrows():
         ts = int(r["tile_size"])
