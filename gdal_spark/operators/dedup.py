@@ -349,11 +349,21 @@ def minhash_lsh_dedup(
 
 
 def duplicate_clusters(pairs: DataFrame, key_a: str = "a",
-                       key_b: str = "b", max_iters: int = 20
-                       ) -> DataFrame:
+                       key_b: str = "b", max_iters: int = 20,
+                       collect_cap: int = 2_000_000) -> DataFrame:
     """Connected components over verified duplicate pairs ->
     (doc_id, cluster_id) with cluster_id = min doc_id in the
     component.
+
+    Bounded-collect gate first (the spatial_join "broadcast if
+    provably small, else distributed" pattern): pair sets up to
+    ``collect_cap`` edges — every fixture/raster-border workload, and
+    most dedup outputs — resolve in ONE driver pass of vectorized
+    min-label propagation instead of 3 joins + localCheckpoint +
+    convergence count PER ROUND (each round is two Spark actions;
+    the loop dominated polygonize/sieve cold runs).  Larger pair
+    sets pay one extra pairs materialization for the probe and fall
+    back to the iterative join loop, which never collects.
 
     Iterative min-label propagation as DataFrame joins (the classic
     large-scale CC pattern — each round joins every node's label with
@@ -361,6 +371,40 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a",
     rounds, which for dup clusters is tiny).  Only documents that
     appear in a pair get a row; singletons are their own cluster.
     """
+    if collect_cap and collect_cap > 0:
+        probe = pairs.select(F.col(key_a).alias("u"),
+                             F.col(key_b).alias("v")) \
+            .limit(collect_cap + 1).toPandas()
+        if len(probe) <= collect_cap:
+            spark = pairs.sparkSession
+            out_schema = StructType([
+                StructField("doc_id", pairs.schema[key_a].dataType),
+                StructField("cluster_id",
+                            pairs.schema[key_a].dataType),
+            ])
+            if not len(probe):
+                return spark.createDataFrame([], out_schema)
+            u = probe["u"].to_numpy()
+            v = probe["v"].to_numpy()
+            nodes, inv = np.unique(np.concatenate([u, v]),
+                                   return_inverse=True)
+            ui, vi = inv[:len(u)], inv[len(u):]
+            # vectorized min-label propagation + pointer jumping;
+            # labels are indices into the SORTED node array, so the
+            # converged min index IS the min doc_id of the component
+            lab = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                l2 = lab.copy()
+                np.minimum.at(l2, ui, lab[vi])
+                np.minimum.at(l2, vi, lab[ui])
+                l2 = l2[l2]
+                if np.array_equal(l2, lab):
+                    break
+                lab = l2
+            return spark.createDataFrame(
+                pd.DataFrame({"doc_id": nodes,
+                              "cluster_id": nodes[lab]}),
+                schema=out_schema)
     edges = (
         pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
         .unionByName(

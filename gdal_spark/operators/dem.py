@@ -299,11 +299,16 @@ def focal_kernel(canvas: np.ndarray, op: str, xres: float, yres: float,
 # --------------------------------------------------------------------
 
 def raster_calc(named_tiles: dict[str, DataFrame], fn,
-                dtype: str = "float64") -> DataFrame:
+                dtype: str = "float64",
+                codec: str | None = None) -> DataFrame:
     """Banded raster algebra: align tiles of several rasters by
     (tile_x, tile_y) and apply ``fn(**arrays) -> array`` per tile —
     the engine's VRT pixel-function / gdal raster calc equivalent
-    (frmts/vrt/pixelfunctions.cpp; apps/gdalalg_raster_calc.cpp)."""
+    (frmts/vrt/pixelfunctions.cpp; apps/gdalalg_raster_calc.cpp).
+
+    ``codec="deflate"`` emits compressed tiles (mostly-zero outputs
+    like validity masks shrink ~1000x; every tile consumer decodes
+    via decode_tile)."""
     names = list(named_tiles)
     joined = None
     for name in names:
@@ -329,12 +334,18 @@ def raster_calc(named_tiles: dict[str, DataFrame], fn,
                     for name in names
                 }
                 out = np.asarray(fn(**arrays)).astype(np.dtype(dtype))
+                if codec is None:
+                    payload, dts = out.tobytes(), dtype
+                else:
+                    from gdal_spark.operators.tiling import encode_tile
+
+                    payload, dts = encode_tile(out, codec)
                 rows["zoom"].append(int(r["zoom"]))
                 rows["tile_x"].append(int(r["tile_x"]))
                 rows["tile_y"].append(int(r["tile_y"]))
                 rows["band"].append(1)
-                rows["data"].append(out.tobytes())
-                rows["dtype"].append(dtype)
+                rows["data"].append(payload)
+                rows["dtype"].append(dts)
                 rows["tile_size"].append(ts)
             yield pd.DataFrame(rows)
 

@@ -34,11 +34,14 @@ def footprint_tiles(
 
     Options mirror gdal_footprint: convex-hull output, simplification
     tolerance, minimum ring area filter."""
-    # mask raster: valid=1 via calc, then polygonize value==1
+    # mask raster: valid=1 via calc, then polygonize value==1; the
+    # mask is mostly zeros on sparse rasters, so it ships deflate-
+    # coded into the polygonize CCL kernel (raw was 512 KB/tile)
     mask = raster_calc(
         {"x": tiles},
         lambda x: (x != nodata).astype(np.float64),
         dtype="float64",
+        codec="deflate",
     )
     polys = polygonize_tiles(mask, gt, nodata=0.0,
                              connectedness=connectedness)

@@ -203,3 +203,80 @@ def test_global_merge_many_border_pairs(spark):
         F.sum(F.col("x1") - F.col("x0")).alias("npix")).toPandas()
     assert len(agg) == n
     assert (agg["npix"] == n).all()
+
+
+def test_label_tile_vectorized_matches_union_find():
+    """The vectorized min-label-propagation label_tile must produce
+    the same component PARTITION as the original per-edge union-find
+    law (_UF), and runs_of_labels the same run geometry, on random
+    grids across 4/8-connectedness and nodata on/off.  Label VALUES
+    may differ (min-root relabeling) — only the partition is
+    contractual."""
+    from gdal_spark.operators.polygonize import _UF
+
+    def label_ref(arr, nodata, connectedness):
+        h, w = arr.shape
+        valid = np.ones((h, w), dtype=bool)
+        if nodata is not None:
+            valid = ~(np.isnan(arr) | (arr == nodata))
+        newrun = np.ones((h, w), dtype=bool)
+        newrun[:, 1:] = (arr[:, 1:] != arr[:, :-1]) \
+            | (~valid[:, 1:]) | (~valid[:, :-1])
+        run_id = np.cumsum(newrun.ravel()).reshape(h, w) - 1
+        n_runs = int(run_id.max()) + 1 if h * w else 0
+        uf = _UF(n_runs)
+        if h > 1:
+            eq = (arr[1:, :] == arr[:-1, :]) & valid[1:, :] \
+                & valid[:-1, :]
+            for y, x in zip(*np.nonzero(eq)):
+                uf.union(int(run_id[y + 1, x]), int(run_id[y, x]))
+            if connectedness == 8:
+                eq = (arr[1:, 1:] == arr[:-1, :-1]) & valid[1:, 1:] \
+                    & valid[:-1, :-1]
+                for y, x in zip(*np.nonzero(eq)):
+                    uf.union(int(run_id[y + 1, x + 1]),
+                             int(run_id[y, x]))
+                eq = (arr[1:, :-1] == arr[:-1, 1:]) & valid[1:, :-1] \
+                    & valid[:-1, 1:]
+                for y, x in zip(*np.nonzero(eq)):
+                    uf.union(int(run_id[y + 1, x]),
+                             int(run_id[y, x + 1]))
+        roots = np.array([uf.find(i) for i in range(n_runs)],
+                         dtype=np.int64)
+        labels = roots[run_id]
+        labels[~valid] = -1
+        return labels
+
+    def same_partition(la, lb):
+        assert ((la < 0) == (lb < 0)).all()
+        m = la >= 0
+        f, g = {}, {}
+        for a, b in zip(la[m].tolist(), lb[m].tolist()):
+            if f.setdefault(a, b) != b or g.setdefault(b, a) != a:
+                return False
+        return True
+
+    rng = np.random.default_rng(17)
+    for trial in range(40):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        arr = rng.integers(0, 4, (h, w)).astype(np.float64)
+        nodata = 0.0 if trial % 3 else None
+        conn = 8 if trial % 2 else 4
+        la, _ = label_tile(arr, nodata, conn)
+        lb = label_ref(arr, nodata, conn)
+        assert same_partition(la, lb)
+        ra = runs_of_labels(la)
+        # run geometry must be exactly the per-row loop's output
+        out = [[], [], [], []]
+        for y in range(h):
+            row = lb[y]
+            starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+            ends = np.r_[starts[1:], w]
+            keep = row[starts] >= 0
+            out[0].append(row[starts][keep])
+            out[1].append(np.full(keep.sum(), y, dtype=np.int64))
+            out[2].append(starts[keep].astype(np.int64))
+            out[3].append(ends[keep].astype(np.int64))
+        for i in (1, 2, 3):
+            np.testing.assert_array_equal(
+                ra[i], np.concatenate(out[i]))
