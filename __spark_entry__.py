@@ -2997,7 +2997,10 @@ def q81_simplify_coverage(spark, sf_dir):
             rows.append({"fid": i + j * n,
                          "geometry": polygon_wkb([ring])})
     df = spark.createDataFrame(pd.DataFrame(rows))
-    simp = simplify_coverage(df, tolerance=0.25)
+    # the simplified frame (64 rows) feeds THREE consumers (describe,
+    # the defect-count probe inside check_coverage, and its join):
+    # materialize once instead of re-running the arc pipeline per arm
+    simp = simplify_coverage(df, tolerance=0.25).localCheckpoint()
 
     geo_schema = StructType([
         StructField("fid", LongType()),
