@@ -137,3 +137,29 @@ def test_packed_null_fids_and_nofid(spark, tmp_path):
                       buffer=16)
     _check_both_paths(df.select("geometry"), tmp_path, "nofid",
                       minzoom=4, maxzoom=4, buffer=0)
+
+
+def test_packed_empty_and_null_geoms(spark, tmp_path):
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from gdal_spark.sources.mvt import write_mvt
+
+    schema = StructType([StructField("fid", LongType()),
+                         StructField("geometry", BinaryType())])
+    empty = spark.createDataFrame([], schema)
+    stats = write_mvt(empty, str(tmp_path / "e.mvt"),
+                      minzoom=3, maxzoom=3)
+    assert stats == {"tiles": 0, "features": 0, "nbytes": 0}
+
+    pdf = pd.DataFrame({
+        "fid": np.arange(5, dtype=np.int64),
+        "geometry": [W.point_wkb(1.0, 2.0), None,
+                     W.point_wkb(3.0, 4.0), None,
+                     W.point_wkb(5.0, 6.0)],
+    })
+    df = spark.createDataFrame(pdf, schema=schema)
+    s2 = write_mvt(df, str(tmp_path / "n.mvt"), minzoom=2,
+                   maxzoom=2, buffer=0)
+    assert s2["features"] == 3 and s2["tiles"] == 1
