@@ -3278,7 +3278,10 @@ def q85_osm_pbf(spark, sf_dir):
                         "fix.osm.pbf")
     write_osm_pbf(path, nodes, ways, nodes_per_blob=256)
 
-    pts = read_osm(spark, path, "points")
+    # both layer frames feed TWO agg branches each (count/sum + the
+    # coord kernel) — materialize once instead of re-running the
+    # pbf decode (and the way->node join) per branch
+    pts = read_osm(spark, path, "points").localCheckpoint()
 
     # decode coords from WKB in a kernel, re-quantize to the raw
     # 1e-7 ints (exact round-trip)
@@ -3310,7 +3313,7 @@ def q85_osm_pbf(spark, sf_dir):
     pc = pts.agg(F.count("*").alias("n_points"),
                  F.sum("osm_id").cast("long").alias("sum_id"))
 
-    lines = read_osm(spark, path, "lines")
+    lines = read_osm(spark, path, "lines").localCheckpoint()
     lz = lines.agg(F.count("*").alias("n_lines"),
                    F.sum("z_order").cast("long").alias("sum_z"))
 

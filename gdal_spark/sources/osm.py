@@ -362,7 +362,12 @@ _COORD_SCHEMA_FIELDS = [
 def assemble_way_coords(elements: DataFrame) -> DataFrame:
     """(way id, packed coord arrays) via the node JOIN — the
     distributed stand-in for the reference's node database.
-    Missing refs DROP (the reference's tolerant resolver)."""
+    Missing refs DROP (the reference's tolerant resolver).
+
+    groupBy().applyInPandas pays ~ms per group (CLAUDE.md lesson) —
+    ruinous for the many-tiny-ways shape — so the fold is a sorted
+    mapInPandas carry over one (id) hash repartition instead: same
+    per-way output, cross-batch id carry, bounded task memory."""
     ways = elements.filter(F.col("kind") == 1) \
         .select("id", F.posexplode("refs").alias("pos", "ref"))
     nodes = elements.filter(F.col("kind") == 0) \
@@ -371,17 +376,50 @@ def assemble_way_coords(elements: DataFrame) -> DataFrame:
 
     schema = StructType(_COORD_SCHEMA_FIELDS)
 
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos")
-        xs = pdf["lon"].to_numpy(np.float64)
-        ys = pdf["lat"].to_numpy(np.float64)
-        return pd.DataFrame({
-            "id": [int(key[0])],
-            "xs": [xs.tobytes()], "ys": [ys.tobytes()],
-            "n_pts": [len(xs)],
-        })
+    def fold_stream(batches) -> "pd.DataFrame":
+        cur = None
+        xs_c: list = []
+        ys_c: list = []
+        out = {"id": [], "xs": [], "ys": [], "n_pts": []}
 
-    return joined.groupBy("id").applyInPandas(fold, schema)
+        def flush():
+            if cur is None:
+                return
+            xs = np.asarray(xs_c, np.float64)
+            ys = np.asarray(ys_c, np.float64)
+            out["id"].append(cur)
+            out["xs"].append(xs.tobytes())
+            out["ys"].append(ys.tobytes())
+            out["n_pts"].append(len(xs))
+
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["id"].to_numpy()
+            lons = b["lon"].to_numpy(np.float64)
+            lats = b["lat"].to_numpy(np.float64)
+            chg = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], chg)).tolist()
+            ends = np.concatenate((chg, [len(b)])).tolist()
+            for s, e in zip(starts, ends):
+                wid = int(ids[s])
+                if wid != cur:
+                    flush()
+                    cur = wid
+                    xs_c, ys_c = [], []
+                xs_c.extend(lons[s:e].tolist())
+                ys_c.extend(lats[s:e].tolist())
+            if len(out["id"]) >= 4096:
+                yield pd.DataFrame(out)
+                out = {"id": [], "xs": [], "ys": [], "n_pts": []}
+        flush()
+        if out["id"]:
+            yield pd.DataFrame(out)
+
+    par = elements.sparkSession.sparkContext.defaultParallelism
+    return (joined.repartition(par, "id")
+            .sortWithinPartitions("id", "pos")
+            .mapInPandas(fold_stream, schema))
 
 
 def _line_wkb(xs: np.ndarray, ys: np.ndarray) -> bytes:
@@ -671,6 +709,13 @@ def read_osm(spark: SparkSession, path: str,
         elements = osm_elements(spark, path)
     if layer == "points":
         return osm_points(elements)
+    # way/relation layers scan the element table 3-5 times (tagged
+    # ways, the refs explode, the node side of the join, relation
+    # members): materialize the decode ONCE instead of re-parsing
+    # every pbf blob per scan — the distributed analog of the
+    # reference's temp node database, and the same budget (O(file)
+    # storage traded against repeated whole-file decodes)
+    elements = elements.localCheckpoint()
     if layer == "lines":
         return osm_lines(elements)
     if layer == "multipolygons":
