@@ -411,7 +411,10 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a",
             pairs.select(F.col(key_b).alias("u"),
                          F.col(key_a).alias("v")))
         .distinct()
-        .cache()
+        # localCheckpoint, not .cache(): the loop consumes edges every
+        # round but nothing unpersists it after return — a CacheManager
+        # entry would live for the session (the r6 minhash leak class)
+        .localCheckpoint()
     )
     labels = edges.select("u").distinct() \
         .withColumn("label", F.col("u"))

@@ -465,14 +465,19 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
     scan-order-dependent.
 
     Returns new tiles with small-polygon values rewritten."""
-    # stage 1+2 of polygonize: global labels on runs
+    # stage 1+2 of polygonize: global labels on runs.
+    # localCheckpoint, NOT .cache(): these frames feed the merge
+    # loop and the final rewrite but there is no unpersist point
+    # after return, and a CacheManager entry lives for the session
+    # (the r6 minhash leak class) — checkpoint blocks free when the
+    # frame is GC'd.
     runs, tile_size = _global_runs(tiles, nodata, connectedness)
-    runs = runs.cache()
+    runs = runs.localCheckpoint()
 
     sizes = runs.groupBy("label").agg(
         F.sum(F.col("x1") - F.col("x0")).alias("n_pix"),
         F.first("value").alias("value"),
-    ).cache()
+    ).localCheckpoint()
     top = runs.alias("t")
     bot = runs.alias("b")
     adj = (
@@ -498,10 +503,11 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
     half = adj.unionByName(hadj)
     edges = half.unionByName(
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().cache()
+    ).distinct().localCheckpoint()
 
-    # iterative distributed merge over component roots
-    roots = sizes.select("label", F.col("label").alias("root")).cache()
+    # iterative distributed merge over component roots (a cheap
+    # projection of the checkpointed sizes — no cache needed)
+    roots = sizes.select("label", F.col("label").alias("root"))
     converged = False
     for _ in range(20):
         eff = roots.join(sizes, "label").groupBy("root") \
@@ -532,7 +538,7 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
             | ((F.col("tk.eff") == F.col("eff_a"))
                & ((-F.col("tk.negid")) < F.col("ra")))
         ).select(F.col("ra").alias("root"),
-                 (-F.col("tk.negid")).alias("tgt")).cache()
+                 (-F.col("tk.negid")).alias("tgt")).localCheckpoint()
         if moved.limit(1).count() == 0:
             converged = True
             break
