@@ -447,7 +447,8 @@ def fillnodata_tiles(tiles: DataFrame, nodata: float,
 def sieve_tiles(tiles: DataFrame, threshold: int,
                 gt: list[float] | None = None,
                 nodata: float | None = None,
-                connectedness: int = 4) -> DataFrame:
+                connectedness: int = 4,
+                collect_cap: int = 2_000_000) -> DataFrame:
     """Sieve filter: polygons smaller than ``threshold`` pixels merge
     into their largest neighbor (alg/gdalsievefilter.cpp), on the
     polygonize run/label machinery.
@@ -504,6 +505,33 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
     edges = half.unionByName(
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint()
+
+    # Bounded-collect gate (the duplicate_clusters pattern): the
+    # merge loop costs 5 joins + 2 Spark actions PER ROUND, which
+    # dominates fixture/border workloads where the adjacency graph
+    # is a few thousand edges.  When edges AND sizes are provably
+    # small, replay the IDENTICAL round law (candidate choice, tie
+    # rule, strict-improvement filter, single pointer jump, 20-round
+    # cap) on driver arrays; larger graphs keep the distributed
+    # loop, which never collects.  Both frames are already
+    # checkpoint-materialized, so the probes read blocks, not
+    # lineage.
+    if collect_cap and collect_cap > 0:
+        edges_pdf = edges.limit(collect_cap + 1).toPandas()
+        sizes_pdf = (sizes.limit(collect_cap + 1).toPandas()
+                     if len(edges_pdf) <= collect_cap else None)
+        if sizes_pdf is not None and len(sizes_pdf) <= collect_cap:
+            final_pdf = _sieve_merge_driver(sizes_pdf, edges_pdf,
+                                            int(threshold))
+            spark = tiles.sparkSession
+            if len(final_pdf):
+                final_sdf = spark.createDataFrame(
+                    final_pdf, "label long, new_value double")
+                runs = runs.join(final_sdf, "label", "left") \
+                    .withColumn("value", F.coalesce("new_value",
+                                                    "value")) \
+                    .drop("new_value")
+            return _rewrite_sieved_runs(runs, tile_size, nodata)
 
     # iterative distributed merge over component roots (a cheap
     # projection of the checkpointed sizes — no cache needed)
@@ -571,8 +599,81 @@ def sieve_tiles(tiles: DataFrame, threshold: int,
     runs = runs.join(final.select("label", "new_value"), "label", "left") \
         .withColumn("value", F.coalesce("new_value", "value")) \
         .drop("new_value")
+    return _rewrite_sieved_runs(runs, tile_size, nodata)
 
-    # rewrite tiles from the (possibly revalued) runs
+
+def _sieve_merge_driver(sizes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
+                        threshold: int) -> pd.DataFrame:
+    """Round-for-round driver replica of the distributed pointer
+    merge: identical candidate set (undersized roots), identical
+    target choice (max by (neighbor-size, -neighbor-id)), identical
+    strict-improvement filter, one pointer jump per round, identical
+    20-round cap + warning.  Returns (label, new_value) for labels
+    whose value changes (a left join + coalesce leaves the rest
+    unchanged, exactly as the distributed final join does)."""
+    labels = sizes_pdf["label"].to_numpy(np.int64)
+    order = np.argsort(labels)
+    labels = labels[order]
+    n_pix = sizes_pdf["n_pix"].to_numpy(np.int64)[order]
+    values = sizes_pdf["value"].to_numpy(np.float64)[order]
+    root = labels.copy()
+    if len(edges_pdf):
+        ea = np.searchsorted(labels, edges_pdf["a"].to_numpy(np.int64))
+        eb = np.searchsorted(labels, edges_pdf["b"].to_numpy(np.int64))
+        converged = False
+        thr = int(threshold)
+        for _ in range(20):
+            rpos = np.searchsorted(labels, root)
+            eff = np.zeros(len(labels), dtype=np.int64)
+            np.add.at(eff, rpos, n_pix)
+            ra_p, rb_p = rpos[ea], rpos[eb]
+            cand = (ra_p != rb_p) & (eff[ra_p] < thr)
+            if not cand.any():
+                converged = True
+                break
+            cra, crb = ra_p[cand], rb_p[cand]
+            eff_b = eff[crb]
+            tgt_lab = labels[crb]
+            # max by (eff_b, -rb) per ra: ascending lexsort, last of
+            # each ra group wins — same struct-max as the join loop
+            srt = np.lexsort((-tgt_lab, eff_b, cra))
+            cra_s = cra[srt]
+            last = np.flatnonzero(
+                np.r_[cra_s[1:] != cra_s[:-1], True])
+            ra_u = cra_s[last]
+            eff_b_u = eff_b[srt][last]
+            tgt_u = tgt_lab[srt][last]
+            eff_a_u = eff[ra_u]
+            ra_lab_u = labels[ra_u]
+            mv = ((eff_b_u > eff_a_u)
+                  | ((eff_b_u == eff_a_u) & (tgt_u < ra_lab_u)))
+            if not mv.any():
+                converged = True
+                break
+            # apply moved pointers, then one pointer jump (exactly
+            # the stepped+jump shape of the distributed round)
+            step = labels.copy()
+            step[ra_u[mv]] = tgt_u[mv]
+            stepped = step[rpos]          # stepped.root per label
+            # jump table maps label x -> stepped.root(x), so the
+            # jumped root is stepped applied at the stepped value
+            root = stepped[np.searchsorted(labels, stepped)]
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                "sieve merge hit the 20-round cap before convergence; "
+                "undersized components may remain unmerged",
+                RuntimeWarning, stacklevel=3)
+    new_value = values[np.searchsorted(labels, root)]
+    changed = new_value != values
+    return pd.DataFrame({"label": labels[changed],
+                         "new_value": new_value[changed]})
+
+
+def _rewrite_sieved_runs(runs: DataFrame, tile_size: int,
+                         nodata) -> DataFrame:
+    """Rewrite tiles from the (possibly revalued) runs frame."""
     def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ts = tile_size
         tx, ty = int(key[0]), int(key[1])

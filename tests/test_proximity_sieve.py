@@ -166,3 +166,44 @@ def test_fillnodata_smoothing_iterations(spark):
             fillnodata_tiles(tiles, nodata=-999.0, max_dist=6.0,
                              method="inv_dist").toPandas(), grid))
         assert changed.sum() > 50
+
+
+def test_sieve_driver_gate_matches_distributed(spark):
+    """The bounded-collect driver replica of the pointer-merge must
+    be byte-identical to the distributed join loop (collect_cap=0
+    forces the loop) — random rasters with many small components,
+    cascades and mutual-small pairs."""
+    for seed in range(6):
+        rng = np.random.RandomState(100 + seed)
+        # coarse blobs so components span tiles; quantized values so
+        # distinct components share values too
+        arr = np.floor(rng.rand(8, 8) * 4).astype(np.float64)
+        arr = np.kron(arr, np.ones((8, 8)))          # 64x64 blocks
+        speck = rng.rand(64, 64) < 0.08              # speckle islands
+        arr[speck] = np.floor(rng.rand(speck.sum()) * 4) + 10
+        tiles, w, h = tiles_from_array(spark, arr, tile_size=32)
+        grid = GridSpec(0.0, 64.0, 1.0, 1.0, 64, 64)
+        a = assemble_raster(
+            sieve_tiles(tiles, threshold=30, gt=grid.gt).toPandas(),
+            grid)
+        b = assemble_raster(
+            sieve_tiles(tiles, threshold=30, gt=grid.gt,
+                        collect_cap=0).toPandas(), grid)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sieve_driver_gate_mutual_small_pair(spark):
+    """Two adjacent undersized components that point at each other:
+    the tie rule (larger size, then smaller id) must break the cycle
+    identically in both paths."""
+    arr = np.zeros((32, 32), dtype=np.float64)
+    arr[4:6, 4:8] = 5.0         # 8 px
+    arr[6:8, 4:8] = 7.0         # 8 px, adjacent below
+    tiles, w, h = tiles_from_array(spark, arr, tile_size=16)
+    grid = GridSpec(0.0, 32.0, 1.0, 1.0, 32, 32)
+    a = assemble_raster(
+        sieve_tiles(tiles, threshold=20, gt=grid.gt).toPandas(), grid)
+    b = assemble_raster(
+        sieve_tiles(tiles, threshold=20, gt=grid.gt,
+                    collect_cap=0).toPandas(), grid)
+    np.testing.assert_array_equal(a, b)
