@@ -388,8 +388,12 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
                         F.coalesce("nbr_mask", F.lit(0))))
 
     # JVM pre-cull: tiles whose haloed window misses the cutline's
-    # pixel bbox are pure outside — constant payload, never decoded,
-    # never in Python
+    # pixel bbox are pure outside.  Their payload is NULLed in a JVM
+    # projection (never decoded, never shipped through Arrow) and the
+    # kernel emits the constant-nodata coding for them — ONE arm, so
+    # the src lineage executes once here instead of twice (the old
+    # far/near union re-evaluated the whole upstream per arm; the
+    # spatial-join union-arm lesson)
     const_payload, const_dt = (np.float64(nodata).tobytes(),
                                "const:float64")
     wx0 = F.col("tile_x").cast("double") * ts - k
@@ -397,10 +401,6 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
     near_cond = ((wx0 <= F.lit(bx1)) & (wx0 + (ts + 2 * k) >= F.lit(bx0))
                  & (wy0 <= F.lit(by1))
                  & (wy0 + (ts + 2 * k) >= F.lit(by0)))
-    far = src_tiles.filter(~near_cond).select(
-        "zoom", "tile_x", "tile_y", "band",
-        F.lit(bytearray(const_payload)).alias("data"),
-        F.lit(const_dt).alias("dtype"), "tile_size")
 
     def kernel(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
@@ -445,6 +445,23 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
         for b in batches:
             for _, r in b.iterrows():
                 tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                if r["data"] is None:
+                    # bbox-far tile (payload NULLed JVM-side): pure
+                    # outside, constant nodata, no window mask — and
+                    # no mask-carry disturbance (a tile is either
+                    # near or far, never both)
+                    payload, dts = const_payload, const_dt
+                    out["zoom"].append(int(r["zoom"]))
+                    out["tile_x"].append(tx)
+                    out["tile_y"].append(ty)
+                    out["band"].append(int(r["band"]))
+                    out["data"].append(payload)
+                    out["dtype"].append(dts)
+                    out["tile_size"].append(ts)
+                    if len(out["zoom"]) >= 64:
+                        yield pd.DataFrame(out)
+                        out = {f.name: [] for f in TILE_SCHEMA.fields}
+                    continue
                 if (tx, ty) != last_key:
                     m = window_mask(tx, ty, int(r["nbr_mask"]))
                     alpha = (None if m.all() or not m.any() else
@@ -483,13 +500,15 @@ def _cutline_clip_broadcast(spark: SparkSession, src_tiles: DataFrame,
         if out["zoom"]:
             yield pd.DataFrame(out)
 
-    # MAP-ONLY: no repartition — the old tile-key shuffle existed
-    # only so multi-band rows would be mask-carry-adjacent, but it
-    # shipped every near-tile payload through an exchange (2 GB at
-    # a z6 density); bands of one tile already sit in the same
-    # source partition, and a cold mask recompute is O(edges) CPU
-    near = with_bits.filter(near_cond).mapInPandas(kernel, TILE_SCHEMA)
-    return near.unionByName(far)
+    # MAP-ONLY, ONE ARM: no repartition (the old tile-key shuffle
+    # shipped every near-tile payload through an exchange; bands of
+    # one tile already sit in the same source partition, and a cold
+    # mask recompute is O(edges) CPU), and no far/near union (far
+    # tiles cross as NULL-payload rows instead of re-executing the
+    # src subtree in a second arm)
+    one = with_bits.withColumn("data",
+                               F.when(near_cond, F.col("data")))
+    return one.mapInPandas(kernel, TILE_SCHEMA)
 
 
 def _cutline_clip_distributed(
