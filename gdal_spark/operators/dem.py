@@ -408,8 +408,14 @@ def mosaic(tile_sets: list[DataFrame], rule: str = "last") -> DataFrame:
             "dtype": [str(dt)], "tile_size": [ts],
         })
 
+    # hash repartition with an EXPLICIT width, not repartitionByRange:
+    # the range sampler re-executes the upstream union per action, and
+    # a width-less shuffle lets AQE coalesce the CPU-bound combine to
+    # ~1 task (both CLAUDE.md lessons).  Output is order-independent —
+    # combine sorts by the explicit src column.
+    par = allt.sparkSession.sparkContext.defaultParallelism
     return (
-        allt.repartitionByRange("tile_x", "tile_y")
+        allt.repartition(par, "tile_x", "tile_y")
         .groupBy("tile_x", "tile_y")
         .applyInPandas(combine, TILE_SCHEMA)
     )
