@@ -1376,10 +1376,11 @@ def q54_sieve_merge(spark, sf_dir):
 
 def q55_ngram_jaccard(spark, sf_dir):
     """Exact all-pairs char-3-gram Jaccard dedup >= 0.5 over the
-    documents table — the shingle equi-join formulation (no
-    candidate sketch, no Python; operators/dedup.ngram_jaccard_join),
-    the exact-oracle-grade member of the dedup family next to
-    minhash (q19) and simhash (q20)."""
+    documents table (no candidate sketch;
+    operators/dedup.ngram_jaccard_join — small vocabularies take the
+    blocked chunk-pair GEMM kernel, large ones the pure-JVM shingle
+    equi-join; both exact), the exact-oracle-grade member of the
+    dedup family next to minhash (q19) and simhash (q20)."""
     from gdal_spark.operators.dedup import ngram_jaccard_join
 
     docs = _load(spark, sf_dir, "documents")

@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, LongType, StructField, StructType
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType,
+    StructField, StructType
 )
 
 # --- exact -----------------------------------------------------------
@@ -553,17 +554,35 @@ def simhash_candidates(sigs: DataFrame, key_col: str = "doc_id",
 def ngram_jaccard_join(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", n: int = 3,
                        threshold: float = 0.5,
-                       max_chars: int = 4096) -> DataFrame:
-    """EXACT all-pairs char-n-gram Jaccard >= threshold, entirely
-    JVM-side — no candidate generation, no Python.
+                       max_chars: int = 4096,
+                       dense_vocab_cap: int = 4096,
+                       chunk_target: int = 2048) -> DataFrame:
+    """EXACT all-pairs char-n-gram Jaccard >= threshold.
 
-    Distributed shape: the only scalable exact formulation — explode
-    each doc's DISTINCT shingles, equi-join on the shingle (pairs
-    meet only where they share a gram, never an all-pairs product),
-    count per pair, then |A∩B| / (|A|+|B|−|A∩B|).  Cost is
-    sum over grams of df(g)^2, so heavy-tailed grams dominate; for
-    web-scale corpora cap df or use minhash_lsh_dedup (the sketch
-    path) — this operator is the exact oracle-grade variant.
+    Two exact formulations, dispatched on the measured gram
+    vocabulary (a bounded collect — the broadcast-if-provably-small
+    gate pattern):
+
+    * **small vocabulary** (<= ``dense_vocab_cap`` distinct grams,
+      integral keys): blocked chunk-pair kernel.  Docs are hashed
+      into K chunks; every chunk pair is one task whose kernel
+      computes ALL pairwise intersection counts of its two chunks as
+      a float32 matrix product over gram-indicator rows (counts
+      <= ``max_chars`` < 2^24, so float32 GEMM is exact).  The
+      intrinsic sum-over-grams df(g)^2 work is paid inside BLAS
+      instead of as shuffled join rows — on a 5k-doc corpus whose
+      heaviest gram appears in 96% of docs this is minutes -> seconds.
+      The kernel only PREFILTERS (threshold - 1e-6, strictly wider
+      than the round-half-up admit band of 0.5e-6 + fp error); the
+      final jaccard/round/filter runs in the JVM with the identical
+      expressions as the join path, so results are bit-identical.
+    * **large vocabulary or non-integral keys**: the shingle
+      equi-join — explode each doc's DISTINCT shingles, equi-join on
+      the shingle, count per pair.  Cost is sum over grams of
+      df(g)^2, so heavy-tailed grams dominate; for web-scale corpora
+      cap df or use minhash_lsh_dedup (the sketch path) — this
+      operator is the exact oracle-grade variant.
+
     Texts are lowercased and capped at ``max_chars`` characters
     (keeps the shingle count per doc bounded; documents beyond the
     cap compare by their prefix, like a shingling window).
@@ -571,6 +590,8 @@ def ngram_jaccard_join(df: DataFrame, text_col: str = "text",
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
     to 6 digits, ordered.
     """
+    from pyspark.sql.types import ByteType, ShortType
+
     t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
     sh = (
         df.select(F.col(key_col).alias("id"), t.alias("t"))
@@ -579,6 +600,17 @@ def ngram_jaccard_join(df: DataFrame, text_col: str = "text",
             f"array_distinct(transform(sequence(1, length(t) - {n - 1}),"
             f" i -> substring(t, i, {n})))")).alias("g"))
     )
+    key_type = df.schema[key_col].dataType
+    integral = isinstance(key_type,
+                          (LongType, IntegerType, ShortType, ByteType))
+    if integral and dense_vocab_cap > 0:
+        vocab_pdf = (sh.select("g").distinct()
+                     .limit(dense_vocab_cap + 1).toPandas())
+        if len(vocab_pdf) <= dense_vocab_cap:
+            return _ngram_jaccard_blocked(
+                df, sh, vocab_pdf, key_type, n=n, threshold=threshold,
+                text_col=text_col, key_col=key_col,
+                chunk_target=chunk_target)
     cnt = sh.groupBy("id").agg(F.count("*").alias("n_g"))
     a = sh.select(F.col("id").alias("id_a"), "g")
     b = sh.select(F.col("id").alias("id_b"), "g")
@@ -598,6 +630,156 @@ def ngram_jaccard_join(df: DataFrame, text_col: str = "text",
             / (F.col("na") + F.col("nb") - F.col("ni")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _ngram_jaccard_blocked(df: DataFrame, sh: DataFrame, vocab_pdf,
+                           key_type, *, n: int, threshold: float,
+                           text_col: str, key_col: str,
+                           chunk_target: int) -> DataFrame:
+    """Small-vocabulary exact path for ngram_jaccard_join (see its
+    docstring).  ``sh`` is the (id, g) distinct-shingle frame built
+    with the SAME JVM expressions as the equi-join path, so the gram
+    sets are identical by construction; ``vocab_pdf`` is the bounded
+    collected vocabulary (<= dense_vocab_cap rows).
+
+    Shape: ONE shuffle (gram rows -> chunk groups) packs each chunk
+    into a single binary row; the K-row packed frame is
+    localCheckpoint'ed (both sides of the chunk-pair join consume
+    it — without the checkpoint the whole upstream would execute
+    twice, the multi-consumer lineage lesson); chunk pairs
+    repartition to an EXPLICIT K(K+1)/2 width before the CPU-bound
+    kernel (AQE would coalesce the tiny-byte exchange to ~1 task).
+    """
+    import math
+
+    spark = df.sparkSession
+    out_names = ("id_a", "id_b", "jaccard")
+    empty_schema = StructType([
+        StructField(out_names[0], key_type),
+        StructField(out_names[1], key_type),
+        StructField("jaccard", DoubleType()),
+    ])
+    vocab = np.sort(vocab_pdf["g"].to_numpy(dtype=object))
+    v_size = len(vocab)
+    if v_size == 0:
+        return spark.createDataFrame([], empty_schema)
+    vocab_df = spark.createDataFrame(
+        pd.DataFrame({"g": vocab,
+                      "gid": np.arange(v_size, dtype=np.int64)}))
+    sh2 = (sh.filter(F.col("id").isNotNull())
+           .join(F.broadcast(vocab_df), "g")
+           .select(F.col("id").cast("long").alias("id"),
+                   F.col("gid").cast("int").alias("gid")))
+
+    n_docs = max(int(df.count()), 1)
+    par = spark.sparkContext.defaultParallelism
+    k_chunks = max(1, min(1024, max(
+        -(-n_docs // chunk_target),
+        min(-(-n_docs // 32), math.isqrt(4 * par) + 1))))
+
+    pack_schema = StructType([
+        StructField("c", IntegerType()),
+        StructField("ids", BinaryType()),
+        StructField("indptr", BinaryType()),
+        StructField("gids", BinaryType()),
+    ])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(np.int64)
+        gids = pdf["gid"].to_numpy(np.int32)
+        order = np.lexsort((gids, ids))
+        ids = ids[order]
+        gids = gids[order]
+        uids, counts = np.unique(ids, return_counts=True)
+        indptr = np.zeros(len(uids) + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return pd.DataFrame({
+            "c": [int(pdf["c"].iloc[0])],
+            "ids": [uids.tobytes()],
+            "indptr": [indptr.astype(np.int32).tobytes()],
+            "gids": [gids.tobytes()],
+        })
+
+    packed = (
+        sh2.withColumn("c", F.pmod(F.xxhash64(F.col("id")),
+                                   F.lit(k_chunks)).cast("int"))
+        .groupBy("c").applyInPandas(pack, pack_schema)
+        .localCheckpoint()
+    )
+
+    a = packed.select(F.col("c").alias("ca"), F.col("ids").alias("ia"),
+                      F.col("indptr").alias("pa"),
+                      F.col("gids").alias("ga"))
+    b = packed.select(F.col("c").alias("cb"), F.col("ids").alias("ib"),
+                      F.col("indptr").alias("pb"),
+                      F.col("gids").alias("gb"))
+    n_pairs = k_chunks * (k_chunks + 1) // 2
+    pairs = (a.join(b, F.col("ca") <= F.col("cb"))
+             .repartition(n_pairs, "ca", "cb"))
+
+    kern_schema = StructType([
+        StructField("id_a", LongType()), StructField("id_b", LongType()),
+        StructField("ni", LongType()), StructField("na", LongType()),
+        StructField("nb", LongType()),
+    ])
+    thr_pre = threshold - 1e-6
+    row_block = 1024
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def unpack(ids_b, ptr_b, gid_b):
+            ids = np.frombuffer(ids_b, np.int64)
+            ptr = np.frombuffer(ptr_b, np.int32).astype(np.int64)
+            gid = np.frombuffer(gid_b, np.int32)
+            mat = np.zeros((len(ids), v_size), np.float32)
+            mat[np.repeat(np.arange(len(ids)), np.diff(ptr)), gid] = 1.0
+            return ids, np.diff(ptr).astype(np.int64), mat
+
+        for bt in batches:
+            for r in range(len(bt)):
+                same = bool(bt["ca"].iloc[r] == bt["cb"].iloc[r])
+                ida, na, ma = unpack(bt["ia"].iloc[r], bt["pa"].iloc[r],
+                                     bt["ga"].iloc[r])
+                if same:
+                    idb, nb, mb = ida, na, ma
+                else:
+                    idb, nb, mb = unpack(bt["ib"].iloc[r],
+                                         bt["pb"].iloc[r],
+                                         bt["gb"].iloc[r])
+                mbt = mb.T
+                for lo in range(0, len(ida), row_block):
+                    hi = min(lo + row_block, len(ida))
+                    ni = ma[lo:hi] @ mbt
+                    jac = ni.astype(np.float64) / (
+                        na[lo:hi, None] + nb[None, :] - ni)
+                    keep = jac >= thr_pre
+                    if same:
+                        keep &= (np.arange(lo, hi)[:, None]
+                                 < np.arange(len(idb))[None, :])
+                    ii, jj = np.nonzero(keep)
+                    if not len(ii):
+                        continue
+                    av, bv = ida[lo + ii], idb[jj]
+                    niv = ni[ii, jj].astype(np.int64)
+                    nav, nbv = na[lo + ii], nb[jj]
+                    sw = av > bv
+                    yield pd.DataFrame({
+                        "id_a": np.where(sw, bv, av),
+                        "id_b": np.where(sw, av, bv),
+                        "ni": niv,
+                        "na": np.where(sw, nbv, nav),
+                        "nb": np.where(sw, nav, nbv),
+                    })
+
+    return (
+        pairs.mapInPandas(kernel, kern_schema)
+        .withColumn("jaccard", F.round(
+            F.col("ni").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ni")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").cast(key_type).alias("id_a"),
+                F.col("id_b").cast(key_type).alias("id_b"), "jaccard")
         .orderBy("id_a", "id_b")
     )
 

@@ -268,8 +268,10 @@ def test_embedding_dedup_lsh_banded_recall(spark):
 
 def test_ngram_jaccard_join_exact_and_jvm_only(spark):
     """ngram_jaccard_join: hand-computed 3-gram Jaccard on a tiny
-    corpus, id_a < id_b ordering, threshold filter — and the plan
-    holds NO Python operator (pure Catalyst shingle equi-join)."""
+    corpus, id_a < id_b ordering, threshold filter.  The equi-join
+    fallback (dense_vocab_cap=0) keeps its pure-Catalyst contract
+    (NO Python operator); the default blocked path must return the
+    identical rows."""
     import pandas as pd
 
     from gdal_spark.operators.dedup import ngram_jaccard_join
@@ -278,11 +280,58 @@ def test_ngram_jaccard_join_exact_and_jvm_only(spark):
         "doc_id": [1, 2, 3],
         "text": ["abcd", "Abcde", "zzzz"],
     }))
-    out = ngram_jaccard_join(docs, n=3, threshold=0.1)
+    out = ngram_jaccard_join(docs, n=3, threshold=0.1,
+                             dense_vocab_cap=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
     got = out.toPandas()
     # doc1 grams {abc,bcd}, doc2 (lowercased) {abc,bcd,cde}:
     # inter 2, union 3 -> 2/3; doc3 gram {zzz} disjoint
     assert got[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert abs(got["jaccard"].iloc[0] - round(2 / 3, 6)) < 1e-12
+    dflt = ngram_jaccard_join(docs, n=3, threshold=0.1).toPandas()
+    assert dflt.values.tolist() == got.values.tolist()
+
+
+def test_ngram_jaccard_join_blocked_differential(spark):
+    """The blocked small-vocab kernel (default path) is row-exact
+    against the pure-JVM equi-join on a random templated corpus that
+    forces MULTIPLE chunks (cross-chunk + same-chunk pair logic),
+    at two thresholds, including jaccard VALUES."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.dedup import ngram_jaccard_join
+
+    rng = np.random.default_rng(7)
+    words = ["market", "report", "lorem", "ipsum", "power", "tower",
+             "brown", "fox", "jumps", "river", "stone", "cloud"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(5, 40)))
+             for _ in range(300)]
+    # duplicate cluster + near-dups to populate the >= 0.5 band
+    texts[10] = texts[11] = texts[12]
+    texts[20] = texts[21] + " extra"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64), "text": texts}))
+    for thr in (0.5, 0.2):
+        new = ngram_jaccard_join(docs, n=3, threshold=thr).toPandas()
+        old = ngram_jaccard_join(docs, n=3, threshold=thr,
+                                 dense_vocab_cap=0).toPandas()
+        assert new.values.tolist() == old.values.tolist(), thr
+        assert len(new) > 0
+
+
+def test_ngram_jaccard_join_string_keys_fallback(spark):
+    """Non-integral keys dispatch to the equi-join path and still
+    return the exact result."""
+    import pandas as pd
+
+    from gdal_spark.operators.dedup import ngram_jaccard_join
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["abcd", "Abcde", "zzzz"],
+    }))
+    got = ngram_jaccard_join(docs, n=3, threshold=0.1).toPandas()
+    assert got[["id_a", "id_b"]].values.tolist() == [["a", "b"]]
     assert abs(got["jaccard"].iloc[0] - round(2 / 3, 6)) < 1e-12
