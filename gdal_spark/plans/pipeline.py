@@ -384,8 +384,17 @@ def _ogr_expr(expr: str):
 
 def _geom_map(df: DataFrame, fn, geom_col: str = "geometry",
               drop_empty: bool = False) -> DataFrame:
-    """Apply ``fn(Geom) -> wkb bytes | None`` to every feature."""
+    """Apply ``fn(Geom) -> wkb bytes | None`` to every feature.
+
+    The kernel is CPU-bound per feature; a narrow upstream (a
+    one-split parquet scan, an AQE-coalesced join output) would
+    serialize it on one core — spread to defaultParallelism first
+    (the q45 single-partition buffer read 20 s on one core, ~1 s
+    spread)."""
     schema = df.schema
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
 
     def kernel(batches):
         import pandas as pd
@@ -613,8 +622,14 @@ def _mk_clip_bbox(x0: float, y0: float, x1: float, y1: float):
 
 def _explode_parts(df: DataFrame, geom_col: str = "geometry"
                    ) -> DataFrame:
-    """Multi-part -> one row per part (gdalalg_vector_explode.cpp)."""
+    """Multi-part -> one row per part (gdalalg_vector_explode.cpp).
+
+    Same narrow-upstream spread as _geom_map: the per-feature python
+    kernel must not run serialized on a one-split scan."""
     schema = df.schema
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
 
     def kernel(batches):
         import pandas as pd
@@ -660,6 +675,9 @@ def _check_geometry(df: DataFrame, geom_col: str = "geometry"
     # filterable with the dialect's integer comparisons
     schema = StructType(list(df.schema.fields)
                         + [StructField("geom_valid", IntegerType())])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
 
     def kernel(batches):
         from gdal_spark.geometry import wkb as W
