@@ -45,6 +45,20 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def spread_for_kernel(df):
+    """Repartition a single-partition DataFrame to
+    defaultParallelism.  CPU-bound python kernels (format encoders)
+    otherwise serialize on a one-split scan — a single small parquet
+    file reads as ONE partition regardless of row count.  Inputs
+    with >1 partition are left alone: parts-mode writers emit one
+    file per partition, so an explicit user repartition(N) keeps
+    producing exactly N parts."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if par > 1 and df.rdd.getNumPartitions() == 1:
+        return df.repartition(par)
+    return df
+
+
 def get_spark(
     app_name: str = "gdal_spark",
     master: str | None = None,

@@ -877,6 +877,9 @@ def write_flatgeobuf(df, path: str, *, geometry_col="geometry",
     )
 
     if mode == "parts":
+        from gdal_spark.session import spread_for_kernel
+
+        df = spread_for_kernel(df)
         os.makedirs(path, exist_ok=True)
         gt0 = _df_geom_type(df)
         out_schema = StructType([StructField("file", StringType()),

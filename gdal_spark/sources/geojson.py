@@ -394,6 +394,9 @@ def write_geojson(df, path: str, geometry_col: str = "geometry",
     if mode != "parts":
         raise ValueError(f"unknown mode {mode!r} (parts/single)")
 
+    from gdal_spark.session import spread_for_kernel
+
+    df = spread_for_kernel(df)
     os.makedirs(path, exist_ok=True)
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructField, StructType

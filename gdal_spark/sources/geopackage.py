@@ -379,6 +379,9 @@ def write_gpkg(df, path: str, *, geometry_col: str = "geometry",
     )
 
     if mode == "parts":
+        from gdal_spark.session import spread_for_kernel
+
+        df = spread_for_kernel(df)
         os.makedirs(path, exist_ok=True)
         out_schema = StructType([StructField("file", StringType()),
                                  StructField("n", LongType())])

@@ -561,6 +561,9 @@ def _write_xml(df, path, suffix, geometry_col, mode, head, tail,
     )
 
     if mode == "parts":
+        from gdal_spark.session import spread_for_kernel
+
+        df = spread_for_kernel(df)
         os.makedirs(path, exist_ok=True)
         out_schema = StructType([StructField("file", StringType()),
                                  StructField("n", LongType())])
