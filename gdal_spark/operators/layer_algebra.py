@@ -632,14 +632,20 @@ def dissolve(spark: SparkSession, df: DataFrame,
                else F.lit(-1).cast("long"))
     src = df.select(key_col.alias("key"),
                     F.col(geom_col).alias("geometry"))
+    # pin the reduce width before each CPU-bound union kernel: the
+    # WKB shuffle is tiny in bytes, so AQE would coalesce it to ~1
+    # partition and serialize the planar-arrangement resolver (the
+    # warp/contour lesson; q47 ran both stages single-task)
+    par = spark.sparkContext.defaultParallelism
     partials = (
         src.withColumn("salt",
                        F.pmod(F.xxhash64("geometry"), F.lit(n_salt)))
+        .repartition(par, "key", "salt")
         .groupBy("key", "salt")
         .applyInPandas(lambda k, p: _union_rows(k, p), schema)
     )
-    return partials.groupBy("key").applyInPandas(
-        _union_rows, schema)
+    return (partials.repartition(par, "key")
+            .groupBy("key").applyInPandas(_union_rows, schema))
 
 
 # --------------------------------------------------------------------

@@ -214,9 +214,14 @@ def mbtiles_metadata(path: str) -> dict:
 
 
 def _plan_splits(path: str, zoom: int | None,
-                 rows_per_task: int) -> list[tuple]:
+                 rows_per_task: int,
+                 min_tasks: int = 1) -> list[tuple]:
     """(lo, hi, zoom_or_-1) rowid ranges; per-zoom column ranges
-    when ``tiles`` is a view (the dedup images+map layout)."""
+    when ``tiles`` is a view (the dedup images+map layout).
+
+    ``rows_per_task`` caps task size for big stores;  ``min_tasks``
+    shrinks the step for SMALL stores so a 1024-tile pyramid still
+    fans out across the cluster instead of decoding single-task."""
     con = _connect_ro(path)
     try:
         kind = con.execute(
@@ -233,10 +238,12 @@ def _plan_splits(path: str, zoom: int | None,
             lo, hi = con.execute(q, args).fetchone()
             if lo is None:
                 return []
+            span = int(hi) - int(lo) + 1
+            step = max(1, min(rows_per_task,
+                              -(-span // max(min_tasks, 1))))
             return [("rowid", int(a),
-                     min(int(a) + rows_per_task - 1, int(hi)), -1)
-                    for a in range(int(lo), int(hi) + 1,
-                                   rows_per_task)]
+                     min(int(a) + step - 1, int(hi)), -1)
+                    for a in range(int(lo), int(hi) + 1, step)]
         # view: split tile_column ranges per zoom
         zq = "SELECT DISTINCT zoom_level FROM tiles"
         if zoom is not None:
@@ -279,7 +286,9 @@ def read_mbtiles(spark: SparkSession, path: str, *,
     _check_path(path, "read_mbtiles")
     meta = mbtiles_metadata(path)
     fmt = meta.get("format", "png")
-    tasks = _plan_splits(path, zoom, rows_per_task)
+    tasks = _plan_splits(
+        path, zoom, rows_per_task,
+        min_tasks=2 * spark.sparkContext.defaultParallelism)
     qzoom = zoom
 
     tdf = (pd.DataFrame(tasks, columns=["mode", "lo", "hi", "z"])

@@ -819,7 +819,9 @@ def _mvt_prepare_packed(df: DataFrame, geometry_col: str, minzoom: int,
         if rows_b:
             yield pd.DataFrame({"bucket": rows_b, "blob": rows_d})
 
-    return (df.mapInPandas(pack, pack_schema)
+    from gdal_spark.session import spread_for_kernel
+
+    return (spread_for_kernel(df).mapInPandas(pack, pack_schema)
             .repartition(par, "bucket")
             .sortWithinPartitions("bucket"))
 
@@ -1156,9 +1158,11 @@ def _mvt_prepare(df: DataFrame, geometry_col: str, minzoom: int,
             if rows:
                 yield pd.DataFrame(rows)
 
+    from gdal_spark.session import spread_for_kernel
+
     spark = df.sparkSession
     par = max(spark.sparkContext.defaultParallelism, 8)
-    covered = (df.mapInPandas(cover, cover_schema)
+    covered = (spread_for_kernel(df).mapInPandas(cover, cover_schema)
                .repartition(par, "zoom", "tile_x", "tile_y")
                .sortWithinPartitions("zoom", "tile_x", "tile_y"))
     return covered, fid_col, prop_cols, field_types
