@@ -288,7 +288,7 @@ def read_mbtiles(spark: SparkSession, path: str, *,
     fmt = meta.get("format", "png")
     tasks = _plan_splits(
         path, zoom, rows_per_task,
-        min_tasks=2 * spark.sparkContext.defaultParallelism)
+        min_tasks=spark.sparkContext.defaultParallelism)
     qzoom = zoom
 
     tdf = (pd.DataFrame(tasks, columns=["mode", "lo", "hi", "z"])
