@@ -427,3 +427,28 @@ def test_embedding_dedup_exact_key_dtype_guard(spark):
     with pytest.raises(TypeError, match="integral"):
         embedding_dedup(df, key_col="vec_id", vec_col="vec",
                         method="exact")
+
+
+def test_dissolve_pins_reduce_width(spark):
+    """Both dissolve union stages must repartition to an explicit
+    width on the group keys (REPARTITION_BY_NUM) so AQE cannot
+    coalesce the tiny-byte WKB shuffle to one task and serialize
+    the CPU-bound resolver (the q47 single-task regression class)."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.operators.layer_algebra import dissolve
+
+    def sq(x, y):
+        return polygon_wkb([np.array(
+            [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1), (x, y)],
+            dtype=np.float64)])
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "grp": [1, 1, 2], "geometry": [sq(0, 0), sq(1, 0), sq(5, 5)]}))
+    out = dissolve(spark, df, by="grp")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") >= 2
+    areas = {r.key: round(r.area, 9) for r in out.collect()}
+    assert areas == {1: 2.0, 2: 1.0}

@@ -239,3 +239,30 @@ def test_gpx_unknown_layer_rejected(spark):
         read_gpx(spark, GPX, "nope")
     with pytest.raises(ValueError, match="writable"):
         write_gpx(None, "/tmp/x.gpx", layer="track_points")
+
+
+def test_parts_writer_spreads_one_split_input(spark, tmp_path):
+    """A single-partition input (the one-split parquet scan shape)
+    must fan out across the session's cores in parts mode — the
+    encode kernel is CPU-bound and previously serialized on one
+    task — while an explicit multi-partition repartition still maps
+    one part file per partition (pinned by test_*parts* elsewhere).
+    Roundtrip values must be unaffected by the spread."""
+    import numpy as np
+
+    from gdal_spark.geometry.wkb import point_wkb
+
+    pdf = pd.DataFrame({
+        "geometry": [point_wkb(float(i % 50), float(-(i % 25)))
+                     for i in range(300)],
+        "ele": np.arange(300, dtype=np.float64),
+    })
+    df = spark.createDataFrame(pdf).coalesce(1)
+    out = str(tmp_path / "spread_gpx")
+    write_gpx(df, out, layer="waypoints")
+    files = [f for f in os.listdir(out) if f.endswith(".gpx")]
+    assert len(files) > 1                  # spread happened
+    back = read_gpx(spark, out, "waypoints")
+    assert back.count() == 300
+    eles = sorted(r.ele for r in back.select("ele").collect())
+    assert eles == sorted(pdf["ele"].tolist())
